@@ -1,0 +1,242 @@
+"""Any-resolution image/video preprocessing.
+
+TPU-native rebuild of the VideoLLaMA3 image processor
+(`/root/reference/model/image_processing_videollama3.py:93-473`):
+
+* smart resize — snap (H, W) to multiples of ``patch_size * merge_size``
+  under a *global* visual-token budget (min_tokens/max_tokens);
+* PIL bicubic resize (kept on host for bit-accuracy with the HF
+  reference, cf. BASELINE.md "bit-accurate" requirement);
+* rescale 1/255 and normalize with mean/std 0.5;
+* patchify to flat ``[t*gh*gw, C*patch*patch]`` rows in merge-block
+  order, ready for the TPU vision encoder's fused patch embedding.
+
+Everything here is host-side numpy: it runs once per frame on the CPU
+while the TPU crunches the previous batch (the decode/preprocess stages
+overlap via the video loader's double buffering).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+from ..config import ProcessorConfig
+
+ArrayLike = Union[np.ndarray, "Image.Image"]
+
+
+def _frame_hw(image: ArrayLike) -> Tuple[int, int]:
+    """Height/width of one frame. Accepts HWC/CHW numpy or PIL."""
+    if isinstance(image, Image.Image):
+        w, h = image.size
+        return h, w
+    a = np.asarray(image)
+    if a.ndim == 2:
+        return a.shape[0], a.shape[1]
+    if a.ndim == 3:
+        # channels-first iff the first dim looks like a channel count
+        if a.shape[0] in (1, 3, 4) and a.shape[2] not in (1, 3, 4):
+            return a.shape[1], a.shape[2]
+        return a.shape[0], a.shape[1]
+    raise ValueError(f"Cannot infer frame size from shape {a.shape}")
+
+
+def _num_frames(item: Union[ArrayLike, Sequence[ArrayLike]]) -> int:
+    if isinstance(item, (list, tuple)):
+        return len(item)
+    a = np.asarray(item)
+    return a.shape[0] if a.ndim == 4 else 1
+
+
+def _first_frame(item: Union[ArrayLike, Sequence[ArrayLike]]) -> ArrayLike:
+    if isinstance(item, (list, tuple)):
+        return item[0]
+    a = np.asarray(item)
+    return a[0] if a.ndim == 4 else a
+
+
+def smart_resize_single_factor(
+    items: Sequence[Union[ArrayLike, Sequence[ArrayLike]]],
+    factor: int,
+    min_tokens: int,
+    max_tokens: int,
+) -> List[Tuple[int, int]]:
+    """Target (H, W) per item when all items share one merge factor.
+
+    Semantics of ``simple_batched_resize``
+    (image_processing_videollama3.py:93-131): each of the N total frames
+    gets an equal share of the global pixel budget; sizes snap to
+    multiples of ``factor`` (floor when shrinking, ceil when growing).
+    """
+    min_pixels = min_tokens * factor * factor
+    max_pixels = max_tokens * factor * factor
+    num_frames_total = sum(_num_frames(it) for it in items)
+    out: List[Tuple[int, int]] = []
+    for it in items:
+        h, w = _frame_hw(_first_frame(it))
+        h_bar = round(h / factor) * factor
+        w_bar = round(w / factor) * factor
+        budget = max_pixels // max(num_frames_total, 1)
+        if h_bar * w_bar > budget:
+            beta = math.sqrt((h * w) / budget)
+            h_bar = math.floor(h / beta / factor) * factor
+            w_bar = math.floor(w / beta / factor) * factor
+        if h_bar * w_bar < min_pixels:
+            beta = math.sqrt(min_pixels / (h * w))
+            h_bar = math.ceil(h * beta / factor) * factor
+            w_bar = math.ceil(w * beta / factor) * factor
+        out.append((h_bar, w_bar))
+    return out
+
+
+def smart_resize_mixed_factors(
+    items: Sequence[Union[ArrayLike, Sequence[ArrayLike]]],
+    factors: Sequence[int],
+    min_tokens: int,
+    max_tokens: int,
+) -> List[Tuple[int, int]]:
+    """Target sizes when items carry different merge factors
+    (``batched_resize``, image_processing_videollama3.py:134-173): scale
+    everything down uniformly only if the *total* token count overflows
+    the budget."""
+    sizes = []
+    for it in items:
+        h, w = _frame_hw(_first_frame(it))
+        sizes.append((_num_frames(it), h, w))
+
+    total_tokens = sum(
+        t * math.ceil(h / f) * math.ceil(w / f)
+        for (t, h, w), f in zip(sizes, factors)
+    )
+    out: List[Tuple[int, int]] = []
+    if total_tokens > max_tokens:
+        beta = math.sqrt(total_tokens / max_tokens)
+        for (_, h, w), f in zip(sizes, factors):
+            out.append((math.floor(h / beta / f) * f, math.floor(w / beta / f) * f))
+    else:
+        for (_, h, w), f in zip(sizes, factors):
+            out.append((round(h / f) * f, round(w / f) * f))
+    return out
+
+
+def _to_hwc_uint8(frame: ArrayLike) -> np.ndarray:
+    """Convert one frame to HWC uint8 RGB."""
+    if isinstance(frame, Image.Image):
+        return np.asarray(frame.convert("RGB"))
+    a = np.asarray(frame)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=-1)
+    elif a.ndim == 3 and a.shape[0] in (1, 3, 4) and a.shape[2] not in (1, 3, 4):
+        a = np.transpose(a, (1, 2, 0))
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    elif a.shape[2] == 4:
+        a = a[..., :3]
+    if a.dtype != np.uint8:
+        a = np.clip(a, 0, 255).astype(np.uint8)
+    return a
+
+
+def resize_bicubic(frame_hwc: np.ndarray, target_hw: Tuple[int, int]) -> np.ndarray:
+    """PIL bicubic resize on host — identical to the HF reference path
+    (transformers.image_transforms.resize with resample=BICUBIC)."""
+    th, tw = target_hw
+    img = Image.fromarray(frame_hwc)
+    img = img.resize((tw, th), resample=Image.Resampling.BICUBIC)
+    return np.asarray(img)
+
+
+def patchify(
+    frames_chw: np.ndarray,
+    patch_size: int,
+    merge_size: int,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Flatten [T, C, H, W] into per-patch rows in merge-block order.
+
+    Layout matches the reference patch serialization
+    (image_processing_videollama3.py:332-345): patches are emitted
+    grouped by (gh/merge, gw/merge) block, then the merge_size x
+    merge_size sub-patches row-major inside each block — so the vision
+    encoder's merge-window downsample sees contiguous groups.
+    """
+    t, c, h, w = frames_chw.shape
+    gh, gw = h // patch_size, w // patch_size
+    x = frames_chw.reshape(
+        t, c,
+        gh // merge_size, merge_size, patch_size,
+        gw // merge_size, merge_size, patch_size,
+    )
+    x = x.transpose(0, 2, 5, 3, 6, 1, 4, 7)
+    return x.reshape(t * gh * gw, c * patch_size * patch_size), (t, gh, gw)
+
+
+@dataclass
+class ImageBatch:
+    """Flat multi-image batch: concatenated patch rows plus per-item grids."""
+
+    pixel_values: np.ndarray      # [sum(t*gh*gw), C*patch*patch] float32
+    grid_sizes: np.ndarray        # [N, 3] int32 (t, gh, gw)
+    merge_sizes: np.ndarray       # [N] int32
+    modals: List[str]             # "image" | "video" per item
+
+    @property
+    def num_patches_per_item(self) -> np.ndarray:
+        return self.grid_sizes.prod(axis=1)
+
+
+class ImageProcessor:
+    """The C1 component: dynamic-resolution preprocess → ImageBatch."""
+
+    def __init__(self, config: Optional[ProcessorConfig] = None):
+        self.config = config or ProcessorConfig()
+
+    def __call__(
+        self,
+        items: Sequence[Union[ArrayLike, Sequence[ArrayLike]]],
+        modals: Sequence[str],
+        merge_sizes: Optional[Sequence[int]] = None,
+    ) -> ImageBatch:
+        cfg = self.config
+        if merge_sizes is None:
+            merge_sizes = [
+                cfg.image_merge_size if m == "image" else cfg.video_merge_size
+                for m in modals
+            ]
+        factors = [cfg.patch_size * ms for ms in merge_sizes]
+        if len(set(merge_sizes)) <= 1:
+            target_sizes = smart_resize_single_factor(
+                items, factors[0] if factors else cfg.patch_size,
+                cfg.min_tokens, cfg.max_tokens)
+        else:
+            target_sizes = smart_resize_mixed_factors(
+                items, factors, cfg.min_tokens, cfg.max_tokens)
+
+        mean = np.asarray(cfg.image_mean, dtype=np.float32).reshape(1, 3, 1, 1)
+        std = np.asarray(cfg.image_std, dtype=np.float32).reshape(1, 3, 1, 1)
+
+        all_patches: List[np.ndarray] = []
+        grid_sizes_out: List[Tuple[int, int, int]] = []
+        for item, ms, target in zip(items, merge_sizes, target_sizes):
+            frames = item if isinstance(item, (list, tuple)) else (
+                list(np.asarray(item)) if np.asarray(item).ndim == 4 else [item])
+            resized = np.stack(
+                [resize_bicubic(_to_hwc_uint8(f), target) for f in frames])
+            chw = resized.transpose(0, 3, 1, 2).astype(np.float32)
+            chw = chw * np.float32(cfg.rescale_factor)
+            chw = (chw - mean) / std
+            patches, grid = patchify(chw, cfg.patch_size, ms)
+            all_patches.append(patches)
+            grid_sizes_out.append(grid)
+
+        return ImageBatch(
+            pixel_values=np.concatenate(all_patches, axis=0)
+            if all_patches else np.zeros((0, 3 * cfg.patch_size ** 2), np.float32),
+            grid_sizes=np.asarray(grid_sizes_out, dtype=np.int32).reshape(-1, 3),
+            merge_sizes=np.asarray(list(merge_sizes), dtype=np.int32),
+            modals=list(modals),
+        )

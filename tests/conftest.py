@@ -1,0 +1,38 @@
+"""Test harness: force an 8-device virtual CPU platform BEFORE jax import.
+
+The reference exercises its multi-GPU paths only by running real
+torchrun/accelerate jobs (SURVEY.md §4); here every mesh/pjit test runs
+hermetically on 8 virtual CPU devices.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_config():
+    from cogstream_tpu.config import CogReasonerConfig
+
+    return CogReasonerConfig.tiny()
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    import jax
+    from cogstream_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh(data_parallel=2, model_parallel=4)
