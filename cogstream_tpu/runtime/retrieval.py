@@ -1,0 +1,136 @@
+"""Historic Dialogue Retrieval (C8): constrained selector decoding.
+
+Rebuild of ``qaselect_module_predict``
+(`/root/reference/model/qaselect_module_predict.py:5-127`). The few-shot
+prompt text is a model-facing interface and is kept verbatim; the
+constrained decoding (digits/brackets/yes/no/eos only, ≤50 new tokens,
+greedy) runs as a static vocab mask inside the jitted decode loop
+instead of a per-token host LogitsProcessor.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Qwen2Config
+from ..models import qwen2
+from ..models.qwen2 import init_kv_cache
+from ..processor.tokenizer import constrained_selector_token_ids
+from .generate import bucket_length, decode_new_tokens, generate_tokens
+from .sampling import build_vocab_mask
+
+# Prompt text mirrors format_example (qaselect_module_predict.py:11-61) —
+# it is the interface the stage-1-trained selector adapter expects.
+SELECTOR_SYSTEM = """<|im_start|>system
+You are a QA-pair filtering assistant. Your task is to identify which of the historical QA pairs are helpful for answering the current question and determine if the historical QA pairs alone are sufficient to answer it.
+
+A QA pair is considered helpful if it provides:
+- Relevant background information, context, or details
+- Additional facts or insights that can be used to answer the current question
+- Matching roles, scenarios, or domain knowledge that could support the answer
+
+Output a single bracketed sequence:
+- Start with 'yes' if the historical QA pairs are insufficient to fully answer the question (additional visual information may be needed).
+- Start with 'no' if the current question can be fully answered using only the historical QA pairs (no additional visual information needed).
+- Follow with the indices (starting from 0) of the helpful QA pairs, e.g., [yes,0,5] or [no,0,5].
+- If no QA pairs are helpful, output [yes] or [no] based on the question's dependency.
+- Do not add extra text or explanation — only output the bracketed sequence.
+<|im_end|>"""
+
+SELECTOR_DEMO = """\nExample:
+Current Question: What causes earthquakes?
+Historical QA Pairs:
+0. Q: How to measure earthquakes? A: Using the Richter scale
+1. Q: What is tectonic plate? A: Massive rock slabs beneath crust
+2. Q: What is the weather like today? A: Sunny and warm
+→ Output: [no,1]
+------------------------------
+Example:
+Current Question: What does an earthquake look like?
+Historical QA Pairs:
+0. Q: How to measure earthquakes? A: Using the Richter scale
+1. Q: What is tectonic plate? A: Massive rock slabs beneath crust
+2. Q: What is the weather like today? A: Sunny and warm
+→ Output: [yes]
+------------------------------"""
+
+
+def build_selector_prompt(
+    current_question: str,
+    hist_qs: List[str],
+    hist_as: List[str],
+    include_demo: bool = True,
+) -> str:
+    demo = SELECTOR_DEMO if include_demo else ""
+    user = f"""{demo}
+Current Question: {current_question}
+
+Historical QA Pairs (ordered by time):"""
+    for i, (q, a) in enumerate(zip(hist_qs, hist_as)):
+        user += f"\n{i}. Q: {q}\n   A: {a}"
+    user += ("\nGenerate a bracketed sequence (e.g., [yes,0,5] or [no,0,5]) "
+             "indicating the dependency (yes or no) and the indices of "
+             "helpful QA pairs. Only output the bracketed sequence.")
+    return (f"{SELECTOR_SYSTEM}"
+            f"<|im_start|>user\n{user}<|im_end|>"
+            f"<|im_start|>assistant\n")
+
+
+def normalize_selection(text: str) -> str:
+    """Bracket-normalize the raw decode (ref :120-127)."""
+    text = text.strip()
+    if text == "":
+        return "[yes]"
+    if not text.endswith("]"):
+        text += "]"
+    if not text.startswith("["):
+        text = "[" + text
+    return text
+
+
+class Selector:
+    """Runs the constrained retrieval decode with the language adapter."""
+
+    def __init__(self, params, cfg: Qwen2Config, tokenizer,
+                 adapters=None, lora_scale: float = 2.0,
+                 max_new_tokens: int = 50):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.adapters = adapters
+        self.lora_scale = lora_scale
+        self.max_new_tokens = max_new_tokens
+        self.vocab_mask = build_vocab_mask(
+            cfg.vocab_size, constrained_selector_token_ids(tokenizer))
+
+    def select(self, current_question: str, hist_qs: List[str],
+               hist_as: List[str], include_demo: bool = True,
+               key: Optional[jax.Array] = None) -> str:
+        prompt = build_selector_prompt(current_question, hist_qs, hist_as,
+                                       include_demo)
+        ids = np.asarray(self.tokenizer.encode(prompt), np.int32)
+        S = bucket_length(len(ids))
+        padded = np.zeros((1, S), np.int32)
+        padded[0, :len(ids)] = ids
+        positions = np.full((1, S), -1, np.int32)
+        positions[0, :len(ids)] = np.arange(len(ids))
+
+        cache = init_kv_cache(self.cfg, 1, S + self.max_new_tokens)
+        emb = qwen2.embed(self.params, jnp.asarray(padded))
+        if self.adapters:
+            # adapter deltas must also shape the prompt representations
+            emb = emb  # embeddings are not LoRA targets; forward applies them
+        result = generate_tokens(
+            self.params, emb, jnp.asarray(positions),
+            jnp.asarray([len(ids) - 1], jnp.int32), cache,
+            key if key is not None else jax.random.PRNGKey(0),
+            self.cfg, self.max_new_tokens, self.tokenizer.eos_token_id,
+            temperature=0.0, vocab_mask=self.vocab_mask,
+            adapters=self.adapters, lora_scale=self.lora_scale)
+        text = decode_new_tokens(result.tokens, result.num_tokens,
+                                 self.tokenizer)
+        return normalize_selection(text)

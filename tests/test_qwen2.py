@@ -1,0 +1,151 @@
+"""Qwen2 decoder: parity with HF transformers, KV-cache consistency,
+position-tagged masking, LoRA gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cogstream_tpu.config import Qwen2Config
+from cogstream_tpu.models.checkpoint import qwen2_params_from_state_dict
+from cogstream_tpu.models.qwen2 import (
+    embed,
+    init_kv_cache,
+    init_qwen2_params,
+    lm_logits,
+    qwen2_forward,
+)
+
+TINY = Qwen2Config(
+    vocab_size=256, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=512, dtype="float32")
+
+
+def _hf_model():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    cfg = transformers.Qwen2Config(
+        vocab_size=TINY.vocab_size, hidden_size=TINY.hidden_size,
+        intermediate_size=TINY.intermediate_size,
+        num_hidden_layers=TINY.num_hidden_layers,
+        num_attention_heads=TINY.num_attention_heads,
+        num_key_value_heads=TINY.num_key_value_heads,
+        max_position_embeddings=TINY.max_position_embeddings,
+        rope_theta=TINY.rope_theta, rms_norm_eps=TINY.rms_norm_eps,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    return transformers.Qwen2ForCausalLM(cfg).eval(), torch
+
+
+def test_parity_with_hf_qwen2():
+    model, torch = _hf_model()
+    params = qwen2_params_from_state_dict(
+        model.state_dict(), TINY, dtype=np.float32)
+
+    ids = np.array([[3, 17, 254, 9, 88, 151, 2]], np.int64)
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(ids)).logits.numpy()
+
+    positions = jnp.arange(ids.shape[1], dtype=jnp.int32)[None]
+    hidden, _ = qwen2_forward(params, embed(params, jnp.asarray(ids)),
+                              positions, TINY)
+    ours = np.asarray(lm_logits(params, hidden))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_cache_matches_full_forward():
+    key = jax.random.PRNGKey(0)
+    params = init_qwen2_params(key, TINY)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (1, 9)))
+    x = embed(params, ids)
+    pos = jnp.arange(9, dtype=jnp.int32)[None]
+
+    full, _ = qwen2_forward(params, x, pos, TINY)
+
+    cache = init_kv_cache(TINY, batch=1, max_len=16)
+    h1, cache = qwen2_forward(params, x[:, :5], pos[:, :5], TINY, cache=cache)
+    outs = [h1]
+    for i in range(5, 9):
+        hi, cache = qwen2_forward(params, x[:, i:i + 1], pos[:, i:i + 1],
+                                  TINY, cache=cache)
+        outs.append(hi)
+    inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_invalidated_cache_slots_are_ignored():
+    """Scattering -1 into cache.pos must make those tokens invisible —
+    the primitive behind history retrieval (drop unselected QA turns)."""
+    key = jax.random.PRNGKey(1)
+    params = init_qwen2_params(key, TINY)
+    rng = np.random.default_rng(1)
+    ids_all = rng.integers(0, 256, (1, 8))
+    # sequence A = tokens 0..3, junk = 4..5, continuation = 6..7
+    ids_clean = np.concatenate([ids_all[:, :4], ids_all[:, 6:]], axis=1)
+
+    x_all = embed(params, jnp.asarray(ids_all))
+    cache = init_kv_cache(TINY, 1, 16)
+    _, cache = qwen2_forward(params, x_all[:, :6],
+                             jnp.arange(6, dtype=jnp.int32)[None], TINY,
+                             cache=cache)
+    # invalidate the junk tokens (slots 4,5)
+    cache = cache._replace(pos=cache.pos.at[:, 4:6].set(-1))
+    h_last, _ = qwen2_forward(params, x_all[:, 6:],
+                              jnp.array([[4, 5]], jnp.int32), TINY,
+                              cache=cache)
+
+    x_clean = embed(params, jnp.asarray(ids_clean))
+    full, _ = qwen2_forward(params, x_clean,
+                            jnp.arange(6, dtype=jnp.int32)[None], TINY)
+    np.testing.assert_allclose(np.asarray(h_last), np.asarray(full[:, 4:]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_padding_positions_masked():
+    key = jax.random.PRNGKey(2)
+    params = init_qwen2_params(key, TINY)
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, (1, 5)))
+    x = embed(params, ids)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+    base, _ = qwen2_forward(params, x, pos, TINY)
+
+    pad = jnp.zeros((1, 3, TINY.hidden_size), x.dtype)
+    xp = jnp.concatenate([x, pad], axis=1)
+    posp = jnp.concatenate([pos, jnp.full((1, 3), -1, jnp.int32)], axis=1)
+    padded, _ = qwen2_forward(params, xp, posp, TINY)
+    np.testing.assert_allclose(np.asarray(padded[:, :5]), np.asarray(base),
+                               rtol=1e-4, atol=1e-4)
+
+
+def _tiny_lora(key, params, rank=2):
+    """Adapter tree mirroring params for q_proj only."""
+    layers = []
+    for li, layer in enumerate(params["layers"]):
+        k1, k2, key = jax.random.split(key, 3)
+        din, dout = layer["attn"]["q_proj"]["kernel"].shape
+        layers.append({"attn": {"q_proj": {
+            "a": jax.random.normal(k1, (din, rank)) * 0.1,
+            "b": jax.random.normal(k2, (rank, dout)) * 0.1,
+        }}})
+    return {"layers": layers}
+
+
+def test_lora_gating():
+    key = jax.random.PRNGKey(3)
+    params = init_qwen2_params(key, TINY)
+    adapter = _tiny_lora(jax.random.PRNGKey(4), params)
+    ids = jnp.asarray([[5, 6, 7]])
+    x = embed(params, ids)
+    pos = jnp.arange(3, dtype=jnp.int32)[None]
+
+    base, _ = qwen2_forward(params, x, pos, TINY)
+    off, _ = qwen2_forward(params, x, pos, TINY,
+                           adapters=[(adapter, jnp.float32(0.0))])
+    on, _ = qwen2_forward(params, x, pos, TINY,
+                          adapters=[(adapter, jnp.float32(1.0))])
+    np.testing.assert_allclose(np.asarray(off), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+    assert np.abs(np.asarray(on) - np.asarray(base)).max() > 1e-4

@@ -1,0 +1,143 @@
+"""Vision encoder: numerical parity with the reference torch tower
+(same random weights, eager attention) + structural invariants."""
+
+import importlib.util
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cogstream_tpu.config import VisionEncoderConfig
+from cogstream_tpu.models.checkpoint import vision_params_from_state_dict
+from cogstream_tpu.models.vision_encoder import (
+    build_vision_metadata,
+    vision_encoder_forward,
+)
+
+REF_DIR = "/root/reference/model"
+
+TINY = VisionEncoderConfig(
+    hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=2, patch_size=14, dtype="float32")
+
+
+def _load_reference_encoder(cfg: VisionEncoderConfig):
+    path = os.path.join(REF_DIR, "modeling_videollama3_encoder.py")
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    cfg_path = os.path.join(REF_DIR, "configuration_videollama3_encoder.py")
+    spec = importlib.util.spec_from_file_location(
+        "configuration_videollama3_encoder", cfg_path)
+    cfgmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cfgmod)
+    spec = importlib.util.spec_from_file_location("ref_encoder", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ref_cfg = cfgmod.Videollama3VisionEncoderConfig(
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        patch_size=cfg.patch_size,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = mod.Videollama3VisionEncoderModel(ref_cfg).eval()
+    return model, torch
+
+
+def test_parity_with_reference_encoder_single_frame():
+    model, torch = _load_reference_encoder(TINY)
+    params = vision_params_from_state_dict(
+        model.state_dict(), TINY, prefix="", dtype=np.float32)
+
+    rng = np.random.default_rng(0)
+    for grids, merges in [
+        (np.array([[1, 2, 2]], np.int32), np.array([1], np.int32)),
+        (np.array([[1, 4, 4]], np.int32), np.array([2], np.int32)),
+    ]:
+        n = int(grids.prod(axis=1).sum())
+        pv = rng.standard_normal((n, 3 * 14 * 14)).astype(np.float32)
+        ours = np.asarray(
+            vision_encoder_forward(params, pv, grids, merges, TINY))
+        with torch.no_grad():
+            theirs = model(
+                pixel_values=torch.from_numpy(pv),
+                grid_sizes=torch.from_numpy(grids.astype(np.int64)),
+                merge_sizes=torch.from_numpy(merges.astype(np.int64)),
+            ).numpy()
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_parity_multi_segment_vs_per_frame_reference():
+    """Multi-item/multi-frame batches must equal per-frame reference calls.
+
+    NOTE: the reference's *eager* attention adds a boolean mask to the
+    logits (+1 in-segment instead of -inf out-of-segment,
+    modeling_videollama3_encoder.py:257-266), so its eager path leaks
+    attention across frames — a latent bug; the production flash-attn
+    varlen path isolates frames. Our encoder implements the flash
+    semantics, so the golden here is the reference run one frame at a
+    time (where no leak is possible).
+    """
+    model, torch = _load_reference_encoder(TINY)
+    params = vision_params_from_state_dict(
+        model.state_dict(), TINY, prefix="", dtype=np.float32)
+
+    rng = np.random.default_rng(0)
+    grids = np.array([[2, 4, 4], [1, 2, 2]], np.int32)   # video + image
+    merges = np.array([2, 1], np.int32)
+    n = int(grids.prod(axis=1).sum())
+    pv = rng.standard_normal((n, 3 * 14 * 14)).astype(np.float32)
+
+    ours = np.asarray(vision_encoder_forward(params, pv, grids, merges, TINY))
+
+    chunks, offset = [], 0
+    for (t, gh, gw), ms in zip(grids, merges):
+        for _ in range(int(t)):
+            rows = int(gh) * int(gw)
+            frame_pv = pv[offset:offset + rows]
+            with torch.no_grad():
+                out = model(
+                    pixel_values=torch.from_numpy(frame_pv),
+                    grid_sizes=torch.tensor([[1, int(gh), int(gw)]]),
+                    merge_sizes=torch.tensor([int(ms)]),
+                ).numpy()
+            chunks.append(out)
+            offset += rows
+    theirs = np.concatenate(chunks, axis=0)
+
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_padding_invariance():
+    key = jax.random.PRNGKey(0)
+    from cogstream_tpu.models.vision_encoder import init_vision_params
+    params = init_vision_params(key, TINY)
+    rng = np.random.default_rng(1)
+    grids = np.array([[1, 4, 4]], np.int32)
+    merges = np.array([2], np.int32)
+    pv = rng.standard_normal((16, 3 * 14 * 14)).astype(np.float32)
+    out = np.asarray(vision_encoder_forward(params, pv, grids, merges, TINY))
+    out_padded = np.asarray(vision_encoder_forward(
+        params, pv, grids, merges, TINY, pad_to=64))
+    np.testing.assert_allclose(out, out_padded[:out.shape[0]],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_metadata_segments_per_frame():
+    meta = build_vision_metadata(np.array([[3, 2, 2]]), np.array([1]))
+    # 3 frames x 4 patches: each frame is its own attention segment
+    np.testing.assert_array_equal(
+        meta.segment_ids, np.repeat([0, 1, 2], 4))
+    assert meta.num_out_tokens == 12
+
+
+def test_merge_group_mean_downsamples():
+    meta = build_vision_metadata(np.array([[1, 2, 2]]), np.array([2]))
+    assert meta.num_out_tokens == 1
+    np.testing.assert_array_equal(meta.merge_group_ids, [0, 0, 0, 0])
