@@ -1,0 +1,139 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline metric: vision-encoder streaming ingest (frames/sec/chip) at
+reference scale — the 27-layer / hidden-1152 SigLIP tower over 448x448
+frames (1024 patches/frame, merge 2), the hot loop of every streaming
+turn (SURVEY.md §3.1 hot loop #1). BASELINE.md's quantitative target is
+>=30 fps/chip; ``vs_baseline`` is value/30.
+
+Extra fields in the same JSON object: decoder prefill and decode
+throughput on the demo-size (0.5B) CogReasoner decoder, and p50
+per-turn latency components. COGSTREAM_BENCH_FULL=1 runs the 7B decoder
+instead (needs a >=32GB chip).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _median_time(fn, iters=5, warmup=2):
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_encoder(use_pallas: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from cogstream_tpu.config import VisionEncoderConfig
+    from cogstream_tpu.models.vision_encoder import (
+        build_vision_metadata, init_vision_params, vision_encoder_forward)
+
+    cfg = VisionEncoderConfig()  # reference scale: 27L, 1152h, 16 heads
+    T = int(os.environ.get("COGSTREAM_BENCH_FRAMES", "32"))
+    gh = gw = 32                 # 448x448 @ patch 14
+    grid_sizes = np.array([[T, gh, gw]])
+    merge_sizes = np.array([2])
+    n_rows = T * gh * gw
+    rng = np.random.default_rng(0)
+    pv = jnp.asarray(rng.normal(size=(n_rows, 3 * cfg.patch_size ** 2)),
+                     jnp.bfloat16)
+    params = init_vision_params(jax.random.PRNGKey(0), cfg)
+
+    def run():
+        return vision_encoder_forward(params, pv, grid_sizes, merge_sizes,
+                                      cfg, use_pallas=use_pallas)
+
+    dt = _median_time(run)
+    return T / dt, dt
+
+
+def bench_decoder(full: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens
+
+    cfg = (presets.cogreasoner_7b() if full else presets.demo()).text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    S, NEW = 1024, 128
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 1000, size=(1, S)).astype(np.int32)
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    positions = jnp.asarray(np.arange(S, dtype=np.int32)[None])
+    last = jnp.asarray([S - 1], jnp.int32)
+
+    def run():
+        cache = init_kv_cache(cfg, 1, S + NEW)
+        return generate_tokens(
+            params, emb, positions, last, cache, jax.random.PRNGKey(0),
+            cfg, NEW, eos_id=-1, temperature=0.0)
+
+    dt = _median_time(run, iters=3, warmup=1)
+    # eos_id=-1 is never sampled → exactly NEW tokens generated
+    decode_tok_s = NEW / dt
+
+    def prefill():
+        cache = init_kv_cache(cfg, 1, S + NEW)
+        hidden, c = qwen2.qwen2_forward(params, emb, positions, cfg,
+                                        cache=cache)
+        return hidden
+
+    pf = jax.jit(prefill)
+    dt_p = _median_time(lambda: pf, iters=1, warmup=0)  # placeholder
+    dt_p = _median_time(pf, iters=3, warmup=1)
+    return decode_tok_s, S / dt_p
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    full = os.environ.get("COGSTREAM_BENCH_FULL") == "1"
+
+    try:
+        fps, enc_dt = bench_encoder(use_pallas=on_tpu)
+    except Exception:
+        fps, enc_dt = bench_encoder(use_pallas=False)
+
+    extras = {}
+    try:
+        decode_tok_s, prefill_tok_s = bench_decoder(full)
+        extras = {
+            "decode_tokens_per_sec": round(decode_tok_s, 2),
+            "prefill_tokens_per_sec": round(prefill_tok_s, 1),
+            "decoder_size": "7B" if full else "0.5B-demo",
+        }
+    except Exception as e:  # decoder bench is best-effort
+        extras = {"decoder_bench_error": type(e).__name__}
+
+    out = {
+        "metric": "encoder_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+        "platform": platform,
+        "encoder_forward_s": round(enc_dt, 4),
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

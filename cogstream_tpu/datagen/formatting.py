@@ -1,0 +1,83 @@
+"""Final dataset formatting (C24).
+
+Rebuild of dataset_gen_pipeline/data_formating.py: converts dialogue
+streams into the two consumed layouts — the per-video flat QA list with
+binary ``relevance`` vectors (COG_Dataset_simply; what stage-1 training
+reads, train/data.py) and the merged full-dataset JSON
+(COG_streamv_dataset.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Sequence
+
+
+def stream_to_simple(video_name: str, stream: Dict,
+                     segments: Sequence[Dict]) -> Dict:
+    """One stream → {"QAs": [...]} with binary relevance vectors.
+
+    ``relevance[i]`` is 1 when this QA's COI cites a segment containing
+    the i-th earlier QA of the stream.
+    """
+    qas_out: List[Dict] = []
+    seg_of_qa: List[int] = []
+    for qa in stream.get("QAs", []):
+        rel = [1 if s in set(qa.get("coi", [])) else 0 for s in seg_of_qa]
+        entry = {
+            "QA_pairs": qa.get("QA_pairs", []),
+            "label": qa.get("label", "Basic"),
+            "class": qa.get("class"),
+            "is_visual": bool(qa.get("is_visual", True)),
+            "segment_path": qa.get("segment_path", 0),
+            "relevance": rel,
+            "coi": qa.get("coi", []),
+        }
+        ts = None
+        sp = qa.get("segment_path", 0)
+        if 0 <= sp < len(segments):
+            ts = segments[sp].get("timestamp")
+        if ts is not None:
+            entry["timestamp"] = ts
+        qas_out.append(entry)
+        seg_of_qa.append(sp)
+    return {"video": video_name, "QAs": qas_out}
+
+
+def format_dataset(streams_dir: str, qa_dir: str, out_dir: str,
+                   merged_name: str = "COG_streamv_dataset.json",
+                   log=print) -> Dict:
+    """Write per-video simple files + one merged dataset JSON."""
+    os.makedirs(out_dir, exist_ok=True)
+    merged: Dict[str, List[Dict]] = {}
+    for fname in sorted(os.listdir(streams_dir)):
+        if not fname.endswith(".json"):
+            continue
+        with open(os.path.join(streams_dir, fname)) as f:
+            spec = json.load(f)
+        segments = []
+        qpath = os.path.join(qa_dir, fname)
+        if os.path.exists(qpath):
+            with open(qpath) as f:
+                segments = json.load(f).get("segments", [])
+        video = spec.get("video", fname[:-5])
+        simple_all = []
+        for stream in spec.get("streams", []):
+            simple = stream_to_simple(video, stream, segments)
+            simple_all.append(simple)
+        with open(os.path.join(out_dir, fname), "w") as f:
+            json.dump(simple_all, f, indent=1)
+        merged[video] = simple_all
+        log(f"{fname}: {sum(len(s['QAs']) for s in simple_all)} QAs")
+    merged_path = os.path.join(out_dir, merged_name)
+    with open(merged_path, "w") as f:
+        json.dump(merged, f)
+    stats = {
+        "videos": len(merged),
+        "qas": sum(len(s["QAs"]) for streams in merged.values()
+                   for s in streams),
+        "merged_path": merged_path,
+    }
+    log(f"dataset: {stats['videos']} videos / {stats['qas']} QAs")
+    return stats

@@ -1,0 +1,210 @@
+"""Score aggregation, COI retrieval metrics, dialogue coherence (C17).
+
+Rebuild of the reference analysis stage
+(evaluate/analysis/step1a_static_cor.py, step1b_statistic_score.py,
+step2b_* LaTeX printers): chain-of-inference retrieval
+accuracy/precision/recall/F1 against GT relevance vectors, five-metric
+aggregation over the {Basic, Streaming, Global} label hierarchy,
+per-class scores, and the inter/exter dialogue-coherence statistic
+(1 - mean adjacent normalized score difference).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+METRICS = ("IA", "DC", "CA", "TP", "LC")
+
+# label → group (step1b's category mapping; the class names follow the
+# published results table, BASELINE.md)
+LABEL_GROUPS = {
+    "Basic": "Basic",
+    "Streaming": "Streaming",
+    "Global": "Global",
+}
+
+
+# ---------------------------------------------------------------------------
+# COI retrieval metrics (step1a)
+# ---------------------------------------------------------------------------
+
+def coi_confusion(pred: Sequence[int], gt: Sequence[int],
+                  n_hist: int) -> Tuple[int, int, int, int]:
+    """(tp, fp, fn, tn) of predicted COI indices vs the GT set over a
+    history of n_hist turns."""
+    p, g = set(pred), set(gt)
+    p = {i for i in p if 0 <= i < n_hist}
+    g = {i for i in g if 0 <= i < n_hist}
+    tp = len(p & g)
+    fp = len(p - g)
+    fn = len(g - p)
+    tn = n_hist - tp - fp - fn
+    return tp, fp, fn, tn
+
+
+def coi_metrics(items: Iterable[Dict]) -> Dict[str, float]:
+    """items: [{"pred_coi": [...], "gt_coi": [...], "n_hist": int}]."""
+    TP = FP = FN = TN = 0
+    for it in items:
+        tp, fp, fn, tn = coi_confusion(it.get("pred_coi", []),
+                                       it.get("gt_coi", []),
+                                       it.get("n_hist", 0))
+        TP += tp
+        FP += fp
+        FN += fn
+        TN += tn
+    total = TP + FP + FN + TN
+    precision = TP / (TP + FP) if TP + FP else 0.0
+    recall = TP / (TP + FN) if TP + FN else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {
+        "accuracy": (TP + TN) / total if total else 0.0,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "support": total,
+    }
+
+
+def visual_flag_metrics(items: Iterable[Dict]) -> Dict[str, float]:
+    """Accuracy of the predicted if_visual flag vs GT is_visual."""
+    hit = n = 0
+    for it in items:
+        if "pred_visual" in it and "gt_visual" in it:
+            hit += int(bool(it["pred_visual"]) == bool(it["gt_visual"]))
+            n += 1
+    return {"accuracy": hit / n if n else 0.0, "n": n}
+
+
+# ---------------------------------------------------------------------------
+# score aggregation (step1b)
+# ---------------------------------------------------------------------------
+
+def aggregate_scores(videos: Iterable[Dict]) -> Dict:
+    """videos: judged per-video dicts ({"QAs": [{"label", "class",
+    "scores": {metric: 0-10}}]}). Returns per-metric means ×10 (0-100),
+    per-group and per-class breakdowns, and the overall average —
+    the layout of step1b_statistic_score.py's JSON artifact."""
+    per_metric: Dict[str, List[float]] = defaultdict(list)
+    per_group: Dict[str, List[float]] = defaultdict(list)
+    per_class: Dict[str, List[float]] = defaultdict(list)
+
+    for video in videos:
+        for qa in video.get("QAs", []):
+            scores = [s for s in (qa.get("scores") or {}).values()
+                      if s is not None]
+            if not scores:
+                continue
+            mean_s = sum(scores) / len(scores)
+            for m, s in (qa.get("scores") or {}).items():
+                if s is not None:
+                    per_metric[m].append(s)
+            group = LABEL_GROUPS.get(qa.get("label", ""), None)
+            if group:
+                per_group[group].append(mean_s)
+            cls = qa.get("class") or qa.get("type")
+            if cls:
+                per_class[str(cls)].append(mean_s)
+
+    def x10(vals):
+        return round(10 * sum(vals) / len(vals), 2) if vals else None
+
+    all_scores = [v for vs in per_metric.values() for v in vs]
+    return {
+        "average": x10(all_scores),
+        "metrics": {m: x10(v) for m, v in sorted(per_metric.items())},
+        "groups": {g: x10(v) for g, v in sorted(per_group.items())},
+        "classes": {c: x10(v) for c, v in sorted(per_class.items())},
+        "n_scored": len(all_scores),
+    }
+
+
+def dialogue_coherence(videos: Iterable[Dict]) -> Dict[str, float]:
+    """1 - mean |adjacent normalized score difference| within (inter)
+    each video's dialogue and across video boundaries (exter) —
+    step1b_statistic_score.py:109-154 semantics."""
+    inter_diffs: List[float] = []
+    last_video_mean: Optional[float] = None
+    exter_diffs: List[float] = []
+    for video in videos:
+        seq = []
+        for qa in video.get("QAs", []):
+            scores = [s for s in (qa.get("scores") or {}).values()
+                      if s is not None]
+            if scores:
+                seq.append(sum(scores) / len(scores) / 10.0)
+        inter_diffs.extend(abs(a - b) for a, b in zip(seq, seq[1:]))
+        if seq:
+            mean = sum(seq) / len(seq)
+            if last_video_mean is not None:
+                exter_diffs.append(abs(mean - last_video_mean))
+            last_video_mean = mean
+
+    def coh(diffs):
+        return round(1.0 - sum(diffs) / len(diffs), 4) if diffs else None
+
+    return {"inter": coh(inter_diffs), "exter": coh(exter_diffs)}
+
+
+# ---------------------------------------------------------------------------
+# directory driver + table printer (step2b analogue; markdown, not LaTeX)
+# ---------------------------------------------------------------------------
+
+def load_judged_dir(path: str) -> List[Dict]:
+    out = []
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".json"):
+            with open(os.path.join(path, fname)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def coi_items_from_videos(videos: Iterable[Dict]) -> List[Dict]:
+    items = []
+    for video in videos:
+        qas = video.get("QAs", [])
+        for i, qa in enumerate(qas):
+            if "pred_coi" in qa or "coi" in qa:
+                items.append({
+                    "pred_coi": qa.get("pred_coi", []),
+                    "gt_coi": qa.get("coi", qa.get("gt_coi", [])),
+                    "n_hist": i,
+                    "pred_visual": qa.get("pred_visual"),
+                    "gt_visual": qa.get("is_visual"),
+                })
+    return items
+
+
+def summarize(judged_dir: str, out_path: Optional[str] = None) -> Dict:
+    videos = load_judged_dir(judged_dir)
+    report = {
+        "scores": aggregate_scores(videos),
+        "coherence": dialogue_coherence(videos),
+        "coi": coi_metrics(coi_items_from_videos(videos)),
+        "visual_flag": visual_flag_metrics(coi_items_from_videos(videos)),
+        "n_videos": len(videos),
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+    return report
+
+
+def format_table(report: Dict) -> str:
+    s = report["scores"]
+    lines = ["| metric | score |", "|---|---|",
+             f"| **Avg.** | {s['average']} |"]
+    for m, v in (s.get("metrics") or {}).items():
+        lines.append(f"| {m} | {v} |")
+    for g, v in (s.get("groups") or {}).items():
+        lines.append(f"| {g} | {v} |")
+    c = report.get("coherence") or {}
+    lines.append(f"| coherence inter/exter | {c.get('inter')}/{c.get('exter')} |")
+    k = report.get("coi") or {}
+    if k.get("support"):
+        lines.append(f"| COI F1 | {round(k['f1'], 4)} |")
+    return "\n".join(lines)

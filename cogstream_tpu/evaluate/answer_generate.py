@@ -1,0 +1,162 @@
+"""Distributed answer generation over the test set (C15).
+
+Rebuild of evaluate/answer_generate.py (torchrun + DistributedSampler +
+per-turn ``set_adapter`` hot swap): videos shard across hosts by
+``jax.process_index`` (pure data parallelism — inference does zero
+inter-host communication, SURVEY.md §5), both LoRA adapters stay
+resident and gated inside jit (models/qwen2.dense), and each video
+streams turn-by-turn through either
+
+* the **parity engine** (runtime/engine.py — full conversation
+  re-processed per turn, matching reference semantics), or
+* the **streaming session** (runtime/session.py — cross-turn KV reuse,
+  the fast path).
+
+Per-video JSON output: prediction, predicted COI vector and predicted
+if_visual per QA (the fields the C16 judges and C17 aggregation read).
+Existing outputs are skipped (idempotent resume, ref :30-35).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..runtime.history import parse_selection
+
+
+def shard_items(items: Sequence, index: int, count: int) -> List:
+    return [x for i, x in enumerate(items) if i % count == index]
+
+
+def generate_for_video(
+    engine,
+    processor,
+    video_path: str,
+    segments: Sequence[dict],
+    mode: str = "FCC",
+    max_new_tokens: int = 512,
+    fps: int = 1,
+    max_frames: int = 180,
+    log=print,
+) -> Dict:
+    """Stream one video's dialogue; returns the per-video result dict."""
+    conversation: List[dict] = []
+    results: List[dict] = []
+    n_hist = 0
+    for seg in segments:
+        s, e = (seg.get("timestamp") or [None, None])[:2]
+        conversation.append({
+            "role": "stream",
+            "content": [{"type": "video", "video": {
+                "video_path": video_path, "fps": fps,
+                "max_frames": max_frames, "start_time": s,
+                "end_time": e}}],
+        })
+        for qa in seg.get("QAs", []):
+            pair = qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \
+                else qa.get("QA_pairs", qa)
+            q = pair.get("Q", "")
+            conversation.append({"role": "user", "content": q})
+            t0 = time.time()
+            turn = engine.chat(conversation, mode=mode,
+                               max_new_tokens=max_new_tokens)
+            dt = time.time() - t0
+            _, pred_coi = parse_selection(turn.selection)
+            results.append({
+                "question": q,
+                "answer": pair.get("A", ""),
+                "prediction": turn.text,
+                "pred_coi": pred_coi,
+                "pred_visual": turn.if_visual,
+                "coi": qa.get("coi", []),
+                "is_visual": qa.get("is_visual", True),
+                "label": qa.get("label", ""),
+                "class": qa.get("class", qa.get("type")),
+                "n_hist": n_hist,
+                "latency_s": round(dt, 3),
+            })
+            conversation.append({"role": "assistant", "content": turn.text})
+            n_hist += 1
+    return {"video": video_path, "QAs": results}
+
+
+def run_eval(
+    engine,
+    processor,
+    video_dir: str,
+    query_dir: str,
+    save_dir: str,
+    mode: str = "FCC",
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+    log=print,
+) -> None:
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    os.makedirs(save_dir, exist_ok=True)
+
+    files = sorted(f for f in os.listdir(query_dir) if f.endswith(".json"))
+    for fname in shard_items(files, pi, pc):
+        out_path = os.path.join(save_dir, fname)
+        if os.path.exists(out_path):  # idempotent resume
+            continue
+        with open(os.path.join(query_dir, fname)) as f:
+            spec = json.load(f)
+        video = os.path.join(video_dir,
+                             spec.get("video", fname[:-5] + ".mp4"))
+        try:
+            result = generate_for_video(
+                engine, processor, video, spec.get("segments", []),
+                mode=mode)
+            with open(out_path, "w") as f:
+                json.dump(result, f, indent=1)
+            lat = [q["latency_s"] for q in result["QAs"]]
+            log(f"{fname}: {len(lat)} turns, p50 latency "
+                f"{np.median(lat) if lat else float('nan'):.2f}s")
+        except Exception as e:
+            log(f"{fname}: failed ({type(e).__name__}: {e})")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--lora-adapter-1", help="language_module .npz")
+    ap.add_argument("--lora-adapter-2", help="full_module .npz")
+    ap.add_argument("--video-dir", required=True)
+    ap.add_argument("--query-dir", required=True)
+    ap.add_argument("--save-dir", required=True)
+    ap.add_argument("--mode", default="FCC",
+                    choices=["FCC", "AC", "NC", "gt"])
+    args = ap.parse_args()
+
+    from ..config import load_hf_config
+    from ..models.checkpoint import load_cogreasoner_from_hf
+    from ..processor.processing import CogStreamProcessor
+    from ..processor.tokenizer import HFTokenizer
+    from ..runtime.engine import CogReasonerEngine
+    from ..train.checkpoint import load_lora_adapter
+
+    cfg = load_hf_config(os.path.join(args.model_dir, "config.json"))
+    params = load_cogreasoner_from_hf(args.model_dir, cfg)
+    tok = HFTokenizer(args.model_dir)
+    adapters = {}
+    if args.lora_adapter_1:
+        adapters["language_module"] = load_lora_adapter(args.lora_adapter_1)
+    if args.lora_adapter_2:
+        adapters["full_module"] = load_lora_adapter(args.lora_adapter_2)
+    engine = CogReasonerEngine(params, cfg, tok, adapters=adapters)
+    processor = CogStreamProcessor(tok, cfg.processor)
+    run_eval(engine, processor, args.video_dir, args.query_dir,
+             args.save_dir, mode=args.mode)
+
+
+if __name__ == "__main__":
+    main()

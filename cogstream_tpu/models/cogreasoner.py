@@ -91,10 +91,13 @@ def encode_images(
     if pv.shape[0] < n:
         pv = jnp.concatenate(
             [pv, jnp.zeros((n - pv.shape[0], pv.shape[1]), pv.dtype)])
+    flash_kv = (None if meta.kv_start is None or not use_pallas else
+                (jnp.asarray(meta.kv_start), jnp.asarray(meta.kv_count)))
     feats = vision_encoder_core(
         params["vision"], pv, jnp.asarray(meta.pos_ids),
         jnp.asarray(meta.segment_ids), jnp.asarray(meta.merge_group_ids),
-        meta.num_out_tokens, cfg.vision, use_pallas=use_pallas)
+        meta.num_out_tokens, cfg.vision, use_pallas=use_pallas,
+        flash_kv=flash_kv, flash_kmax=meta.kmax)
     return projector_forward(params["projector"],
                              feats.astype(cfg.text.jnp_dtype))
 

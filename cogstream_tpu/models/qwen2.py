@@ -178,6 +178,8 @@ def qwen2_forward(
     cache: Optional[KVCache] = None,
     adapters: Optional[List[Tuple[Dict, jax.Array]]] = None,
     lora_scale: float = 2.0,
+    remat: bool = False,
+    kv_allowed: Optional[jax.Array] = None,   # [B, max_len] bool per-turn visibility
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden [B, S, H], updated cache).
 
@@ -185,11 +187,55 @@ def qwen2_forward(
     (training / one-shot scoring). With a cache: K/V of the new tokens
     are written at ``write_index`` and attention spans the whole cache
     buffer, masked by stored positions.
+
+    ``remat=True`` rematerializes each decoder block on the backward
+    pass (jax.checkpoint) — the TPU replacement for the reference's
+    ``gradient_checkpointing_enable`` + DeepSpeed activation
+    checkpointing (first_stage_training.py:495, default_config.yaml:6-9).
     """
     B, S, H = inputs_embeds.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     x = inputs_embeds
     angles = rope_angles(jnp.maximum(positions, 0), D, cfg.rope_theta)  # [B,S,D/2]
+
+    if remat and cache is None:
+        def block(x, layer, layer_adapters):
+            def lora_for(path):
+                if not layer_adapters:
+                    return None
+                out = [(t, g) for t, g in layer_adapters[path] or []]
+                return out or None
+
+            h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
+            ap = layer["attn"]
+            q = dense(h, ap["q_proj"], lora_for("attn.q_proj"),
+                      lora_scale).reshape(B, S, Hq, D)
+            k = dense(h, ap["k_proj"], lora_for("attn.k_proj"),
+                      lora_scale).reshape(B, S, Hkv, D)
+            v = dense(h, ap["v_proj"], lora_for("attn.v_proj"),
+                      lora_scale).reshape(B, S, Hkv, D)
+            q = apply_rope(q, angles)
+            k = apply_rope(k, angles)
+            attn = causal_gqa_attention(
+                q, k, v, q_positions=positions,
+                kv_valid=positions >= 0, kv_positions=positions)
+            x = x + dense(attn.reshape(B, S, Hq * D), ap["o_proj"],
+                          lora_for("attn.o_proj"), lora_scale)
+            h = rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps)
+            mp = layer["mlp"]
+            gate = dense(h, mp["gate_proj"], lora_for("mlp.gate_proj"), lora_scale)
+            up = dense(h, mp["up_proj"], lora_for("mlp.up_proj"), lora_scale)
+            return x + dense(jax.nn.silu(gate) * up, mp["down_proj"],
+                             lora_for("mlp.down_proj"), lora_scale)
+
+        block = jax.checkpoint(block)
+        paths = ("attn.q_proj", "attn.k_proj", "attn.v_proj", "attn.o_proj",
+                 "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
+        for li, layer in enumerate(params["layers"]):
+            layer_adapters = {p: _layer_lora(adapters, li, p) for p in paths}
+            x = block(x, layer, layer_adapters)
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, None
 
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
@@ -215,10 +261,16 @@ def qwen2_forward(
             new_v.append(cv)
             kv_pos = jax.lax.dynamic_update_slice(
                 cache.pos, positions, (0, cache.write_index))
+            kv_valid = kv_pos >= 0
+            if kv_allowed is not None:
+                # per-turn history retrieval: unselected turns' slots are
+                # invisible to THIS turn's queries but stay resident —
+                # the next turn may reselect them (runtime/session.py)
+                kv_valid = kv_valid & kv_allowed
             attn = causal_gqa_attention(
                 q, ck.astype(q.dtype), cv.astype(q.dtype),
                 q_positions=positions,
-                kv_valid=kv_pos >= 0,
+                kv_valid=kv_valid,
                 kv_positions=kv_pos,
             )
         else:

@@ -133,13 +133,32 @@ def vision_encoder_core(
     num_out_tokens: int,        # static
     cfg: VisionEncoderConfig,
     use_pallas: bool = False,
+    flash_kv=None,              # (kv_start [nq], kv_count [nq]) device arrays
+    flash_kmax: int = 0,        # static — minor grid extent of the kernel
 ) -> jax.Array:
     """Jittable core: patch rows → merged features [num_out_tokens, hidden].
 
     ``num_out_tokens`` and all array shapes are static; callers bucket N.
+    With ``use_pallas`` the varlen flash kernel runs; its per-q-block KV
+    ranges (``flash_kv``/``flash_kmax``, from build_vision_metadata) are
+    host metadata so the kernel grid stays static under jit.
     """
     if use_pallas:
-        from ..ops.flash_attention import segment_flash_attention as attn_impl
+        from ..ops.flash_attention import (
+            DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, FlashRanges,
+            segment_flash_attention, _round_up)
+
+        N = pixel_values.shape[0]
+        if flash_kv is None:
+            ranges = None  # eager fallback: derive from concrete ids
+        else:
+            n_pad = _round_up(max(N, DEFAULT_BLOCK_Q),
+                              max(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K))
+            ranges = FlashRanges(flash_kv[0], flash_kv[1], flash_kmax,
+                                 DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, n_pad)
+
+        def attn_impl(q, k, v, seg):
+            return segment_flash_attention(q, k, v, seg, ranges=ranges)
     else:
         attn_impl = segment_attention
 
@@ -170,6 +189,9 @@ class VisionMetadata(NamedTuple):
     segment_ids: np.ndarray      # [N]
     merge_group_ids: np.ndarray  # [N]
     num_out_tokens: int
+    kv_start: Optional[np.ndarray] = None   # [nq] flash KV range starts
+    kv_count: Optional[np.ndarray] = None   # [nq] flash KV range lengths
+    kmax: int = 0                            # static minor grid extent
 
 
 def build_vision_metadata(
@@ -209,7 +231,14 @@ def build_vision_metadata(
         pos = np.concatenate([pos, np.zeros((pad, 2), np.int32)])
         segs = np.concatenate([segs, np.full((pad,), -1, np.int32)])
         grps = np.concatenate([grps, np.full((pad,), -1, np.int32)])
-    return VisionMetadata(pos, segs, grps, out_tokens)
+    from ..ops.flash_attention import FlashRanges
+
+    fr = FlashRanges.build(segs) if segs.shape[0] else None
+    return VisionMetadata(
+        pos, segs, grps, out_tokens,
+        kv_start=None if fr is None else fr.kv_start,
+        kv_count=None if fr is None else fr.kv_count,
+        kmax=0 if fr is None else fr.kmax)
 
 
 def vision_encoder_forward(
@@ -232,14 +261,19 @@ def vision_encoder_forward(
     if pv.shape[0] < n:  # pad pixel rows to the bucket
         pv = jnp.concatenate(
             [pv, jnp.zeros((n - pv.shape[0], pv.shape[1]), pv.dtype)])
+    flash_kv = (None if meta.kv_start is None or not use_pallas else
+                (jnp.asarray(meta.kv_start), jnp.asarray(meta.kv_count)))
     out = _jitted_core(params, pv, jnp.asarray(meta.pos_ids),
                        jnp.asarray(meta.segment_ids),
                        jnp.asarray(meta.merge_group_ids),
-                       meta.num_out_tokens, cfg, use_pallas)
+                       flash_kv,
+                       meta.num_out_tokens, cfg, use_pallas, meta.kmax)
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def _jitted_core(params, pv, pos, seg, grp, num_out, cfg, use_pallas):
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _jitted_core(params, pv, pos, seg, grp, flash_kv, num_out, cfg,
+                 use_pallas, kmax):
     return vision_encoder_core(params, pv, pos, seg, grp, num_out, cfg,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, flash_kv=flash_kv,
+                               flash_kmax=kmax)

@@ -1,0 +1,284 @@
+"""Pallas varlen (segment) flash attention for the vision tower.
+
+TPU-native replacement for flash-attn's ``flash_attn_varlen_func``
+(reference: modeling_videollama3_encoder.py:38-41,309-312, cu_seqlens
+built at :439-440). The reference concatenates every frame's patches
+into one flat stream and restricts attention to within-frame windows
+via cumulative sequence lengths; here the same contract is expressed
+with **per-token segment ids** and the kernel exploits their
+*contiguity*: frames are contiguous runs, so each query block overlaps
+only a small, host-computable range of KV blocks. The grid's minor
+dimension walks exactly that range — blocks outside a query block's
+segment span are never DMA'd, giving the block-diagonal O(sum_i L_i^2)
+cost of varlen flash attention instead of O(N^2).
+
+Kernel shape notes (see /opt/skills/guides/pallas_guide.md):
+* head-major [H, N, D] layout so each (head, q-block) program touches
+  contiguous rows; D is padded to a multiple of 128 lanes by the wrapper;
+* online softmax with running (m, l, acc) scratch carried across the
+  sequential minor grid dimension;
+* segment ids ride along as [1, N] int32 rows so equality masks evaluate
+  on the VPU in-block;
+* scalar-prefetched per-q-block (kv_start_block, kv_num_blocks) feed the
+  K/V index maps — the Pallas analogue of cu_seqlens.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def kv_block_ranges(
+    segment_ids: np.ndarray, block_q: int, block_k: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Host-side: for each query block, the [start, count) of KV blocks
+    holding any segment present in the query block.
+
+    Relies on segment ids being a non-decreasing run sequence (frames are
+    serialized contiguously by build_vision_metadata); padding id -1 at
+    the tail matches nothing and contributes no KV range.
+    """
+    seg = np.asarray(segment_ids)
+    n = seg.shape[0]
+    nq = -(-n // block_q)
+    nk = -(-n // block_k)
+    # first/last token index of every segment id present
+    starts = np.full((nq,), 0, np.int32)
+    counts = np.full((nq,), 0, np.int32)
+    for i in range(nq):
+        blk = seg[i * block_q:(i + 1) * block_q]
+        real = blk[blk >= 0]
+        if real.size == 0:
+            starts[i] = 0
+            counts[i] = 0
+            continue
+        lo_seg, hi_seg = int(real.min()), int(real.max())
+        # tokens of these segments span [first_tok, last_tok]
+        first_tok = int(np.searchsorted(seg[:n], lo_seg, side="left"))
+        # seg may contain -1 padding at the tail; searchsorted needs the
+        # non-decreasing prefix — padding (-1) only appears after real ids
+        # in our layout, but guard anyway:
+        real_all = np.where(seg >= 0, seg, np.iinfo(np.int32).max)
+        first_tok = int(np.searchsorted(real_all, lo_seg, side="left"))
+        last_tok = int(np.searchsorted(real_all, hi_seg, side="right")) - 1
+        b0 = first_tok // block_k
+        b1 = last_tok // block_k
+        starts[i] = b0
+        counts[i] = b1 - b0 + 1
+    kmax = int(counts.max()) if nq else 1
+    return starts, counts, max(kmax, 1)
+
+
+def _flash_kernel(
+    # scalar prefetch
+    kv_start_ref,   # [nq] int32
+    kv_count_ref,   # [nq] int32
+    # inputs
+    q_ref,          # [1, BQ, D]
+    k_ref,          # [1, BK, D]
+    v_ref,          # [1, BK, D]
+    qseg_ref,       # [1, BQ]
+    kseg_ref,       # [1, BK]
+    # outputs
+    out_ref,        # [1, BQ, D]
+    # scratch
+    m_ref,          # [BQ, 128] f32 (col-broadcast running max)
+    l_ref,          # [BQ, 128] f32
+    acc_ref,        # [BQ, D] f32
+    *,
+    scale: float,
+    kmax: int,
+):
+    iq = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < kv_count_ref[iq])
+    def _step():
+        q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
+        k = k_ref[0].astype(jnp.float32)                  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [BQ, BK]
+        qseg = qseg_ref[0]                                # [BQ]
+        kseg = kseg_ref[0]                                # [BK]
+        mask = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] >= 0)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]                             # [BQ, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)         # [BQ, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be exp(0)
+        p = jnp.exp(s - jnp.where(m_new <= NEG_INF / 2, 0.0, m_new))
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(
+            jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev - m_new))
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0].astype(jnp.float32)                  # [BK, D]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [BQ, D]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == kmax - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        out = acc_ref[...] / jnp.where(l > 0.0, l, 1.0)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_k", "kmax", "scale", "interpret"),
+)
+def _flash_call(
+    q, k, v,                   # [H, Np, Dp]
+    qseg, kseg,                # [1, Np] int32
+    kv_start, kv_count,        # [nq] int32
+    block_q: int, block_k: int, kmax: int,
+    scale: float, interpret: bool,
+):
+    H, Np, Dp = q.shape
+    nq = Np // block_q
+    nk = Np // block_k
+
+    def q_map(h, iq, j, ks, kc):
+        return (h, iq, 0)
+
+    def kv_map(h, iq, j, ks, kc):
+        blk = jnp.minimum(ks[iq] + j, nk - 1)
+        return (h, blk, 0)
+
+    def qseg_map(h, iq, j, ks, kc):
+        return (0, iq)
+
+    def kseg_map(h, iq, j, ks, kc):
+        blk = jnp.minimum(ks[iq] + j, nk - 1)
+        return (0, blk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(H, nq, kmax),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dp), q_map),
+            pl.BlockSpec((1, block_k, Dp), kv_map),
+            pl.BlockSpec((1, block_k, Dp), kv_map),
+            pl.BlockSpec((1, block_q), qseg_map),
+            pl.BlockSpec((1, block_k), kseg_map),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dp), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_flash_kernel, scale=scale, kmax=kmax)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, Np, Dp), q.dtype),
+        interpret=interpret,
+    )(kv_start, kv_count, q, k, v.astype(q.dtype), qseg, kseg)
+
+
+class FlashRanges:
+    """Host-precomputed per-q-block KV ranges (the cu_seqlens analogue).
+
+    Build once per shape bucket with ``FlashRanges.build`` (host numpy);
+    ``kv_start``/``kv_count`` become device arrays inside jit, ``kmax``
+    stays a static Python int so the grid shape is fixed.
+    """
+
+    def __init__(self, kv_start, kv_count,
+                 kmax: int, block_q: int, block_k: int, n_padded: int):
+        # kv_start/kv_count may be host numpy or traced device arrays
+        # (the metadata is host-built; inside jit it arrives as operands)
+        self.kv_start = kv_start
+        self.kv_count = kv_count
+        self.kmax = int(kmax)
+        self.block_q = int(block_q)
+        self.block_k = int(block_k)
+        self.n_padded = int(n_padded)
+
+    @staticmethod
+    def build(segment_ids: np.ndarray,
+              block_q: int = DEFAULT_BLOCK_Q,
+              block_k: int = DEFAULT_BLOCK_K) -> "FlashRanges":
+        seg = np.asarray(segment_ids, np.int32)
+        n = seg.shape[0]
+        n_pad = _round_up(max(n, block_q), max(block_q, block_k))
+        seg_pad = np.full((n_pad,), -1, np.int32)
+        seg_pad[:n] = seg
+        ks, kc, kmax = kv_block_ranges(seg_pad, block_q, block_k)
+        return FlashRanges(ks, kc, kmax, block_q, block_k, n_pad)
+
+
+def segment_flash_attention(
+    q: jax.Array,            # [N, H, D]
+    k: jax.Array,            # [N, H, D]
+    v: jax.Array,            # [N, H, D]
+    segment_ids,             # [N] int32; -1 = pad
+    ranges: Optional[FlashRanges] = None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Varlen flash attention over contiguous segments.
+
+    Drop-in for ops.attention.segment_attention. When called inside jit,
+    pass precomputed ``ranges`` (FlashRanges.build on the host metadata);
+    eager callers may omit them and the ranges are derived from the
+    concrete ``segment_ids``.
+    """
+    N, H, D = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if ranges is None:
+        seg_host = np.asarray(jax.device_get(segment_ids)).astype(np.int32)
+        ranges = FlashRanges.build(seg_host, block_q, block_k)
+
+    block_q, block_k = ranges.block_q, ranges.block_k
+    Np = ranges.n_padded
+    Dp = _round_up(D, 128)
+
+    def pad_qkv(x):
+        x = jnp.transpose(x, (1, 0, 2))              # [H, N, D]
+        return jnp.pad(x, ((0, 0), (0, Np - N), (0, Dp - D)))
+
+    qp, kp, vp = pad_qkv(q), pad_qkv(k), pad_qkv(v)
+    seg_dev = jnp.pad(jnp.asarray(segment_ids, jnp.int32), (0, Np - N),
+                      constant_values=-1)[None, :]
+
+    out = _flash_call(
+        qp, kp, vp, seg_dev, seg_dev,
+        jnp.asarray(ranges.kv_start), jnp.asarray(ranges.kv_count),
+        block_q, block_k, ranges.kmax, float(scale), bool(interpret))
+    return jnp.transpose(out[:, :N, :D], (1, 0, 2))

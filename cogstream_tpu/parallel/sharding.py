@@ -1,0 +1,195 @@
+"""PartitionSpecs for every parameter pytree — the GSPMD sharding plan.
+
+The reference scales with NCCL DDP + DeepSpeed ZeRO-2 (SURVEY.md §2.3);
+the TPU-native plan is a 2-axis ``Mesh(data, model)``: parameters carry
+Megatron-style tensor-parallel specs on the ``model`` axis, the batch
+rides ``data``, and XLA emits all collectives (all-gather / psum /
+reduce-scatter) over ICI from these annotations — no hand-written comm.
+
+Layout rules (per the scaling-book recipe):
+* attention q/k/v kernels shard the *head* (output) dim; o_proj shards
+  the input dim → one psum per attention block;
+* MLP gate/up shard the hidden (output) dim; down shards the input dim
+  → one psum per MLP;
+* embed_tokens shards the vocab rows; lm_head shards the vocab cols
+  (the final logits psum/all-gather is deferred to sampling which only
+  needs argmax/top-k per shard);
+* norms / biases on sharded dims follow their kernel; everything small
+  is replicated;
+* a dim is sharded only when divisible by the mesh axis — e.g. the 4 KV
+  heads of Qwen2-7B stay replicated at TP=8 (Hkv < TP), exactly the
+  Megatron fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CogReasonerConfig, Qwen2Config, VisionEncoderConfig
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _axis_if_divisible(dim: int, mesh: Mesh, axis: str = MODEL_AXIS):
+    return axis if dim % mesh.shape[axis] == 0 else None
+
+
+def _dense_spec(din: int, dout: int, mesh: Mesh, shard: str,
+                has_bias: bool) -> Dict[str, P]:
+    """shard = 'out' (column-parallel) or 'in' (row-parallel) or 'none'."""
+    if shard == "out":
+        ax = _axis_if_divisible(dout, mesh)
+        spec = {"kernel": P(None, ax)}
+        if has_bias:
+            spec["bias"] = P(ax)
+    elif shard == "in":
+        ax = _axis_if_divisible(din, mesh)
+        spec = {"kernel": P(ax, None)}
+        if has_bias:
+            spec["bias"] = P(None)
+    else:
+        spec = {"kernel": P(None, None)}
+        if has_bias:
+            spec["bias"] = P(None)
+    return spec
+
+
+def qwen2_param_specs(cfg: Qwen2Config, mesh: Mesh) -> Dict:
+    H = cfg.hidden_size
+    kv_out = cfg.num_key_value_heads * cfg.head_dim
+    I = cfg.intermediate_size
+    V = cfg.vocab_size
+    layer = {
+        "input_norm": {"scale": P(None)},
+        "post_attn_norm": {"scale": P(None)},
+        "attn": {
+            "q_proj": _dense_spec(H, H, mesh, "out", True),
+            "k_proj": _dense_spec(H, kv_out, mesh, "out", True),
+            "v_proj": _dense_spec(H, kv_out, mesh, "out", True),
+            "o_proj": _dense_spec(H, H, mesh, "in", False),
+        },
+        "mlp": {
+            "gate_proj": _dense_spec(H, I, mesh, "out", False),
+            "up_proj": _dense_spec(H, I, mesh, "out", False),
+            "down_proj": _dense_spec(I, H, mesh, "in", False),
+        },
+    }
+    return {
+        "embed_tokens": P(_axis_if_divisible(V, mesh), None),
+        "final_norm": {"scale": P(None)},
+        "lm_head": _dense_spec(H, V, mesh, "out", False),
+        "layers": [layer] * cfg.num_hidden_layers,
+    }
+
+
+def vision_param_specs(cfg: VisionEncoderConfig, mesh: Mesh) -> Dict:
+    H = cfg.hidden_size
+    I = cfg.intermediate_size
+    ln = {"scale": P(None), "bias": P(None)}
+    layer = {
+        "ln1": dict(ln),
+        "ln2": dict(ln),
+        "attn": {
+            "q": _dense_spec(H, H, mesh, "out", True),
+            "k": _dense_spec(H, H, mesh, "out", True),
+            "v": _dense_spec(H, H, mesh, "out", True),
+            "o": _dense_spec(H, H, mesh, "in", True),
+        },
+        "mlp": {
+            "fc1": _dense_spec(H, I, mesh, "out", True),
+            "fc2": _dense_spec(I, H, mesh, "in", True),
+        },
+    }
+    return {
+        "patch_embed": _dense_spec(cfg.num_channels * cfg.patch_size ** 2,
+                                   H, mesh, "none", True),
+        "post_ln": dict(ln),
+        "layers": [layer] * cfg.num_hidden_layers,
+    }
+
+
+def projector_param_specs(cfg: CogReasonerConfig, mesh: Mesh) -> Dict:
+    # first linear column-parallel, second row-parallel
+    specs = []
+    vin, lh = cfg.vision.hidden_size, cfg.text.hidden_size
+    specs.append(_dense_spec(vin, lh, mesh, "out", True))
+    specs.append(_dense_spec(lh, lh, mesh, "in", True))
+    return {"layers": specs}
+
+
+def cogreasoner_param_specs(cfg: CogReasonerConfig, mesh: Mesh) -> Dict:
+    return {
+        "text": qwen2_param_specs(cfg.text, mesh),
+        "vision": vision_param_specs(cfg.vision, mesh),
+        "projector": projector_param_specs(cfg, mesh),
+    }
+
+
+def lora_param_specs(param_specs: Any) -> Any:
+    """LoRA trees mirror the dense tree: ``a`` [din, r] follows the
+    kernel's input sharding, ``b`` [r, dout] its output sharding.
+
+    r is tiny (8) — sharding it would be silly; a/b inherit only the
+    large dim's placement.
+    """
+    def convert(node):
+        if isinstance(node, dict):
+            if "kernel" in node:
+                k = node["kernel"]
+                din_ax = k[0] if len(k) > 0 else None
+                dout_ax = k[1] if len(k) > 1 else None
+                return {"a": P(din_ax, None), "b": P(None, dout_ax)}
+            return {key: convert(v) for key, v in node.items()}
+        if isinstance(node, list):
+            return [convert(v) for v in node]
+        return node
+    return convert(param_specs)
+
+
+def lora_specs_like(lora_tree: Any, param_specs: Any) -> Any:
+    """Specs for a LoRA tree, derived from the dense tree it adapts:
+    ``a`` [din, r] inherits the kernel's input-dim placement, ``b``
+    [r, dout] its output-dim placement. Walks only the keys present in
+    the (possibly partial) LoRA tree."""
+    def walk(lnode, snode):
+        if isinstance(lnode, dict):
+            if set(lnode.keys()) == {"a", "b"}:
+                k = snode["kernel"]
+                din_ax = k[0] if len(k) > 0 else None
+                dout_ax = k[1] if len(k) > 1 else None
+                return {"a": P(din_ax, None), "b": P(None, dout_ax)}
+            return {key: walk(v, snode[key]) for key, v in lnode.items()}
+        if isinstance(lnode, list):
+            return [walk(v, snode[i]) for i, v in enumerate(lnode)]
+        return lnode
+    return walk(lora_tree, param_specs)
+
+
+def specs_to_shardings(specs: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs, is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
+    """Place a (host or single-device) pytree onto the mesh per specs."""
+    shardings = specs_to_shardings(specs, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def kv_cache_specs(cfg: Qwen2Config, mesh: Mesh):
+    """KVCache sharding: batch on data; KV heads on model when divisible
+    (they are not for Qwen2-7B at TP=8 → replicated, matching Megatron)."""
+    from ..models.qwen2 import KVCache
+
+    hkv_ax = _axis_if_divisible(cfg.num_key_value_heads, mesh)
+    b_ax = DATA_AXIS
+    return KVCache(
+        k=P(None, b_ax, None, hkv_ax, None),
+        v=P(None, b_ax, None, hkv_ax, None),
+        pos=P(b_ax, None),
+        write_index=P(),
+    )

@@ -60,13 +60,14 @@ def generate_tokens(
     vocab_mask: Optional[jax.Array] = None,
     adapters=None,
     lora_scale: float = 2.0,
+    kv_allowed: Optional[jax.Array] = None,   # [B, max_len] per-turn visibility
 ) -> GenerateResult:
     B = inputs_embeds.shape[0]
 
     # ---- prefill -----------------------------------------------------------
     hidden, cache = qwen2.qwen2_forward(
         params, inputs_embeds, positions, cfg, cache=cache,
-        adapters=adapters, lora_scale=lora_scale)
+        adapters=adapters, lora_scale=lora_scale, kv_allowed=kv_allowed)
     last_h = jnp.take_along_axis(
         hidden, last_index[:, None, None].astype(jnp.int32), axis=1)  # [B,1,H]
     logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
@@ -95,7 +96,7 @@ def generate_tokens(
         step_pos = jnp.where(c.done, -1, c.pos)[:, None]
         hidden, cache2 = qwen2.qwen2_forward(
             params, emb, step_pos, cfg, cache=c.cache,
-            adapters=adapters, lora_scale=lora_scale)
+            adapters=adapters, lora_scale=lora_scale, kv_allowed=kv_allowed)
         logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)[:, 0]
         key, sk = jax.random.split(c.key)
         nxt = sample_token(logits, sk, temperature, top_p, vocab_mask)

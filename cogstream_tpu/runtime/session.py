@@ -1,0 +1,325 @@
+"""Streaming session: cross-turn KV reuse (SURVEY.md §7 design delta 2).
+
+The reference re-processes the ENTIRE conversation every turn — video
+re-decoded, every frame re-encoded, full prompt re-prefilled
+(answer_generate.py:102-151; no KV survives a turn). This module is the
+TPU-native replacement: a per-session position-tagged KV cache where
+
+* **ingest** (``append_stream_segment``) happens once per video segment,
+  off the question critical path: frames are encoded, pixel-diff
+  compressed, wrapped in ``stream``-role template text and prefilled
+  into the cache; per-event summaries (C7's question-independent half)
+  are computed here and their pooled representations stored;
+* **ask** runs only the question-dependent work: the C8 selector over
+  the *text* history, cosine similarity of stored event reps vs the
+  question, then ONE prefill of the question tokens and the decode loop
+  — history tokens keep their cache slots.
+
+History retrieval does not re-tokenize: dropping an unselected QA turn
+is a per-turn **visibility mask** over its slot range (qwen2_forward's
+``kv_allowed``), so the next turn can reselect it. Event pruning
+likewise masks unimportant events' frame slots, keeping each frame's
+first token + the event keyframes — the cached-KV analogue of the
+reference's mean-pool-to-patch-0 compression (cogreasoner_chat.py:
+434-447; exact pooling is impossible retroactively on cached KV, the
+first patch stands in for the pooled token — a documented delta).
+
+Semantics deltas vs the parity engine (runtime/engine.py), by design:
+kept tokens retain their original absolute RoPE positions (masked turns
+leave position gaps), and cached history K/V were computed attending to
+the full prefix at their time. Both follow the streaming-LLM KV-reuse
+model rather than the reference's rewrite-and-reprefill.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CogReasonerConfig
+from ..models import cogreasoner, qwen2
+from ..models.qwen2 import KVCache, init_kv_cache
+from .generate import decode_new_tokens, generate_tokens
+from .history import parse_selection
+from .retrieval import Selector
+
+SYSTEM_PROMPT = (
+    "You are a helpful assistant watching a live video stream and "
+    "answering the user's questions about it.")
+
+
+@dataclass
+class SlotRange:
+    kind: str                 # "system" | "stream" | "question" | "answer"
+    start: int
+    end: int                  # exclusive
+    turn: int = -1            # QA turn index for question/answer ranges
+
+
+@dataclass
+class EventRecord:
+    frame_ids: List[int]
+    rep: Optional[jax.Array] = None        # [H] pooled summary representation
+    frame_slots: List[np.ndarray] = field(default_factory=list)
+    keep_slots: List[int] = field(default_factory=list)  # always-visible slots
+
+
+class StreamingSession:
+    """One dialogue stream over one growing video. Batch size 1."""
+
+    def __init__(
+        self,
+        params: Dict,
+        cfg: CogReasonerConfig,
+        tokenizer,
+        adapters: Optional[Dict[str, Dict]] = None,
+        max_len: int = 16384,
+        use_pallas: bool = False,
+        rng_seed: int = 0,
+        system_prompt: str = SYSTEM_PROMPT,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.adapters = adapters or {}
+        self.use_pallas = use_pallas
+        self.max_len = max_len
+        self.cache = init_kv_cache(cfg.text, 1, max_len)
+        self._key = jax.random.PRNGKey(rng_seed)
+
+        self.ranges: List[SlotRange] = []
+        self.events: List[EventRecord] = []
+        self.hist_qs: List[str] = []
+        self.hist_as: List[str] = []
+        self.next_pos = 0          # absolute RoPE position counter
+        self.total_frames = 0
+        self._pending_frames: List[Tuple[int, float, np.ndarray]] = []
+        # (frame_id, timestamp, per-frame pooled feature) awaiting event close
+
+        lang = self.adapters.get("language_module")
+        self.selector = Selector(
+            params["text"], cfg.text, tokenizer,
+            adapters=[(lang.get("text", lang), jnp.float32(1.0))]
+            if lang else None)
+
+        ids = tokenizer.encode(
+            f"<|im_start|>system\n{system_prompt}<|im_end|>\n")
+        self._prefill_text(np.asarray(ids, np.int32), kind="system")
+
+    # ------------------------------------------------------------------
+    # cache plumbing
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    @property
+    def write_index(self) -> int:
+        return int(np.asarray(self.cache.write_index))
+
+    def _full_adapters(self):
+        full = self.adapters.get("full_module")
+        if full is None:
+            return None
+        return [(full.get("text", full), jnp.float32(1.0))]
+
+    def _prefill_embeds(self, embeds: jax.Array, kind: str,
+                        turn: int = -1) -> SlotRange:
+        """Write S tokens into the cache (no padding: exact length —
+        segment ingest is off the latency path, so per-length compiles
+        are amortized across the stream)."""
+        S = embeds.shape[0]
+        start = self.write_index
+        if start + S > self.max_len:
+            raise RuntimeError(
+                f"session cache overflow: {start}+{S} > {self.max_len}")
+        positions = jnp.arange(self.next_pos, self.next_pos + S,
+                               dtype=jnp.int32)[None]
+        _, self.cache = qwen2.qwen2_forward(
+            self.params["text"], embeds[None], positions, self.cfg.text,
+            cache=self.cache, adapters=self._full_adapters())
+        self.next_pos += S
+        r = SlotRange(kind, start, start + S, turn)
+        self.ranges.append(r)
+        return r
+
+    def _prefill_text(self, ids: np.ndarray, kind: str,
+                      turn: int = -1) -> SlotRange:
+        emb = qwen2.embed(self.params["text"], jnp.asarray(ids))
+        return self._prefill_embeds(emb, kind, turn)
+
+    # ------------------------------------------------------------------
+    # ingest
+    # ------------------------------------------------------------------
+
+    def append_stream_segment(
+        self,
+        pixel_values: np.ndarray,     # [t*gh*gw, C*ps*ps] patch rows
+        grid_size: Tuple[int, int, int],
+        merge_size: int,
+        timestamps: Sequence[float],
+    ) -> None:
+        """Encode + compress + prefill one video segment (stream role)."""
+        t, gh, gw = (int(x) for x in grid_size)
+        assert t == len(timestamps)
+        cc = self.cfg.compression
+        merged_per_frame = (gh // merge_size) * (gw // merge_size)
+
+        mm = cogreasoner.encode_images(
+            self.params, pixel_values, np.array([[t, gh, gw]]),
+            np.array([merge_size]), self.cfg, use_pallas=self.use_pallas)
+        # pixel-diff keep mask — question-independent, applied at ingest
+        keep = cogreasoner.pixel_diff_keep_mask(
+            jnp.asarray(pixel_values), t, merged_per_frame,
+            minor=jnp.zeros((t,), jnp.bool_),
+            threshold=cc.pixel_diff_threshold,
+            min_tokens=cc.min_tokens_per_frame)
+        keep_host = np.asarray(keep)                    # [t, merged]
+
+        frame_feats = np.asarray(
+            jnp.mean(mm.reshape(t, merged_per_frame, -1), axis=1)
+            .astype(jnp.float32))                       # [t, H]
+
+        img_id = self.tok.image_token_id
+        for fi in range(t):
+            kept = np.nonzero(keep_host[fi])[0]
+            stamp = f"Time {float(timestamps[fi]):.1f}s:"
+            text = (f"<|im_start|>stream\n{stamp}"
+                    + "<image>" * len(kept) + "<|im_end|>\n")
+            ids = np.asarray(self.tok.encode(text), np.int32)
+            emb = qwen2.embed(self.params["text"], jnp.asarray(ids))
+            rows = mm[fi * merged_per_frame + jnp.asarray(kept)]
+            img_slots = np.nonzero(ids == img_id)[0]
+            emb = emb.at[jnp.asarray(img_slots)].set(
+                rows.astype(emb.dtype))
+            r = self._prefill_embeds(emb, kind="stream")
+            frame_id = self.total_frames
+            self.total_frames += 1
+            # only image-token slots participate in event pruning; the
+            # "Time X.Xs:" text stays visible (ref drops <image> ids only,
+            # cogreasoner_chat.py:449-476)
+            img_slot_ids = np.arange(r.start, r.end)[img_slots]
+            self._pending_frames.append(
+                (frame_id, float(timestamps[fi]),
+                 frame_feats[fi], img_slot_ids, img_slot_ids[:1]))
+            if len(self._pending_frames) >= cc.frames_per_event:
+                self._close_event()
+
+    def _close_event(self) -> None:
+        """Seal a frames_per_event window: pick keyframes, compute the
+        pooled summary representation (C7's per-event LM forward,
+        amortized at ingest — cogreasoner_chat.py:303-316)."""
+        frames = self._pending_frames
+        self._pending_frames = []
+        feats = np.stack([f[2] for f in frames])        # [n, H]
+        center = feats.mean(axis=0)
+        d = np.linalg.norm(feats - center, axis=1)
+        kf = np.argsort(d)[:self.cfg.compression.keyframes_per_event]
+
+        ev = EventRecord(frame_ids=[f[0] for f in frames])
+        ev.frame_slots = [f[3] for f in frames]
+        for i, f in enumerate(frames):
+            ev.keep_slots.extend(f[4].tolist())         # first image slot
+            if i in kf:
+                ev.keep_slots.extend(f[3].tolist())     # whole keyframe
+        ev.rep = jnp.asarray(center)
+        self.events.append(ev)
+
+    # ------------------------------------------------------------------
+    # ask
+    # ------------------------------------------------------------------
+
+    def _question_rep(self, question_ids: np.ndarray) -> jax.Array:
+        q_ids = jnp.asarray(question_ids[None, :])
+        q_pos = jnp.arange(q_ids.shape[1], dtype=jnp.int32)[None]
+        h, _ = qwen2.qwen2_forward(
+            self.params["text"], qwen2.embed(self.params["text"], q_ids),
+            q_pos, self.cfg.text)
+        return jnp.mean(h[0].astype(jnp.float32), axis=0)
+
+    def _allowed_mask(self, if_visual: bool,
+                      selected_turns: Sequence[int],
+                      question_ids: np.ndarray) -> np.ndarray:
+        allowed = np.zeros((self.max_len,), bool)
+        allowed[self.write_index:] = True               # future slots
+        sel = set(selected_turns)
+        for r in self.ranges:
+            if r.kind == "system":
+                allowed[r.start:r.end] = True
+            elif r.kind == "stream":
+                allowed[r.start:r.end] = if_visual
+            elif r.kind in ("question", "answer") and r.turn in sel:
+                allowed[r.start:r.end] = True
+
+        if if_visual and self.events:
+            # question-aware event pruning on cached slots (C7 d/e):
+            # events below the similarity threshold keep only patch-0
+            # slots + keyframes; their other frame slots go invisible.
+            q = np.asarray(self._question_rep(question_ids))
+            reps = np.stack([np.asarray(e.rep) for e in self.events])
+            sim = reps @ q / (np.linalg.norm(reps, axis=1)
+                              * np.linalg.norm(q) + 1e-8)
+            for e, s in zip(self.events, sim):
+                if s < self.cfg.compression.similarity_threshold:
+                    for slots in e.frame_slots:
+                        allowed[slots] = False
+                    allowed[np.asarray(e.keep_slots, int)] = True
+        return allowed
+
+    def ask(
+        self,
+        question: str,
+        mode: str = "FCC",
+        max_new_tokens: int = 512,
+        temperature: float = 0.0,
+    ) -> Dict:
+        turn = len(self.hist_qs)
+        if mode == "FCC" and self.hist_qs:
+            selection = self.selector.select(
+                question, self.hist_qs, self.hist_as, key=self._next_key())
+            if_visual, sel_idx = parse_selection(selection)
+        elif mode == "NC":
+            selection, if_visual, sel_idx = "[yes]", True, []
+        else:  # AC / first turn: everything visible
+            selection, if_visual = "[yes]", True
+            sel_idx = list(range(turn))
+
+        q_text = f"<|im_start|>user\n{question}<|im_end|>\n<|im_start|>assistant\n"
+        q_ids = np.asarray(self.tok.encode(q_text), np.int32)
+        allowed = self._allowed_mask(
+            if_visual, sel_idx, np.asarray(self.tok.encode(question),
+                                           np.int32))
+
+        start = self.write_index
+        S = len(q_ids)
+        if start + S + max_new_tokens > self.max_len:
+            raise RuntimeError("session cache overflow")
+        emb = qwen2.embed(self.params["text"], jnp.asarray(q_ids))[None]
+        positions = jnp.arange(self.next_pos, self.next_pos + S,
+                               dtype=jnp.int32)[None]
+        result = generate_tokens(
+            self.params["text"], emb, positions,
+            jnp.asarray([S - 1], jnp.int32), self.cache, self._next_key(),
+            self.cfg.text, max_new_tokens, self.tok.eos_token_id,
+            temperature=temperature, adapters=self._full_adapters(),
+            kv_allowed=jnp.asarray(allowed)[None])
+        self.cache = result.cache
+        text = decode_new_tokens(result.tokens, result.num_tokens, self.tok)
+
+        # answer slots = tokens actually fed back through the cache (the
+        # terminal eos never re-enters) — read the true end post-decode
+        ans_end = self.write_index
+        self.ranges.append(SlotRange("question", start, start + S, turn))
+        self.ranges.append(SlotRange("answer", start + S, ans_end, turn))
+        self.next_pos += ans_end - start
+        self.hist_qs.append(question)
+        self.hist_as.append(text)
+        return {"text": text, "selection": selection,
+                "if_visual": if_visual, "turn": turn,
+                "cache_tokens": self.write_index}

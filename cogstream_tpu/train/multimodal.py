@@ -1,0 +1,78 @@
+"""Multimodal (stage-2 / baseline-finetune) training objective.
+
+The reference's stage-2 step (second_stage_training.py:49-65 →
+forward_train, cogreasoner_chat.py:604-693) teacher-forces the selector
+output (GT chain-of-inference), rewrites the prompt, runs the full
+vision → projector → splice → decoder pipeline and takes CE on the
+answer span. Host-side prompt construction happens in train/stage2.py;
+this module is the **jitted device program**: one differentiable
+function from pixel rows to masked CE, LoRA-trainable end to end
+(decoder + optional projector adapter, matching the reference's
+``mm_projector.readout`` LoRA target, second_stage_training.py:252-255).
+
+Batch layout (all static shapes, host-padded):
+  pixel_values [N, C*ps*ps]   patch rows for ALL items in the batch
+  vis_pos      [N, 2]         2D rope positions (vision metadata)
+  vis_seg      [N]            frame segment ids, -1 pad
+  vis_grp      [N]            merge-group ids, -1 pad
+  input_ids    [B, S]
+  feat_src     [B, S]         row into the merged-feature table, -1 = text
+  positions    [B, S]         -1 on padding
+  labels       [B, S]         IGNORE_INDEX outside the answer span
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CogReasonerConfig
+from ..models import qwen2
+from ..models.projector import projector_forward
+from ..models.vision_encoder import vision_encoder_core
+from .trainer import masked_cross_entropy
+
+
+def multimodal_loss_fn(
+    params: Dict,
+    lora: Dict,
+    batch: Dict[str, jax.Array],
+    cfg: CogReasonerConfig,
+    lora_scale: float,
+    num_vis_tokens: int,            # static: merged-feature table rows
+    remat: bool = True,
+) -> jax.Array:
+    feats = vision_encoder_core(
+        params["vision"], batch["pixel_values"], batch["vis_pos"],
+        batch["vis_seg"], batch["vis_grp"], num_vis_tokens, cfg.vision)
+    proj_params = params["projector"]
+    proj = projector_forward(proj_params, feats.astype(cfg.text.jnp_dtype))
+    if isinstance(lora, dict) and "projector" in lora:
+        # LoRA on the readout MLP: low-rank delta on each linear, applied
+        # to the same input the dense layer saw (2-layer mlp2x_gelu).
+        lp = lora["projector"]["layers"]
+        x0 = feats.astype(cfg.text.jnp_dtype)
+        h0 = x0 @ proj_params["layers"][0]["kernel"].astype(x0.dtype) \
+            + proj_params["layers"][0]["bias"].astype(x0.dtype)
+        h0 = h0 + (x0 @ lp[0]["a"].astype(x0.dtype)) @ lp[0]["b"].astype(x0.dtype) * lora_scale
+        x1 = jax.nn.gelu(h0, approximate=False)
+        proj = x1 @ proj_params["layers"][1]["kernel"].astype(x1.dtype) \
+            + proj_params["layers"][1]["bias"].astype(x1.dtype)
+        proj = proj + (x1 @ lp[1]["a"].astype(x1.dtype)) @ lp[1]["b"].astype(x1.dtype) * lora_scale
+
+    ids = batch["input_ids"]
+    feat_src = batch["feat_src"]
+    emb = qwen2.embed(params["text"], ids)
+    spliced = jnp.where((feat_src >= 0)[..., None],
+                        proj[jnp.maximum(feat_src, 0)].astype(emb.dtype), emb)
+
+    text_lora = lora.get("text", lora) if isinstance(lora, dict) else lora
+    adapters = [(text_lora, jnp.float32(1.0))]
+    hidden, _ = qwen2.qwen2_forward(
+        params["text"], spliced, batch["positions"], cfg.text,
+        adapters=adapters, lora_scale=lora_scale, remat=remat)
+    logits = qwen2.lm_logits(params["text"], hidden, adapters, lora_scale)
+    loss, _ = masked_cross_entropy(logits, batch["labels"])
+    return loss

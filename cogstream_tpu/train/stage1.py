@@ -1,0 +1,154 @@
+"""Stage-1 training driver: the historic-dialogue-retrieval selector.
+
+Functional rebuild of the reference's torchrun + HF Trainer pipeline
+(first_stage_training.py:426-510): LoRA r=8 on all attention/MLP
+projections, constrained-vocab CE on the bracketed selection target,
+shuffle-augmented history, cosine LR, grad accumulation, bf16, remat.
+One process drives the whole mesh (SPMD) — there is no per-GPU process
+topology to manage and no NCCL init (ref :422-430 has no analogue).
+
+Usage:
+    python -m cogstream_tpu.train.stage1 --qa-json data.json \
+        --model-dir <hf checkpoint dir> --out checkpoints/stage1
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CogReasonerConfig, LoRAConfig
+from ..models import qwen2
+from ..models.lora import init_qwen2_lora
+from ..parallel.mesh import make_mesh
+from ..parallel.sharding import (
+    lora_specs_like, qwen2_param_specs, shard_params)
+from ..processor.tokenizer import constrained_selector_token_ids
+from ..runtime.sampling import build_vocab_mask
+from . import checkpoint as ckpt
+from .data import load_selector_dataset, selector_batches, selection_exact_match
+from .trainer import (
+    bind_text_loss, init_train_state, make_optimizer, make_train_step,
+    shard_batch)
+
+
+@dataclasses.dataclass
+class Stage1Config:
+    epochs: int = 8                  # ref :481-500
+    batch_size: int = 8
+    max_len: int = 1024
+    learning_rate: float = 1e-4
+    grad_accum: int = 4
+    warmup_steps: int = 50
+    shuffle_copies: int = 2
+    save_every: int = 200
+    log_every: int = 20
+    data_parallel: Optional[int] = None
+    model_parallel: Optional[int] = None
+    seed: int = 0
+
+
+def train_stage1(
+    params: Dict,
+    cfg: CogReasonerConfig,
+    tokenizer,
+    samples,
+    out_dir: str,
+    tcfg: Stage1Config = Stage1Config(),
+    resume: bool = True,
+    log=print,
+):
+    """Train the selector LoRA; returns the final TrainState."""
+    mesh = make_mesh(tcfg.data_parallel, tcfg.model_parallel)
+    text_specs = qwen2_param_specs(cfg.text, mesh)
+    params_text = shard_params(params["text"], text_specs, mesh)
+
+    lora_cfg = LoRAConfig()
+    lora = init_qwen2_lora(jax.random.PRNGKey(tcfg.seed), cfg.text, lora_cfg)
+    lora = shard_params(lora, lora_specs_like(lora, text_specs), mesh)
+
+    steps_per_epoch = max(1, (len(samples) * tcfg.shuffle_copies)
+                          // tcfg.batch_size)
+    total = steps_per_epoch * tcfg.epochs
+    tx = make_optimizer(tcfg.learning_rate, total_steps=total,
+                        warmup_steps=tcfg.warmup_steps,
+                        grad_accum=tcfg.grad_accum)
+
+    vm = np.zeros((cfg.text.vocab_size,), bool)
+    vm[constrained_selector_token_ids(tokenizer)] = True
+    loss_fn = bind_text_loss(cfg.text, lora_cfg, vocab_mask=vm, remat=True)
+    step_fn = make_train_step(tx, loss_fn, donate=False)
+
+    state = init_train_state(tx, lora)
+    if resume:
+        restored = ckpt.restore_train_state(out_dir, state)
+        if restored is not None:
+            state = restored
+            log(f"resumed from step {int(np.asarray(state.step))}")
+
+    with mesh:
+        t0 = time.time()
+        for epoch in range(tcfg.epochs):
+            for batch in selector_batches(
+                    tokenizer, samples, tcfg.batch_size, tcfg.max_len,
+                    seed=tcfg.seed + epoch,
+                    shuffle_copies=tcfg.shuffle_copies):
+                batch = shard_batch(batch, mesh)
+                state, loss = step_fn(params_text, state, batch)
+                s = int(np.asarray(state.step))
+                if s % tcfg.log_every == 0:
+                    log(f"epoch {epoch} step {s} loss {float(loss):.4f} "
+                        f"({s / (time.time() - t0 + 1e-9):.2f} it/s)")
+                if s % tcfg.save_every == 0:
+                    ckpt.save_train_state(out_dir, state)
+            ckpt.save_train_state(out_dir, state)
+            log(f"epoch {epoch} done")
+    ckpt.save_lora_adapter(out_dir, state.lora, name="language_module")
+    return state
+
+
+def evaluate_selector(engine_selector, samples, limit: int = 100) -> Dict:
+    """Exact-match digit metrics (compute_metrics, ref :397-420)."""
+    hits = 0
+    n = 0
+    for s in samples[:limit]:
+        pred = engine_selector.select(s.question, s.hist_qs, s.hist_as)
+        hits += selection_exact_match(pred, s.target)
+        n += 1
+    return {"exact_match": hits / max(n, 1), "n": n}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--qa-json", required=True)
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    args = ap.parse_args()
+
+    from ..config import load_hf_config
+    from ..models.checkpoint import load_cogreasoner_from_hf
+    from ..processor.tokenizer import HFTokenizer
+
+    cfg = load_hf_config(f"{args.model_dir}/config.json")
+    params = load_cogreasoner_from_hf(args.model_dir, cfg)
+    tokenizer = HFTokenizer(args.model_dir)
+    samples = load_selector_dataset(args.qa_json)
+    print(f"{len(samples)} selector samples")
+    train_stage1(params, cfg, tokenizer, samples, args.out,
+                 Stage1Config(epochs=args.epochs,
+                              batch_size=args.batch_size,
+                              learning_rate=args.lr))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,324 @@
+"""Stage-2 training driver: video-text interleaved reasoning (C13) and
+the plain baseline finetune (C14).
+
+Rebuild of the reference's accelerate/DeepSpeed multi-turn curriculum
+(second_stage_training.py:104-218 → forward_train,
+cogreasoner_chat.py:604-693): per video → per segment → per QA turn,
+the selector is TEACHER-FORCED with the ground-truth chain-of-inference
+(selection string built from the relevance vector, ref :641-645), the
+prompt is rewritten to the selected history, the visual stream is
+compressed, and CE lands on the answer span only.
+
+TPU-native split of labor:
+* host: conversation assembly, GT-selection rewrite, tokenization,
+  compression *mask* (discrete decisions; computed with frozen params),
+  static-shape batch packing;
+* device (one jitted program): vision tower → projector (+LoRA) →
+  splice → remat'd decoder → masked CE → LoRA grads → optax update
+  (train/multimodal.py). DeepSpeed ZeRO-2's optimizer sharding falls
+  out of the GSPMD param specs; NF4 quantization of the frozen base
+  (ref :266-271) is optional int8 via ops/quant.py.
+
+Training-time compression delta (documented): minor frames keep their
+first patch token *unpooled* instead of mean-pooled — exact pooling of
+projected features inside the jitted loss would tie the pool matrix to
+the adapter being trained; the first-patch stand-in keeps shapes static
+and the decision discrete (same stand-in the streaming session uses).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import math
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CogReasonerConfig, LoRAConfig
+from ..models import cogreasoner, qwen2
+from ..models.lora import init_cogreasoner_lora
+from ..models.vision_encoder import build_vision_metadata
+from ..parallel.mesh import make_mesh
+from ..parallel.sharding import (
+    cogreasoner_param_specs, lora_specs_like, shard_params)
+from ..runtime.history import rewrite_history, selection_string
+from . import checkpoint as ckpt
+from .multimodal import multimodal_loss_fn
+from .trainer import (
+    IGNORE_INDEX, init_train_state, make_optimizer, make_train_step)
+
+
+@dataclasses.dataclass
+class Stage2Config:
+    num_epochs: int = 1
+    learning_rate: float = 1e-4
+    grad_accum: int = 4            # ref :166-181
+    save_every: int = 30           # updates (ref :182-202)
+    log_every: int = 10
+    max_seq_len: int = 4096
+    max_frames: int = 180          # ref :149
+    fps: int = 1
+    data_parallel: Optional[int] = None
+    model_parallel: Optional[int] = None
+    seed: int = 0
+    baseline: bool = False         # C14: skip selection/compression
+
+
+def pack_turn_batch(
+    tokenizer,
+    cfg: CogReasonerConfig,
+    prompt_text: str,
+    answer_text: str,
+    images,                       # ImageBatch or None
+    keep_visual: Optional[np.ndarray],
+    max_seq_len: int,
+) -> Optional[Dict[str, np.ndarray]]:
+    """One teacher-forced turn → static-shape multimodal batch (B=1).
+
+    ``keep_visual`` masks merged visual tokens (compression); surviving
+    ``<image>`` ids map in order onto surviving feature rows.
+    """
+    img_id = tokenizer.image_token_id
+    p_ids = tokenizer.encode(prompt_text)
+    a_ids = tokenizer.encode(answer_text) + [tokenizer.eos_token_id]
+
+    ids: List[int] = []
+    feat_src: List[int] = []
+    vis_i = 0
+    for tid in p_ids:
+        if tid == img_id:
+            if keep_visual is None or keep_visual[vis_i]:
+                ids.append(tid)
+                feat_src.append(vis_i)
+            vis_i += 1
+        else:
+            ids.append(tid)
+            feat_src.append(-1)
+    prompt_len = len(ids)
+    ids.extend(a_ids)
+    feat_src.extend([-1] * len(a_ids))
+    if len(ids) > max_seq_len:
+        return None
+
+    S = max(64, 1 << math.ceil(math.log2(len(ids))))
+    S = min(S, max_seq_len)
+    if len(ids) > S:
+        return None
+    pad = S - len(ids)
+    labels = [IGNORE_INDEX] * prompt_len + a_ids + [IGNORE_INDEX] * pad
+    positions = list(range(len(ids))) + [-1] * pad
+    batch = {
+        "input_ids": np.asarray([ids + [0] * pad], np.int32),
+        "feat_src": np.asarray([feat_src + [-1] * pad], np.int32),
+        "labels": np.asarray([labels], np.int32),
+        "positions": np.asarray([positions], np.int32),
+    }
+    if images is not None:
+        meta = build_vision_metadata(images.grid_sizes, images.merge_sizes)
+        batch.update({
+            "pixel_values": images.pixel_values.astype(np.float32),
+            "vis_pos": meta.pos_ids,
+            "vis_seg": meta.segment_ids,
+            "vis_grp": meta.merge_group_ids,
+        })
+        batch["num_vis_tokens"] = meta.num_out_tokens  # static sidecar
+    return batch
+
+
+def build_gt_selection(relevance: Sequence[int], n_hist: int,
+                       if_visual: bool) -> str:
+    idx = [i for i, r in enumerate(relevance[:n_hist]) if r]
+    return selection_string(if_visual, idx)
+
+
+class Stage2Trainer:
+    """Drives the per-turn curriculum; owns the jitted step per
+    (S, N_pixels) shape bucket."""
+
+    def __init__(self, params, cfg: CogReasonerConfig, tokenizer,
+                 tcfg: Stage2Config, out_dir: str, log=print):
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.tcfg = tcfg
+        self.out_dir = out_dir
+        self.log = log
+
+        self.mesh = make_mesh(tcfg.data_parallel, tcfg.model_parallel)
+        specs = cogreasoner_param_specs(cfg, self.mesh)
+        self.params = shard_params(params, specs, self.mesh)
+
+        self.lora_cfg = LoRAConfig(include_projector=not tcfg.baseline)
+        lora = init_cogreasoner_lora(
+            jax.random.PRNGKey(tcfg.seed), cfg, self.lora_cfg)
+        lora = shard_params(lora, lora_specs_like(lora, specs), self.mesh)
+
+        self.tx = make_optimizer(
+            tcfg.learning_rate, total_steps=100_000,
+            warmup_steps=100, grad_accum=tcfg.grad_accum)
+        self.state = init_train_state(self.tx, lora)
+        restored = ckpt.restore_train_state(out_dir, self.state)
+        if restored is not None:
+            self.state = restored
+            log(f"resumed at step {int(np.asarray(self.state.step))}")
+        self._steps: Dict[int, object] = {}
+
+    def _step_fn(self, num_vis_tokens: int):
+        if num_vis_tokens not in self._steps:
+            cfg, scale = self.cfg, self.lora_cfg.scale
+
+            def loss(p, l, b):
+                return multimodal_loss_fn(p, l, b, cfg, scale,
+                                          num_vis_tokens=num_vis_tokens,
+                                          remat=True)
+            self._steps[num_vis_tokens] = make_train_step(
+                self.tx, loss, donate=False)
+        return self._steps[num_vis_tokens]
+
+    def train_turn(self, batch: Dict[str, np.ndarray]) -> float:
+        n_vis = int(batch.pop("num_vis_tokens", 0))
+        if n_vis == 0:
+            # text-only turn: tiny dummy visual table keeps one code path
+            batch["pixel_values"] = np.zeros(
+                (4, 3 * self.cfg.vision.patch_size ** 2), np.float32)
+            batch["vis_pos"] = np.zeros((4, 2), np.int32)
+            batch["vis_seg"] = np.full((4,), -1, np.int32)
+            batch["vis_grp"] = np.full((4,), -1, np.int32)
+            n_vis = 1
+        step = self._step_fn(n_vis)
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        with self.mesh:
+            self.state, loss = step(self.params, self.state, dev_batch)
+        s = int(np.asarray(self.state.step))
+        if s % self.tcfg.save_every == 0:
+            ckpt.save_train_state(self.out_dir, self.state)
+        return float(loss)
+
+    def finish(self):
+        ckpt.save_train_state(self.out_dir, self.state)
+        ckpt.save_lora_adapter(self.out_dir, self.state.lora,
+                               name="full_module")
+
+
+def train_stage2_video(
+    trainer: Stage2Trainer,
+    processor,
+    video_path: str,
+    segments: Sequence[dict],
+    log=print,
+) -> List[float]:
+    """One video's curriculum: grow the conversation segment by segment,
+    teacher-forcing each QA (the loop at second_stage_training.py:104-218).
+
+    ``segments``: [{"timestamp": [s, e], "QAs": [{"QA_pairs": [{"Q","A"}],
+    "relevance": [...], "is_visual": bool}]}]
+    """
+    cfg, tok, tcfg = trainer.cfg, trainer.tok, trainer.tcfg
+    conversation: List[dict] = []
+    hist_qs: List[str] = []
+    hist_as: List[str] = []
+    losses: List[float] = []
+
+    for seg in segments:
+        s, e = seg.get("timestamp", [None, None])[:2]
+        conversation.append({
+            "role": "stream",
+            "content": [{"type": "video", "video": {
+                "video_path": video_path, "fps": tcfg.fps,
+                "max_frames": tcfg.max_frames, "start_time": s,
+                "end_time": e}}],
+        })
+        for qa in seg.get("QAs", []):
+            pair = qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \
+                else qa.get("QA_pairs", qa)
+            q, a = pair.get("Q", ""), pair.get("A", "")
+            conversation.append({"role": "user", "content": q})
+            out = processor(conversation, add_generation_prompt=True)
+
+            if trainer.tcfg.baseline:
+                prompt_text = out.original_text
+                keep = None
+            else:
+                gt = build_gt_selection(qa.get("relevance", []),
+                                        len(hist_qs),
+                                        bool(qa.get("is_visual", True)))
+                from ..runtime.history import parse_selection
+                vis, idx = parse_selection(gt)
+                kept_q = [hist_qs[i] for i in idx if i < len(hist_qs)]
+                kept_a = [hist_as[i] for i in idx if i < len(hist_qs)]
+                prompt_text = rewrite_history(
+                    out.original_text, vis, kept_q, kept_a, q)
+                keep = None
+                if vis and out.images is not None and \
+                        out.images.pixel_values.shape[0] > 0:
+                    comp = cogreasoner.run_visual_compression(
+                        trainer.params, cfg, tok,
+                        cogreasoner.encode_images(
+                            trainer.params, out.images.pixel_values,
+                            out.images.grid_sizes, out.images.merge_sizes,
+                            cfg),
+                        jnp.asarray(out.images.pixel_values),
+                        out.images.grid_sizes, out.images.merge_sizes,
+                        out.images.modals, out.all_timestamps,
+                        np.asarray(tok.encode(q), np.int32),
+                        jax.random.PRNGKey(0))
+                    keep = np.asarray(comp.keep_visual)
+
+            batch = pack_turn_batch(tok, cfg, prompt_text, a, out.images,
+                                    keep, tcfg.max_seq_len)
+            if batch is not None:
+                losses.append(trainer.train_turn(batch))
+            conversation.append({"role": "assistant", "content": a})
+            hist_qs.append(q)
+            hist_as.append(a)
+    return losses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--video-dir", required=True)
+    ap.add_argument("--query-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--num-epochs", type=int, default=1)
+    ap.add_argument("--baseline", action="store_true",
+                    help="C14 VideoLLaMA3-style finetune (no modules)")
+    args = ap.parse_args()
+
+    from ..config import load_hf_config
+    from ..models.checkpoint import load_cogreasoner_from_hf
+    from ..processor.processing import CogStreamProcessor
+    from ..processor.tokenizer import HFTokenizer
+
+    cfg = load_hf_config(os.path.join(args.model_dir, "config.json"))
+    params = load_cogreasoner_from_hf(args.model_dir, cfg)
+    tok = HFTokenizer(args.model_dir)
+    processor = CogStreamProcessor(tok, cfg.processor)
+    tcfg = Stage2Config(num_epochs=args.num_epochs, baseline=args.baseline)
+    trainer = Stage2Trainer(params, cfg, tok, tcfg, args.out)
+
+    for epoch in range(tcfg.num_epochs):
+        for fname in sorted(os.listdir(args.query_dir)):
+            if not fname.endswith(".json"):
+                continue
+            with open(os.path.join(args.query_dir, fname)) as f:
+                spec = json.load(f)
+            video = os.path.join(args.video_dir,
+                                 spec.get("video", fname[:-5] + ".mp4"))
+            try:
+                losses = train_stage2_video(
+                    trainer, processor, video, spec.get("segments", []))
+                print(f"{fname}: {len(losses)} turns, "
+                      f"mean loss {np.mean(losses or [0]):.4f}")
+            except Exception as e:  # per-video resilience (ref :161-164)
+                print(f"{fname}: skipped ({type(e).__name__}: {e})")
+    trainer.finish()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Training core: losses, optimizer, jitted sharded train step.
+
+Replaces the reference's HF ``Trainer`` subclass + accelerate/DeepSpeed
+stack (first_stage_training.py:261-330, second_stage_training.py:225-320)
+with one jitted function: forward (remat'd decoder blocks) → masked CE →
+grad over the LoRA tree only → optax update. Parallelism is pure GSPMD:
+params carry tensor-parallel specs, the batch rides the ``data`` axis,
+grads psum automatically — DDP, ZeRO-style optimizer-state sharding and
+TP all fall out of the same annotations (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CogReasonerConfig, LoRAConfig, Qwen2Config
+from ..models import qwen2
+from ..parallel.mesh import DATA_AXIS
+from ..parallel.sharding import (
+    cogreasoner_param_specs,
+    lora_param_specs,
+    qwen2_param_specs,
+    specs_to_shardings,
+)
+
+IGNORE_INDEX = -100
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def masked_cross_entropy(
+    logits: jax.Array,       # [B, S, V]
+    labels: jax.Array,       # [B, S] int32, IGNORE_INDEX outside target span
+    vocab_mask: Optional[jax.Array] = None,   # [V] bool — constrained loss
+) -> Tuple[jax.Array, jax.Array]:
+    """Next-token CE over the shifted sequence. Returns (loss, n_targets).
+
+    With ``vocab_mask`` the distribution is renormalized over the allowed
+    token set before CE — the stage-1 constrained objective
+    (ConstrainedTrainer.compute_loss, first_stage_training.py:274-330).
+    """
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    valid = targets != IGNORE_INDEX
+    if vocab_mask is not None:
+        logits = jnp.where(vocab_mask[None, None, :], logits, -1e30)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = jnp.maximum(targets, 0)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / n, jnp.sum(valid)
+
+
+def positions_from_ids(input_ids: jax.Array, pad_id: int = 0) -> jax.Array:
+    """[B, S] absolute positions; padding slots get -1."""
+    valid = input_ids != pad_id
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    return jnp.where(valid, pos, -1)
+
+
+# ---------------------------------------------------------------------------
+# train state
+# ---------------------------------------------------------------------------
+
+class TrainState(NamedTuple):
+    lora: Any                # trainable adapter tree
+    opt_state: Any
+    step: jax.Array          # [] int32
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    total_steps: int = 10_000,
+    warmup_steps: int = 100,
+    weight_decay: float = 0.0,
+    grad_accum: int = 1,
+    schedule: str = "cosine",
+    b1: float = 0.9,
+    b2: float = 0.999,
+) -> optax.GradientTransformation:
+    """AdamW + warmup-cosine (the reference's cosine LR,
+    first_stage_training.py:488, second_stage_training.py:310), with
+    gradient accumulation folded in via MultiSteps (accum 4 at ref
+    :166-181)."""
+    if schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
+    else:
+        sched = learning_rate
+    tx = optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# jitted steps
+# ---------------------------------------------------------------------------
+
+def text_loss_fn(
+    params: Dict,
+    lora: Dict,
+    batch: Dict[str, jax.Array],
+    cfg: Qwen2Config,
+    lora_scale: float,
+    vocab_mask: Optional[jax.Array] = None,
+    remat: bool = True,
+) -> jax.Array:
+    """Stage-1 objective: text-only selector training (C12)."""
+    ids = batch["input_ids"]
+    positions = batch.get("positions")
+    if positions is None:
+        positions = positions_from_ids(ids)
+    emb = qwen2.embed(params, ids)
+    adapters = [(lora, jnp.float32(1.0))]
+    hidden, _ = qwen2.qwen2_forward(
+        params, emb, positions, cfg, adapters=adapters,
+        lora_scale=lora_scale, remat=remat)
+    logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)
+    loss, _ = masked_cross_entropy(logits, batch["labels"], vocab_mask)
+    return loss
+
+
+def embeds_loss_fn(
+    params: Dict,
+    lora: Dict,
+    batch: Dict[str, jax.Array],
+    cfg: Qwen2Config,
+    lora_scale: float,
+    remat: bool = True,
+) -> jax.Array:
+    """Stage-2 / baseline objective over pre-spliced embeddings (C13/C14):
+    the multimodal pipeline (vision encode → compression → splice) runs
+    upstream; this step sees ``inputs_embeds`` + shifted labels."""
+    emb = batch["inputs_embeds"]
+    positions = batch["positions"]
+    adapters = [(lora.get("text", lora), jnp.float32(1.0))]
+    hidden, _ = qwen2.qwen2_forward(
+        params, emb, positions, cfg, adapters=adapters,
+        lora_scale=lora_scale, remat=remat)
+    logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)
+    loss, _ = masked_cross_entropy(logits, batch["labels"])
+    return loss
+
+
+def bind_text_loss(cfg: Qwen2Config, lora_cfg: Optional[LoRAConfig] = None,
+                   vocab_mask: Optional[np.ndarray] = None,
+                   remat: bool = True) -> Callable:
+    scale = (lora_cfg or LoRAConfig()).scale
+    vm = jnp.asarray(vocab_mask) if vocab_mask is not None else None
+
+    def loss(params, lora, batch):
+        return text_loss_fn(params, lora, batch, cfg, scale,
+                            vocab_mask=vm, remat=remat)
+    return loss
+
+
+def bind_embeds_loss(cfg: Qwen2Config, lora_cfg: Optional[LoRAConfig] = None,
+                     remat: bool = True) -> Callable:
+    scale = (lora_cfg or LoRAConfig()).scale
+
+    def loss(params, lora, batch):
+        return embeds_loss_fn(params, lora, batch, cfg, scale, remat=remat)
+    return loss
+
+
+def make_train_step(
+    tx: optax.GradientTransformation,
+    loss_fn: Callable,       # (params, lora, batch) -> scalar loss
+    donate: bool = True,
+):
+    """Build the jitted (params frozen, LoRA trainable) train step."""
+
+    def step(params, state: TrainState, batch):
+        loss, grads = jax.value_and_grad(
+            lambda lora: loss_fn(params, lora, batch))(state.lora)
+        updates, opt_state = tx.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        return TrainState(lora, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(1,) if donate else ())
+
+
+def init_train_state(tx: optax.GradientTransformation, lora: Any) -> TrainState:
+    return TrainState(lora, tx.init(lora), jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# sharding helpers for the distributed path
+# ---------------------------------------------------------------------------
+
+def batch_specs(batch_example: Dict[str, Any]) -> Dict[str, P]:
+    """Every batch leaf shards its leading (batch) dim on ``data``."""
+    return {k: P(DATA_AXIS, *([None] * (np.ndim(v) - 1)))
+            for k, v in batch_example.items()}
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
+    out = {}
+    for k, v in batch.items():
+        spec = P(DATA_AXIS, *([None] * (np.ndim(v) - 1)))
+        out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec))
+    return out

@@ -7,13 +7,18 @@ hermetically on 8 virtual CPU devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image pins JAX_PLATFORMS=axon (the real-TPU tunnel) and its
+# sitecustomize imports jax at interpreter startup, so env mutation is
+# too late — override through jax.config before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 

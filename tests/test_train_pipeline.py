@@ -1,0 +1,136 @@
+"""Stage-1 data pipeline, checkpoint round-trip, stage-2 batch packing."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cogstream_tpu.processor.tokenizer import ByteTokenizer
+from cogstream_tpu.train.data import (
+    SelectorSample,
+    encode_selector_sample,
+    load_selector_dataset,
+    selection_exact_match,
+    selector_batches,
+    shuffle_augment,
+)
+
+
+@pytest.fixture
+def qa_json(tmp_path):
+    data = {
+        "vid1": {"QAs": [
+            {"QA_pairs": [{"Q": "q0", "A": "a0"}], "relevance": [],
+             "is_visual": True},
+            {"QA_pairs": [{"Q": "q1", "A": "a1"}], "relevance": [1],
+             "is_visual": False},
+            {"QA_pairs": [{"Q": "q2", "A": "a2"}], "relevance": [1, 0],
+             "is_visual": True},
+        ]},
+    }
+    p = tmp_path / "qa.json"
+    p.write_text(json.dumps(data))
+    return str(p)
+
+
+def test_load_selector_dataset(qa_json):
+    samples = load_selector_dataset(qa_json)
+    # first QA has no history → skipped; q1 and q2 become samples
+    assert len(samples) == 2
+    assert samples[0].question == "q1"
+    assert samples[0].target == "[no,0]"
+    assert samples[1].target == "[yes,0]"
+
+
+def test_shuffle_augment_remaps_indices():
+    import random
+
+    s = SelectorSample("q", ["h0", "h1", "h2"], ["a0", "a1", "a2"],
+                       [0, 2], True)
+    copies = shuffle_augment(s, random.Random(0), 4)
+    assert len(copies) == 4
+    for c in copies[1:]:
+        # relevance must follow the permuted positions of h0 and h2
+        want = sorted(c.hist_qs.index(h) for h in ("h0", "h2"))
+        assert c.relevance == want
+
+
+def test_selector_batches_and_labels(qa_json):
+    tok = ByteTokenizer()
+    samples = load_selector_dataset(qa_json)
+    batches = list(selector_batches(tok, samples, batch_size=2,
+                                    max_len=2048, shuffle_copies=2))
+    assert batches
+    b = batches[0]
+    assert b["input_ids"].shape == (2, 2048)
+    # labels: -100 on prompt, real ids on the target span
+    tgt_mask = b["labels"][0] != -100
+    assert tgt_mask.sum() > 0
+    np.testing.assert_array_equal(
+        b["input_ids"][0][tgt_mask], b["labels"][0][tgt_mask])
+
+
+def test_selection_exact_match():
+    assert selection_exact_match("[yes,2,0]", "[yes,0,2]")
+    assert not selection_exact_match("[no,0]", "[yes,0]")
+    assert not selection_exact_match("[yes,1]", "[yes,0]")
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_config):
+    from cogstream_tpu.config import LoRAConfig
+    from cogstream_tpu.models.lora import init_qwen2_lora
+    from cogstream_tpu.train import checkpoint as ckpt
+    from cogstream_tpu.train.trainer import (
+        init_train_state, make_optimizer)
+
+    lora = init_qwen2_lora(jax.random.PRNGKey(0), tiny_config.text,
+                           LoRAConfig(rank=2))
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=1)
+    state = init_train_state(tx, lora)
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+
+    d = str(tmp_path / "ckpt")
+    ckpt.save_train_state(d, state)
+    template = init_train_state(tx, jax.tree.map(jnp.zeros_like, lora))
+    restored = ckpt.restore_train_state(d, template)
+    assert int(np.asarray(restored.step)) == 7
+    a0 = lora["layers"][0]["attn"]["q_proj"]["a"]
+    a1 = restored.lora["layers"][0]["attn"]["q_proj"]["a"]
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1))
+
+
+def test_lora_adapter_npz_roundtrip(tmp_path, tiny_config):
+    from cogstream_tpu.config import LoRAConfig
+    from cogstream_tpu.models.lora import init_qwen2_lora
+    from cogstream_tpu.train import checkpoint as ckpt
+
+    lora = {"text": init_qwen2_lora(jax.random.PRNGKey(1),
+                                    tiny_config.text, LoRAConfig(rank=2))}
+    path = ckpt.save_lora_adapter(str(tmp_path), lora, name="full_module")
+    back = ckpt.load_lora_adapter(path)
+    x = lora["text"]["layers"][1]["mlp"]["up_proj"]["a"]
+    y = back["text"]["layers"][1]["mlp"]["up_proj"]["a"]
+    np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_pack_turn_batch_compression_mapping(tiny_config):
+    from cogstream_tpu.train.stage2 import pack_turn_batch
+
+    tok = ByteTokenizer(image_token_id=tiny_config.image_token_index)
+    img = "<image>"
+    prompt = f"<|im_start|>user\n{img}{img}{img}{img}hello<|im_end|>\n"
+    keep = np.array([True, False, True, False])
+    batch = pack_turn_batch(tok, tiny_config, prompt, "ok", None, keep,
+                            max_seq_len=256)
+    ids = batch["input_ids"][0]
+    fs = batch["feat_src"][0]
+    img_positions = np.nonzero(ids == tok.image_token_id)[0]
+    assert len(img_positions) == 2            # two dropped
+    # surviving <image> ids map to ORIGINAL feature rows 0 and 2
+    assert fs[img_positions].tolist() == [0, 2]
+    # answer supervised, prompt masked
+    labels = batch["labels"][0]
+    assert (labels != -100).sum() == len(tok.encode("ok")) + 1

@@ -1,0 +1,127 @@
+"""Training step + streaming session tests (tiny config, CPU mesh)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cogstream_tpu.config import CompressionConfig, LoRAConfig
+from cogstream_tpu.models import qwen2
+from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+from cogstream_tpu.models.lora import init_qwen2_lora
+from cogstream_tpu.processor.tokenizer import ByteTokenizer
+from cogstream_tpu.train.trainer import (
+    bind_text_loss,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def test_lora_text_train_step_reduces_loss(tiny_config):
+    cfg = tiny_config.text
+    lora_cfg = LoRAConfig(rank=4)
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    lora = init_qwen2_lora(jax.random.PRNGKey(1), cfg, lora_cfg)
+
+    rng = np.random.default_rng(0)
+    B, S = 2, 32
+    ids = rng.integers(3, 200, size=(B, S)).astype(np.int32)
+    labels = ids.copy()
+    labels[:, : S // 2] = -100
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels)}
+
+    tx = make_optimizer(learning_rate=5e-2, total_steps=20, warmup_steps=1)
+    step = make_train_step(tx, bind_text_loss(cfg, lora_cfg), donate=False)
+    state = init_train_state(tx, lora)
+
+    losses = []
+    for _ in range(8):
+        state, loss = step(params, state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_constrained_loss_masks_vocab(tiny_config):
+    from cogstream_tpu.train.trainer import masked_cross_entropy
+
+    logits = jnp.zeros((1, 4, 10))
+    labels = jnp.asarray([[-100, 2, 3, -100]])
+    vm = np.zeros(10, bool)
+    vm[[2, 3]] = True
+    loss_con, n = masked_cross_entropy(logits, labels, jnp.asarray(vm))
+    loss_fre, _ = masked_cross_entropy(logits, labels)
+    # constrained: uniform over 2 allowed tokens → ln 2; free: ln 10
+    assert np.isclose(float(loss_con), np.log(2), atol=1e-5)
+    assert np.isclose(float(loss_fre), np.log(10), atol=1e-5)
+    assert int(n) == 2
+
+
+@pytest.fixture(scope="module")
+def session_setup():
+    from cogstream_tpu.config import CogReasonerConfig
+
+    cfg = CogReasonerConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg, compression=CompressionConfig(frames_per_event=2,
+                                           keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    return cfg, params, tok
+
+
+def test_streaming_session_turns(session_setup):
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    sess = StreamingSession(params, cfg, tok, max_len=2048)
+    rng = np.random.default_rng(0)
+
+    t, gh, gw, ms = 2, 4, 4, 2
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+    sess.append_stream_segment(pv, (t, gh, gw), ms, timestamps=[0.0, 1.0])
+    assert sess.total_frames == 2
+    assert len(sess.events) == 1          # frames_per_event=2 → one event
+    w0 = sess.write_index
+    assert w0 > 0
+
+    r1 = sess.ask("what is happening?", mode="AC", max_new_tokens=8)
+    assert isinstance(r1["text"], str)
+    assert sess.write_index > w0
+
+    # second segment + FCC turn exercises selector + kv_allowed masking
+    sess.append_stream_segment(pv, (t, gh, gw), ms, timestamps=[2.0, 3.0])
+    r2 = sess.ask("and now?", mode="FCC", max_new_tokens=8)
+    assert r2["turn"] == 1
+    assert sess.hist_qs == ["what is happening?", "and now?"]
+    # history tokens kept their slots: ranges are disjoint & ordered
+    starts = [r.start for r in sess.ranges]
+    assert starts == sorted(starts)
+    ends = [r.end for r in sess.ranges]
+    assert all(e <= s for e, s in zip(ends[:-1], starts[1:]))
+
+
+def test_session_event_pruning_mask(session_setup):
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    sess = StreamingSession(params, cfg, tok, max_len=2048)
+    rng = np.random.default_rng(1)
+    t, gh, gw = 4, 4, 4
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+    sess.append_stream_segment(pv, (t, gh, gw), 2,
+                               timestamps=[0.0, 1.0, 2.0, 3.0])
+    assert len(sess.events) == 2
+    qids = np.asarray(tok.encode("test question"), np.int32)
+    allowed = sess._allowed_mask(True, [], qids)
+    # keep_slots of every event must remain visible regardless of sim
+    for ev in sess.events:
+        assert allowed[np.asarray(ev.keep_slots, int)].all()
+    # with if_visual=False every stream slot is hidden
+    blocked = sess._allowed_mask(False, [], qids)
+    for r in sess.ranges:
+        if r.kind == "stream":
+            assert not blocked[r.start:r.end].any()
