@@ -58,11 +58,11 @@ def qwen2_params_from_state_dict(sd: Dict, cfg, prefix: str = "model.",
         "embed_tokens": jnp.asarray(_t(sd[f"{prefix}embed_tokens.weight"]), dtype),
         "final_norm": {"scale": jnp.asarray(_t(sd[f"{prefix}norm.weight"]), jnp.float32)},
         "lm_head": _lin(sd["lm_head.weight"], dtype=dtype),
-        "layers": [],
     }
+    layers = []
     for i in range(cfg.num_hidden_layers):
         lp = f"{prefix}layers.{i}."
-        params["layers"].append({
+        layers.append({
             "input_norm": {"scale": jnp.asarray(
                 _t(sd[lp + "input_layernorm.weight"]), jnp.float32)},
             "post_attn_norm": {"scale": jnp.asarray(
@@ -82,6 +82,9 @@ def qwen2_params_from_state_dict(sd: Dict, cfg, prefix: str = "model.",
                 "down_proj": _lin(sd[lp + "mlp.down_proj.weight"], dtype=dtype),
             },
         })
+    from .qwen2 import stack_layer_list
+
+    params["layers"] = stack_layer_list(layers)  # [L, ...] for the scan
     return params
 
 
@@ -103,11 +106,11 @@ def vision_params_from_state_dict(sd: Dict, cfg,
         },
         "post_ln": _ln(sd[prefix + "post_layernorm.weight"],
                        sd[prefix + "post_layernorm.bias"]),
-        "layers": [],
     }
+    layers = []
     for i in range(cfg.num_hidden_layers):
         lp = f"{prefix}encoder.layers.{i}."
-        params["layers"].append({
+        layers.append({
             "ln1": _ln(sd[lp + "layer_norm1.weight"], sd[lp + "layer_norm1.bias"]),
             "ln2": _ln(sd[lp + "layer_norm2.weight"], sd[lp + "layer_norm2.bias"]),
             "attn": {
@@ -125,6 +128,9 @@ def vision_params_from_state_dict(sd: Dict, cfg,
                 "fc2": _lin(sd[lp + "mlp.fc2.weight"], sd[lp + "mlp.fc2.bias"], dtype),
             },
         })
+    from .qwen2 import stack_layer_list
+
+    params["layers"] = stack_layer_list(layers)
     return params
 
 

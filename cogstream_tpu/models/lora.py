@@ -6,10 +6,11 @@ adapts ``mm_projector.readout`` — second_stage_training.py:252-255) and
 hot-swaps them per turn at inference (answer_generate.py:181-182).
 
 Here an adapter is a pytree *mirroring* the dense param tree: every
-adapted kernel ``[din, dout]`` gets ``{"a": [din, r], "b": [r, dout]}``.
-Both adapters stay resident on device and are gated by traced scalars
-inside jit (models/qwen2.dense) — switching adapters never recompiles
-and never round-trips to host.
+adapted kernel ``[din, dout]`` gets ``{"a": [din, r], "b": [r, dout]}``;
+per-layer entries are STACKED with a leading [L] axis so the adapter
+rides the decoder's layer-scan (models/qwen2.qwen2_forward). Both
+adapters stay resident on device and are gated by traced scalars inside
+jit — switching adapters never recompiles and never round-trips to host.
 """
 
 from __future__ import annotations
@@ -43,24 +44,21 @@ def init_qwen2_lora(
         "mlp.up_proj": (H, I),
         "mlp.down_proj": (I, H),
     }
-    targets = {f"{g}.{m}" if False else m for g, m in []} or None
     wanted = set(lora.target_modules)
-    layers = []
-    keys = jax.random.split(key, cfg.num_hidden_layers)
-    for li in range(cfg.num_hidden_layers):
-        lk = jax.random.split(keys[li], len(dims))
-        layer: Dict = {"attn": {}, "mlp": {}}
-        for (path, (din, dout)), k in zip(sorted(dims.items()), lk):
-            group, name = path.split(".")
-            if name not in wanted:
-                continue
-            layer[group][name] = {
-                "a": (jax.random.normal(k, (din, lora.rank)) /
-                      np.sqrt(din)).astype(dtype),
-                "b": jnp.zeros((lora.rank, dout), dtype),
-            }
-        layers.append(layer)
-    return {"layers": layers}
+    L = cfg.num_hidden_layers
+    layer: Dict = {"attn": {}, "mlp": {}}
+    keys = jax.random.split(key, len(dims))
+    for (path, (din, dout)), k in zip(sorted(dims.items()), keys):
+        group, name = path.split(".")
+        if name not in wanted:
+            continue
+        layer[group][name] = {
+            # stacked [L, din, r]: per-layer independent gaussian init
+            "a": (jax.random.normal(k, (L, din, lora.rank)) /
+                  np.sqrt(din)).astype(dtype),
+            "b": jnp.zeros((L, lora.rank, dout), dtype),
+        }
+    return {"layers": layer}
 
 
 def init_projector_lora(key: jax.Array, cfg: CogReasonerConfig,
@@ -136,8 +134,12 @@ def qwen2_lora_from_peft_state_dict(sd: Dict, cfg: Qwen2Config,
                 slot = layers[li][group].setdefault(ours, {})
                 arr = _np(tensor)
                 if ".lora_A." in name:
-                    slot["a"] = jnp.asarray(arr.T, dtype)
+                    slot["a"] = arr.T.astype(np.float32)
                 else:
-                    slot["b"] = jnp.asarray(arr.T, dtype)
+                    slot["b"] = arr.T.astype(np.float32)
                 break
-    return {"layers": layers}
+
+    from .qwen2 import stack_layer_list
+
+    stacked = stack_layer_list(layers)
+    return {"layers": jax.tree.map(lambda x: jnp.asarray(x, dtype), stacked)}

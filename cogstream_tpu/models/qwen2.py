@@ -7,17 +7,23 @@ cogreasoner_chat.py:587-917).
 
 TPU-native design deltas:
 
+* **Scan over stacked layers.** Per-layer parameters are stacked with a
+  leading [L] axis and the stack runs under one ``lax.scan`` — the HLO
+  contains ONE decoder block regardless of depth, so 28-layer compiles
+  stay fast and the decode loop body stays small. (An unrolled Python
+  loop of HF-style modules would emit 28 copies of the graph into both
+  prefill and every decode step.)
 * **Position-tagged KV cache.** Cache slots store the *absolute
   position* of their token (-1 = empty/invalidated). Attention masks on
   ``q_pos >= kv_pos & kv_pos >= 0`` — so the same kernel serves prefill,
   decode, *cross-turn KV reuse* (history keeps its slots between turns;
   the reference re-prefills the whole conversation every turn, SURVEY.md
-  §3.1 note) and *history retrieval* (dropping an unselected QA turn is
-  one scatter of -1 into the position row, not a re-tokenization).
+  §3.1 note) and *history retrieval* (a per-turn ``kv_allowed``
+  visibility mask, runtime/session.py).
 * **Branchless multi-adapter LoRA.** Both adapters (language_module /
-  full_module, answer_generate.py:181-182) stay resident; a per-call
-  gate vector selects the active one inside jit — no host-side
-  ``set_adapter`` swap.
+  full_module, answer_generate.py:181-182) stay resident as stacked
+  trees; traced scalar gates select the active one inside jit — no
+  host-side ``set_adapter`` swap, no recompile.
 * Static shapes: prefill lengths are bucketed by callers; padding slots
   carry position -1 and never win attention.
 """
@@ -25,7 +31,7 @@ TPU-native design deltas:
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,22 +57,31 @@ def _dense_init(key, din, dout, dtype, bias: bool):
     return p
 
 
+def stack_layer_list(layers: List[Dict]) -> Dict:
+    """[per-layer tree] → one tree with leading [L] on every leaf.
+    Preallocates on host to avoid a 2x copy of 7B-scale stacks."""
+    L = len(layers)
+
+    def stack(*leaves):
+        first = np.asarray(leaves[0])
+        out = np.empty((L,) + first.shape, first.dtype)
+        for i, leaf in enumerate(leaves):
+            out[i] = np.asarray(leaf)
+        return jnp.asarray(out)
+
+    return jax.tree.map(stack, *layers)
+
+
 def init_qwen2_params(key: jax.Array, cfg: Qwen2Config) -> Params:
     dtype = cfg.jnp_dtype
     n = cfg.num_hidden_layers
     keys = jax.random.split(key, n + 3)
     H, D = cfg.hidden_size, cfg.head_dim
     kv_out = cfg.num_key_value_heads * D
-    params: Params = {
-        "embed_tokens": (jax.random.normal(keys[0], (cfg.vocab_size, H))
-                         * 0.02).astype(dtype),
-        "final_norm": {"scale": jnp.ones((H,), jnp.float32)},
-        "lm_head": _dense_init(keys[1], H, cfg.vocab_size, dtype, bias=False),
-        "layers": [],
-    }
+    layers = []
     for i in range(n):
         ks = jax.random.split(keys[i + 2], 7)
-        params["layers"].append({
+        layers.append({
             "input_norm": {"scale": jnp.ones((H,), jnp.float32)},
             "post_attn_norm": {"scale": jnp.ones((H,), jnp.float32)},
             "attn": {
@@ -82,7 +97,13 @@ def init_qwen2_params(key: jax.Array, cfg: Qwen2Config) -> Params:
                 "down_proj": _dense_init(ks[6], cfg.intermediate_size, H, dtype, False),
             },
         })
-    return params
+    return {
+        "embed_tokens": (jax.random.normal(keys[0], (cfg.vocab_size, H))
+                         * 0.02).astype(dtype),
+        "final_norm": {"scale": jnp.ones((H,), jnp.float32)},
+        "lm_head": _dense_init(keys[1], H, cfg.vocab_size, dtype, bias=False),
+        "layers": stack_layer_list(layers),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +118,14 @@ def dense(x: jax.Array, p: Dict, lora: Optional[List[Tuple[Dict, jax.Array]]] = 
     ``{"a": [din, r], "b": [r, dout]}``. Gates are traced scalars, so
     adapter switching costs two small matmuls, never a recompile.
     """
-    y = x @ p["kernel"].astype(x.dtype)
+    kern = p["kernel"]
+    if isinstance(kern, dict):  # int8-quantized (ops/quant.py): dequant
+        # fuses into the GEMM prologue — halves weight HBM traffic
+        w = (kern["q"].astype(jnp.float32)
+             * kern["scale"][..., None, :]).astype(x.dtype)
+    else:
+        w = kern.astype(x.dtype)
+    y = x @ w
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     if lora:
@@ -109,21 +137,26 @@ def dense(x: jax.Array, p: Dict, lora: Optional[List[Tuple[Dict, jax.Array]]] = 
     return y
 
 
-def _layer_lora(adapters, layer_idx: int, path: str):
-    """Collect (adapter, gate) pairs for one projection from the adapter
-    bundle: ``adapters = [(tree, gate), ...]`` where tree mirrors params."""
+def _adapter_layers(adapters) -> Tuple[Tuple[Any, ...], Tuple[Any, ...]]:
+    """Split adapter bundle into (stacked layer-trees, gates)."""
     if not adapters:
-        return None
-    out = []
+        return (), ()
+    trees, gates = [], []
     for tree, gate in adapters:
-        node = tree
-        for part in ("layers", layer_idx, *path.split(".")):
-            if node is None:
-                break
-            if isinstance(part, int):
-                node = node[part] if part < len(node) else None
-            else:
-                node = node.get(part) if isinstance(node, dict) else None
+        node = tree.get("layers") if isinstance(tree, dict) else None
+        trees.append(node)
+        gates.append(gate)
+    return tuple(trees), tuple(gates)
+
+
+def _lora_at(ad_slices, gates, group: str, name: str):
+    """Per-layer adapter slices for one projection → dense()'s lora arg."""
+    out = []
+    for tree, gate in zip(ad_slices, gates):
+        if not isinstance(tree, dict):
+            continue
+        node = tree.get(group, {}).get(name) if isinstance(
+            tree.get(group), dict) else None
         if node is not None:
             out.append((node, gate))
     return out or None
@@ -186,119 +219,87 @@ def qwen2_forward(
     Without a cache: causal self-attention over the S new tokens only
     (training / one-shot scoring). With a cache: K/V of the new tokens
     are written at ``write_index`` and attention spans the whole cache
-    buffer, masked by stored positions.
+    buffer, masked by stored positions (AND ``kv_allowed`` if given).
 
-    ``remat=True`` rematerializes each decoder block on the backward
-    pass (jax.checkpoint) — the TPU replacement for the reference's
-    ``gradient_checkpointing_enable`` + DeepSpeed activation
-    checkpointing (first_stage_training.py:495, default_config.yaml:6-9).
+    ``remat=True`` rematerializes each scanned block on the backward
+    pass — the TPU replacement for gradient checkpointing + DeepSpeed
+    activation checkpointing (first_stage_training.py:495,
+    default_config.yaml:6-9).
     """
     B, S, H = inputs_embeds.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     x = inputs_embeds
     angles = rope_angles(jnp.maximum(positions, 0), D, cfg.rope_theta)  # [B,S,D/2]
 
-    if remat and cache is None:
-        def block(x, layer, layer_adapters):
-            def lora_for(path):
-                if not layer_adapters:
-                    return None
-                out = [(t, g) for t, g in layer_adapters[path] or []]
-                return out or None
+    ad_trees, gates = _adapter_layers(adapters)
 
-            h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
-            ap = layer["attn"]
-            q = dense(h, ap["q_proj"], lora_for("attn.q_proj"),
-                      lora_scale).reshape(B, S, Hq, D)
-            k = dense(h, ap["k_proj"], lora_for("attn.k_proj"),
-                      lora_scale).reshape(B, S, Hkv, D)
-            v = dense(h, ap["v_proj"], lora_for("attn.v_proj"),
-                      lora_scale).reshape(B, S, Hkv, D)
-            q = apply_rope(q, angles)
-            k = apply_rope(k, angles)
-            attn = causal_gqa_attention(
-                q, k, v, q_positions=positions,
-                kv_valid=positions >= 0, kv_positions=positions)
-            x = x + dense(attn.reshape(B, S, Hq * D), ap["o_proj"],
-                          lora_for("attn.o_proj"), lora_scale)
-            h = rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps)
-            mp = layer["mlp"]
-            gate = dense(h, mp["gate_proj"], lora_for("mlp.gate_proj"), lora_scale)
-            up = dense(h, mp["up_proj"], lora_for("mlp.up_proj"), lora_scale)
-            return x + dense(jax.nn.silu(gate) * up, mp["down_proj"],
-                             lora_for("mlp.down_proj"), lora_scale)
+    if cache is not None:
+        kv_pos = jax.lax.dynamic_update_slice(
+            cache.pos, positions, (0, cache.write_index))
+        kv_valid = kv_pos >= 0
+        if kv_allowed is not None:
+            # per-turn history retrieval: unselected turns' slots are
+            # invisible to THIS turn's queries but stay resident —
+            # the next turn may reselect them (runtime/session.py)
+            kv_valid = kv_valid & kv_allowed
 
-        block = jax.checkpoint(block)
-        paths = ("attn.q_proj", "attn.k_proj", "attn.v_proj", "attn.o_proj",
-                 "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
-        for li, layer in enumerate(params["layers"]):
-            layer_adapters = {p: _layer_lora(adapters, li, p) for p in paths}
-            x = block(x, layer, layer_adapters)
-        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        return x, None
-
-    new_k, new_v = [], []
-    for li, layer in enumerate(params["layers"]):
+    def block(x, layer, ad):
+        lora = functools.partial(_lora_at, ad, gates)
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         ap = layer["attn"]
-        q = dense(h, ap["q_proj"], _layer_lora(adapters, li, "attn.q_proj"),
+        q = dense(h, ap["q_proj"], lora("attn", "q_proj"),
                   lora_scale).reshape(B, S, Hq, D)
-        k = dense(h, ap["k_proj"], _layer_lora(adapters, li, "attn.k_proj"),
+        k = dense(h, ap["k_proj"], lora("attn", "k_proj"),
                   lora_scale).reshape(B, S, Hkv, D)
-        v = dense(h, ap["v_proj"], _layer_lora(adapters, li, "attn.v_proj"),
+        v = dense(h, ap["v_proj"], lora("attn", "v_proj"),
                   lora_scale).reshape(B, S, Hkv, D)
         q = apply_rope(q, angles)
         k = apply_rope(k, angles)
+        return x, h, q, k, v
 
-        if cache is not None:
-            ck = jax.lax.dynamic_update_slice(
-                cache.k[li], k.astype(cache.k.dtype),
-                (0, cache.write_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cache.v[li], v.astype(cache.v.dtype),
-                (0, cache.write_index, 0, 0))
-            new_k.append(ck)
-            new_v.append(cv)
-            kv_pos = jax.lax.dynamic_update_slice(
-                cache.pos, positions, (0, cache.write_index))
-            kv_valid = kv_pos >= 0
-            if kv_allowed is not None:
-                # per-turn history retrieval: unselected turns' slots are
-                # invisible to THIS turn's queries but stay resident —
-                # the next turn may reselect them (runtime/session.py)
-                kv_valid = kv_valid & kv_allowed
-            attn = causal_gqa_attention(
-                q, ck.astype(q.dtype), cv.astype(q.dtype),
-                q_positions=positions,
-                kv_valid=kv_valid,
-                kv_positions=kv_pos,
-            )
-        else:
-            attn = causal_gqa_attention(
-                q, k, v,
-                q_positions=positions,
-                kv_valid=positions >= 0,
-                kv_positions=positions,
-            )
+    def finish_block(x, attn, layer, ad):
+        lora = functools.partial(_lora_at, ad, gates)
+        ap, mp = layer["attn"], layer["mlp"]
         x = x + dense(attn.reshape(B, S, Hq * D), ap["o_proj"],
-                      _layer_lora(adapters, li, "attn.o_proj"), lora_scale)
-
+                      lora("attn", "o_proj"), lora_scale)
         h = rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps)
-        mp = layer["mlp"]
-        gate = dense(h, mp["gate_proj"], _layer_lora(adapters, li, "mlp.gate_proj"), lora_scale)
-        up = dense(h, mp["up_proj"], _layer_lora(adapters, li, "mlp.up_proj"), lora_scale)
-        x = x + dense(jax.nn.silu(gate) * up, mp["down_proj"],
-                      _layer_lora(adapters, li, "mlp.down_proj"), lora_scale)
+        gate = dense(h, mp["gate_proj"], lora("mlp", "gate_proj"), lora_scale)
+        up = dense(h, mp["up_proj"], lora("mlp", "up_proj"), lora_scale)
+        return x + dense(jax.nn.silu(gate) * up, mp["down_proj"],
+                         lora("mlp", "down_proj"), lora_scale)
 
+    if cache is None:
+        def body(x, xs):
+            layer, ad = xs
+            x, h, q, k, v = block(x, layer, ad)
+            attn = causal_gqa_attention(
+                q, k, v, q_positions=positions,
+                kv_valid=positions >= 0, kv_positions=positions)
+            return finish_block(x, attn, layer, ad), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, (params["layers"], ad_trees))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, None
+
+    def body(x, xs):
+        layer, ad, ck, cv = xs
+        x, h, q, k, v = block(x, layer, ad)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (0, cache.write_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (0, cache.write_index, 0, 0))
+        attn = causal_gqa_attention(
+            q, ck.astype(q.dtype), cv.astype(q.dtype),
+            q_positions=positions, kv_valid=kv_valid, kv_positions=kv_pos)
+        return finish_block(x, attn, layer, ad), (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], ad_trees, cache.k, cache.v))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-
-    new_cache = None
-    if cache is not None:
-        new_pos = jax.lax.dynamic_update_slice(
-            cache.pos, positions, (0, cache.write_index))
-        new_cache = KVCache(
-            k=jnp.stack(new_k), v=jnp.stack(new_v),
-            pos=new_pos, write_index=cache.write_index + S)
+    new_cache = KVCache(k=new_k, v=new_v, pos=kv_pos,
+                        write_index=cache.write_index + S)
     return x, new_cache
 
 

@@ -67,11 +67,11 @@ def init_vision_params(key: jax.Array, cfg: VisionEncoderConfig) -> Params:
         "patch_embed": _linear(keys[0], patch_dim, cfg.hidden_size, dtype),
         "post_ln": {"scale": jnp.ones((cfg.hidden_size,), jnp.float32),
                     "bias": jnp.zeros((cfg.hidden_size,), jnp.float32)},
-        "layers": [],
     }
+    layers = []
     for i in range(cfg.num_hidden_layers):
         k1, k2, k3, k4, k5, k6 = jax.random.split(keys[i + 1], 6)
-        params["layers"].append({
+        layers.append({
             "ln1": {"scale": jnp.ones((cfg.hidden_size,), jnp.float32),
                     "bias": jnp.zeros((cfg.hidden_size,), jnp.float32)},
             "ln2": {"scale": jnp.ones((cfg.hidden_size,), jnp.float32),
@@ -87,6 +87,9 @@ def init_vision_params(key: jax.Array, cfg: VisionEncoderConfig) -> Params:
                 "fc2": _linear(k6, cfg.intermediate_size, cfg.hidden_size, dtype),
             },
         })
+    from .qwen2 import stack_layer_list
+
+    params["layers"] = stack_layer_list(layers)  # [L, ...] for the scan
     return params
 
 
@@ -165,12 +168,17 @@ def vision_encoder_core(
     x = _dense(pixel_values.astype(cfg.jnp_dtype), params["patch_embed"])
     angles = vision_rope_angles(pos_ids, cfg.head_dim)
 
-    for layer in params["layers"]:
+    # one transformer block in the HLO, scanned over the stacked [L]
+    # params (27 unrolled copies would dominate compile time)
+    def body(x, layer):
         x = x + _attn_block(_layernorm(x, layer["ln1"], cfg.layer_norm_eps),
-                            layer["attn"], angles, segment_ids, cfg, attn_impl)
+                            layer["attn"], angles, segment_ids, cfg,
+                            attn_impl)
         x = x + _mlp_block(_layernorm(x, layer["ln2"], cfg.layer_norm_eps),
                            layer["mlp"])
+        return x, None
 
+    x, _ = jax.lax.scan(body, x, params["layers"])
     x = _layernorm(x, params["post_ln"], cfg.layer_norm_eps)
 
     # merge-window mean (exact bilinear 2x downsample, ref :487-506)

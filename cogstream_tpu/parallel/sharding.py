@@ -57,6 +57,13 @@ def _dense_spec(din: int, dout: int, mesh: Mesh, shard: str,
     return spec
 
 
+def _stack_specs(tree: Any) -> Any:
+    """Prepend the stacked-layer [L] axis (unsharded) to every spec —
+    decoder layer params are stacked for the lax.scan (models/qwen2)."""
+    return jax.tree.map(lambda p: P(None, *p), tree,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
 def qwen2_param_specs(cfg: Qwen2Config, mesh: Mesh) -> Dict:
     H = cfg.hidden_size
     kv_out = cfg.num_key_value_heads * cfg.head_dim
@@ -81,7 +88,7 @@ def qwen2_param_specs(cfg: Qwen2Config, mesh: Mesh) -> Dict:
         "embed_tokens": P(_axis_if_divisible(V, mesh), None),
         "final_norm": {"scale": P(None)},
         "lm_head": _dense_spec(H, V, mesh, "out", False),
-        "layers": [layer] * cfg.num_hidden_layers,
+        "layers": _stack_specs(layer),
     }
 
 
@@ -107,7 +114,7 @@ def vision_param_specs(cfg: VisionEncoderConfig, mesh: Mesh) -> Dict:
         "patch_embed": _dense_spec(cfg.num_channels * cfg.patch_size ** 2,
                                    H, mesh, "none", True),
         "post_ln": dict(ln),
-        "layers": [layer] * cfg.num_hidden_layers,
+        "layers": _stack_specs(layer),
     }
 
 
@@ -154,16 +161,26 @@ def lora_specs_like(lora_tree: Any, param_specs: Any) -> Any:
     ``a`` [din, r] inherits the kernel's input-dim placement, ``b``
     [r, dout] its output-dim placement. Walks only the keys present in
     the (possibly partial) LoRA tree."""
-    def walk(lnode, snode):
+    def walk(lnode, snode, stacked=False):
         if isinstance(lnode, dict):
             if set(lnode.keys()) == {"a", "b"}:
                 k = snode["kernel"]
-                din_ax = k[0] if len(k) > 0 else None
-                dout_ax = k[1] if len(k) > 1 else None
-                return {"a": P(din_ax, None), "b": P(None, dout_ax)}
-            return {key: walk(v, snode[key]) for key, v in lnode.items()}
+                # stacked decoder entries carry a leading [L] axis
+                din_ax = k[-2] if len(k) >= 2 else None
+                dout_ax = k[-1] if len(k) >= 1 else None
+                lead = (None,) if stacked else ()
+                return {"a": P(*lead, din_ax, None),
+                        "b": P(*lead, None, dout_ax)}
+            # decoder "layers" is a stacked dict; projector "layers" is a
+            # plain per-entry list (2-layer MLP) — only the former gains
+            # the leading [L] axis
+            return {key: walk(v, snode[key],
+                              stacked or (key == "layers"
+                                          and isinstance(v, dict)))
+                    for key, v in lnode.items()}
         if isinstance(lnode, list):
-            return [walk(v, snode[i]) for i, v in enumerate(lnode)]
+            return [walk(v, snode[i], False)
+                    for i, v in enumerate(lnode)]
         return lnode
     return walk(lora_tree, param_specs)
 

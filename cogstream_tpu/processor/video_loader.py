@@ -68,7 +68,10 @@ def load_video(
     if os.path.isdir(video_path):
         return _load_frame_dir(video_path, fps=fps, max_frames=max_frames)
     if not have_ffmpeg():
-        raise RuntimeError("ffmpeg/ffprobe not available on host")
+        # OpenCV fallback (its bundled decoder) — same contract
+        return _load_video_cv2(video_path, start_time, end_time, fps,
+                               max_frames, size, size_divisible,
+                               temporal_factor)
 
     info = probe_video(video_path)
     duration = float(info["format"]["duration"])
@@ -137,6 +140,62 @@ def load_video(
         step = 1 / (fps or 1.0)
         timestamps.extend(timestamps[-1] + step * (i + 1) for i in range(pad))
 
+    return frames, timestamps, duration
+
+
+def _load_video_cv2(video_path, start_time, end_time, fps, max_frames,
+                    size, size_divisible, temporal_factor):
+    """cv2.VideoCapture decode path (hosts without an ffmpeg binary —
+    e.g. the TPU image ships OpenCV's bundled decoder instead)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cv2 cannot open {video_path}")
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    n_src = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+    duration = n_src / src_fps if n_src else 0.0
+    t0 = start_time or 0.0
+    t1 = min(end_time, duration) if end_time is not None else duration
+    step = 1.0 / fps if fps else 1.0 / src_fps
+
+    wanted = np.arange(t0, max(t1, t0 + 1e-6), step)
+    frames: List[np.ndarray] = []
+    timestamps: List[float] = []
+    src_idx_wanted = np.minimum((wanted * src_fps).astype(int),
+                                max(n_src - 1, 0))
+    want_pos = 0
+    idx = 0
+    while want_pos < len(src_idx_wanted):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        while (want_pos < len(src_idx_wanted)
+               and src_idx_wanted[want_pos] == idx):
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if size is not None:
+                h, w = rgb.shape[:2]
+                scale = size / min(w, h)
+                nw = round(w * scale) // size_divisible * size_divisible
+                nh = round(h * scale) // size_divisible * size_divisible
+                rgb = cv2.resize(rgb, (nw, nh),
+                                 interpolation=cv2.INTER_AREA)
+            frames.append(rgb.transpose(2, 0, 1))
+            timestamps.append(float(wanted[want_pos]))
+            want_pos += 1
+        idx += 1
+    cap.release()
+
+    if max_frames is not None and len(frames) > max_frames:
+        sel = np.linspace(0, len(frames) - 1, max_frames, dtype=int)
+        frames = [frames[i] for i in sel]
+        timestamps = [timestamps[i] for i in sel]
+    if temporal_factor > 1 and frames:
+        pad = temporal_factor - len(frames) % temporal_factor
+        if pad != temporal_factor:
+            frames.extend([frames[-1]] * pad)
+            timestamps.extend(timestamps[-1] + step * (i + 1)
+                              for i in range(pad))
     return frames, timestamps, duration
 
 

@@ -121,16 +121,13 @@ def test_padding_positions_masked():
 
 
 def _tiny_lora(key, params, rank=2):
-    """Adapter tree mirroring params for q_proj only."""
-    layers = []
-    for li, layer in enumerate(params["layers"]):
-        k1, k2, key = jax.random.split(key, 3)
-        din, dout = layer["attn"]["q_proj"]["kernel"].shape
-        layers.append({"attn": {"q_proj": {
-            "a": jax.random.normal(k1, (din, rank)) * 0.1,
-            "b": jax.random.normal(k2, (rank, dout)) * 0.1,
-        }}})
-    return {"layers": layers}
+    """Adapter tree mirroring params for q_proj only (stacked [L])."""
+    k1, k2 = jax.random.split(key)
+    L, din, dout = params["layers"]["attn"]["q_proj"]["kernel"].shape
+    return {"layers": {"attn": {"q_proj": {
+        "a": jax.random.normal(k1, (L, din, rank)) * 0.1,
+        "b": jax.random.normal(k2, (L, rank, dout)) * 0.1,
+    }}}}
 
 
 def test_lora_gating():

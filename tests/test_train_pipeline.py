@@ -97,8 +97,8 @@ def test_checkpoint_roundtrip(tmp_path, tiny_config):
     template = init_train_state(tx, jax.tree.map(jnp.zeros_like, lora))
     restored = ckpt.restore_train_state(d, template)
     assert int(np.asarray(restored.step)) == 7
-    a0 = lora["layers"][0]["attn"]["q_proj"]["a"]
-    a1 = restored.lora["layers"][0]["attn"]["q_proj"]["a"]
+    a0 = lora["layers"]["attn"]["q_proj"]["a"]
+    a1 = restored.lora["layers"]["attn"]["q_proj"]["a"]
     np.testing.assert_allclose(np.asarray(a0), np.asarray(a1))
 
 
@@ -111,8 +111,8 @@ def test_lora_adapter_npz_roundtrip(tmp_path, tiny_config):
                                     tiny_config.text, LoRAConfig(rank=2))}
     path = ckpt.save_lora_adapter(str(tmp_path), lora, name="full_module")
     back = ckpt.load_lora_adapter(path)
-    x = lora["text"]["layers"][1]["mlp"]["up_proj"]["a"]
-    y = back["text"]["layers"][1]["mlp"]["up_proj"]["a"]
+    x = lora["text"]["layers"]["mlp"]["up_proj"]["a"]
+    y = back["text"]["layers"]["mlp"]["up_proj"]["a"]
     np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
