@@ -18,6 +18,7 @@ import math
 import os
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
+from ..utils.io import atomic_write_json
 
 LEVEL_LABEL = {
     "L1": "Basic", "L2": "Basic", "CR": "Basic",
@@ -192,7 +193,5 @@ def run_path_construction(scored_dir: str, qa_dir: str, out_dir: str,
         merged = merge_score_matrices(raters)
         streams = build_streams(video, merged, n_streams=n_streams,
                                 coi_threshold=threshold, seed=seed)
-        with open(out_path, "w") as f:
-            json.dump({"video": video.get("video"),
-                       "streams": streams}, f, indent=1)
+        atomic_write_json(out_path, {"video": video.get("video"), "streams": streams}, indent=1)
         log(f"{fname}: {n_streams} streams")

@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 from typing import Dict, List, Sequence
+from ..utils.io import atomic_write_json
 
 
 def stream_to_simple(video_name: str, stream: Dict,
@@ -66,13 +67,11 @@ def format_dataset(streams_dir: str, qa_dir: str, out_dir: str,
         for stream in spec.get("streams", []):
             simple = stream_to_simple(video, stream, segments)
             simple_all.append(simple)
-        with open(os.path.join(out_dir, fname), "w") as f:
-            json.dump(simple_all, f, indent=1)
+        atomic_write_json(os.path.join(out_dir, fname), simple_all)
         merged[video] = simple_all
         log(f"{fname}: {sum(len(s['QAs']) for s in simple_all)} QAs")
     merged_path = os.path.join(out_dir, merged_name)
-    with open(merged_path, "w") as f:
-        json.dump(merged, f)
+    atomic_write_json(merged_path, merged, indent=1)
     stats = {
         "videos": len(merged),
         "qas": sum(len(s["QAs"]) for streams in merged.values()

@@ -19,6 +19,7 @@ import re
 from typing import Dict, List, Optional, Sequence
 
 from . import prompts
+from ..utils.io import atomic_write_json
 
 _JSON_LIST_RE = re.compile(r"\[.*\]", re.DOTALL)
 
@@ -145,6 +146,5 @@ def run_generation(client, segments_dir: str, out_dir: str,
         result = generate_video_qas(client, spec.get("segments", []),
                                     seed=seed, log=log)
         result["video"] = spec.get("video", fname[:-5])
-        with open(out_path, "w") as f:
-            json.dump(result, f, indent=1)
+        atomic_write_json(out_path, result, indent=1)
         log(f"{fname}: done")

@@ -16,6 +16,7 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 from . import prompts
+from ..utils.io import atomic_write_json
 
 _INT_RE = re.compile(r"-?\d+")
 
@@ -79,9 +80,8 @@ def score_video(client, video: Dict, out_path: Optional[str] = None,
             seg_links[str(qi)] = per_prev
         links[ckey] = seg_links
         if out_path:            # incremental persistence per segment
-            with open(out_path, "w") as f:
-                json.dump({"video": video.get("video"), "links": links},
-                          f, indent=1)
+            atomic_write_json(out_path, {"video": video.get("video"),
+                                         "links": links})
         log(f"scored segment {ci}: {len(cur_items)} QAs")
     return {"video": video.get("video"), "links": links}
 

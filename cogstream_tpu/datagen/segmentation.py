@@ -15,6 +15,7 @@ import math
 import os
 import subprocess
 from typing import Dict, List, Optional, Sequence, Tuple
+from ..utils.io import atomic_write_json
 
 
 def _run(cmd: List[str]) -> subprocess.CompletedProcess:
@@ -106,6 +107,5 @@ def split_and_sample(video_path: str, out_root: str,
                                             duration=e - s)
         log(f"segment {seg['index']}: {len(seg['keyframes'])} keyframes")
     spec = {"video": video_path, "segments": segments}
-    with open(spec_path, "w") as f:
-        json.dump(spec, f, indent=1)
+    atomic_write_json(spec_path, spec, indent=1)
     return spec

@@ -15,6 +15,7 @@ import json
 import os
 from collections import defaultdict
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from ..utils.io import atomic_write_json
 
 METRICS = ("IA", "DC", "CA", "TP", "LC")
 
@@ -189,8 +190,7 @@ def summarize(judged_dir: str, out_path: Optional[str] = None) -> Dict:
         "n_videos": len(videos),
     }
     if out_path:
-        with open(out_path, "w") as f:
-            json.dump(report, f, indent=2)
+        atomic_write_json(out_path, report, indent=2)
     return report
 
 

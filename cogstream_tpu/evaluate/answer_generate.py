@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from ..runtime.history import parse_selection
+from ..utils.io import atomic_write_json
 
 
 def shard_items(items: Sequence, index: int, count: int) -> List:
@@ -116,8 +117,7 @@ def run_eval(
             result = generate_for_video(
                 engine, processor, video, spec.get("segments", []),
                 mode=mode)
-            with open(out_path, "w") as f:
-                json.dump(result, f, indent=1)
+            atomic_write_json(out_path, result, indent=1)
             lat = [q["latency_s"] for q in result["QAs"]]
             log(f"{fname}: {len(lat)} turns, p50 latency "
                 f"{np.median(lat) if lat else float('nan'):.2f}s")

@@ -25,6 +25,7 @@ import os
 import re
 import time
 from typing import Dict, List, Optional, Protocol, Sequence, Tuple
+from ..utils.io import atomic_write_json
 
 SCORE_RE = re.compile(r"[Ss]core\s*[:=]\s*(\d+(?:\.\d+)?)")
 
@@ -208,8 +209,7 @@ def judge_directory(
         scores = judge_video(metric, client, items, contexts)
         for qa, s in zip(video.get("QAs", []), scores):
             qa.setdefault("scores", {})[metric] = s
-        with open(out_path, "w") as f:
-            json.dump(video, f, indent=1)
+        atomic_write_json(out_path, video, indent=1)
         log(f"{metric} {fname}: "
             f"{np_mean([s for s in scores if s is not None]):.2f}")
 

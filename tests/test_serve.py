@@ -1,0 +1,76 @@
+"""HTTP serving front-end: end-to-end over localhost with the tiny model."""
+
+import dataclasses
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import jax
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.serve import SessionServer, make_handler
+
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    server = SessionServer(params, cfg, tok, max_len=2048,
+                           use_pallas=False)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield httpd.server_address[1]
+    httpd.shutdown()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_serve_session_ask(server_port):
+    port = server_port
+    r = _post(port, "/session", {"session_id": "t1"})
+    assert r["session_id"] == "t1"
+    # text-only ask (no video ingested yet)
+    r = _post(port, "/ask", {"session_id": "t1", "question": "hello?",
+                             "mode": "AC", "max_new_tokens": 4})
+    assert "text" in r and r["turn"] == 0
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats") as resp:
+        stats = json.loads(resp.read())
+    assert stats["ask"]["n"] == 1
+
+
+def test_serve_errors(server_port):
+    port = server_port
+    # missing field → 400
+    try:
+        _post(port, "/ask", {"session_id": "t1"})
+        assert False, "should have raised"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown session → 404
+    try:
+        _post(port, "/ask", {"session_id": "nope", "question": "x"})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+import urllib.error  # noqa: E402  (used in test above)
