@@ -100,6 +100,46 @@ def bench_decoder(full: bool):
     return decode_tok_s, S / dt_p
 
 
+def bench_session(full: bool, use_pallas: bool):
+    """p50 per-turn ask latency with cross-turn KV reuse (BASELINE.md
+    north star; demo-size decoder unless COGSTREAM_BENCH_FULL=1)."""
+    import dataclasses
+    import time
+
+    import jax
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.config import CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg = presets.cogreasoner_7b() if full else presets.demo()
+    cfg = dataclasses.replace(cfg, compression=CompressionConfig(
+        frames_per_event=8, keyframes_per_event=2))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    sess = StreamingSession(params, cfg, tok, max_len=8192,
+                            use_pallas=use_pallas)
+
+    rng = np.random.default_rng(0)
+    T, gh, gw = 16, 16, 16
+    pv = rng.normal(size=(T * gh * gw,
+                          3 * cfg.vision.patch_size ** 2)).astype(np.float32)
+    t0 = time.perf_counter()
+    sess.append_stream_segment(pv, (T, gh, gw), 2,
+                               timestamps=list(np.arange(T, dtype=float)))
+    ingest_s = time.perf_counter() - t0
+
+    q = "what is happening in the video right now?"
+    lat = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        sess.ask(q, mode="AC", max_new_tokens=32)
+        lat.append(time.perf_counter() - t0)
+    return float(np.median(lat[1:])), ingest_s, T / ingest_s
+
+
 def main():
     import jax
 
@@ -122,6 +162,14 @@ def main():
         }
     except Exception as e:  # decoder bench is best-effort
         extras = {"decoder_bench_error": type(e).__name__}
+    try:
+        turn_p50, ingest_s, ingest_fps = bench_session(full, on_tpu)
+        extras.update({
+            "turn_p50_s": round(turn_p50, 4),
+            "session_ingest_fps": round(ingest_fps, 1),
+        })
+    except Exception as e:
+        extras["session_bench_error"] = type(e).__name__
 
     out = {
         "metric": "encoder_frames_per_sec_per_chip",

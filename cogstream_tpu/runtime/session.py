@@ -129,18 +129,29 @@ class StreamingSession:
             return None
         return [(full.get("text", full), jnp.float32(1.0))]
 
+    @staticmethod
+    def _bucket(n: int, step: int = 32) -> int:
+        return max(step, -(-n // step) * step)
+
     def _prefill_embeds(self, embeds: jax.Array, kind: str,
                         turn: int = -1) -> SlotRange:
-        """Write S tokens into the cache (no padding: exact length —
-        segment ingest is off the latency path, so per-length compiles
-        are amortized across the stream)."""
+        """Write S tokens into the cache. Lengths are bucketed to
+        multiples of 32 so repeated ingests/asks hit the jit cache;
+        padding slots carry position -1 (invisible) and are skipped by
+        the recorded SlotRange."""
         S = embeds.shape[0]
+        Sp = self._bucket(S)
         start = self.write_index
-        if start + S > self.max_len:
+        if start + Sp > self.max_len:
             raise RuntimeError(
-                f"session cache overflow: {start}+{S} > {self.max_len}")
-        positions = jnp.arange(self.next_pos, self.next_pos + S,
-                               dtype=jnp.int32)[None]
+                f"session cache overflow: {start}+{Sp} > {self.max_len}")
+        if Sp > S:
+            embeds = jnp.concatenate(
+                [embeds, jnp.zeros((Sp - S, embeds.shape[1]),
+                                   embeds.dtype)])
+        positions = jnp.concatenate([
+            jnp.arange(self.next_pos, self.next_pos + S, dtype=jnp.int32),
+            jnp.full((Sp - S,), -1, jnp.int32)])[None]
         _, self.cache = qwen2.qwen2_forward(
             self.params["text"], embeds[None], positions, self.cfg.text,
             cache=self.cache, adapters=self._full_adapters())
@@ -298,11 +309,15 @@ class StreamingSession:
 
         start = self.write_index
         S = len(q_ids)
-        if start + S + max_new_tokens > self.max_len:
+        Sp = self._bucket(S)   # bucketed prefill → stable jit cache
+        if start + Sp + max_new_tokens > self.max_len:
             raise RuntimeError("session cache overflow")
-        emb = qwen2.embed(self.params["text"], jnp.asarray(q_ids))[None]
-        positions = jnp.arange(self.next_pos, self.next_pos + S,
-                               dtype=jnp.int32)[None]
+        ids_pad = np.zeros((Sp,), np.int32)
+        ids_pad[:S] = q_ids
+        emb = qwen2.embed(self.params["text"], jnp.asarray(ids_pad))[None]
+        positions = jnp.concatenate([
+            jnp.arange(self.next_pos, self.next_pos + S, dtype=jnp.int32),
+            jnp.full((Sp - S,), -1, jnp.int32)])[None]
         result = generate_tokens(
             self.params["text"], emb, positions,
             jnp.asarray([S - 1], jnp.int32), self.cache, self._next_key(),
@@ -316,8 +331,8 @@ class StreamingSession:
         # terminal eos never re-enters) — read the true end post-decode
         ans_end = self.write_index
         self.ranges.append(SlotRange("question", start, start + S, turn))
-        self.ranges.append(SlotRange("answer", start + S, ans_end, turn))
-        self.next_pos += ans_end - start
+        self.ranges.append(SlotRange("answer", start + Sp, ans_end, turn))
+        self.next_pos += S + max(0, ans_end - start - Sp)
         self.hist_qs.append(question)
         self.hist_as.append(text)
         return {"text": text, "selection": selection,

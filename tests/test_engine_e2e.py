@@ -1,0 +1,84 @@
+"""End-to-end parity path: conversation with a real video file →
+processor → qa_selection → visual compression → generate
+(the answer_generate.py:60-151 flow) on the tiny model."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def tiny_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (64, 48))
+    rng = np.random.default_rng(0)
+    for i in range(40):   # 4 seconds @ 10fps
+        frame = rng.integers(0, 255, (48, 64, 3), np.uint8)
+        frame[:, : 16 + 2 * i % 32] = (i * 6 % 255, 50, 200)
+        w.write(frame)
+    w.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.engine import CogReasonerEngine
+
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1,
+                                      min_events_for_compression=2))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    return CogReasonerEngine(params, cfg, tok)
+
+
+def test_single_turn_video_chat(engine, tiny_video):
+    conversation = [
+        {"role": "stream", "content": [{"type": "video", "video": {
+            "video_path": tiny_video, "fps": 1, "max_frames": 4}}]},
+        {"role": "user", "content": "what do you see?"},
+    ]
+    turn = engine.chat(conversation, mode="AC", max_new_tokens=8)
+    assert isinstance(turn.text, str)
+    assert turn.if_visual is True
+    assert turn.num_tokens >= 1
+
+
+def test_multi_turn_with_selection(engine, tiny_video):
+    conversation = [
+        {"role": "stream", "content": [{"type": "video", "video": {
+            "video_path": tiny_video, "fps": 1, "max_frames": 4,
+            "start_time": 0.0, "end_time": 2.0}}]},
+        {"role": "user", "content": "first question?"},
+        {"role": "assistant", "content": "first answer."},
+        {"role": "stream", "content": [{"type": "video", "video": {
+            "video_path": tiny_video, "fps": 1, "max_frames": 4,
+            "start_time": 2.0, "end_time": 4.0}}]},
+        {"role": "user", "content": "second question?"},
+    ]
+    turn = engine.chat(conversation, mode="FCC", max_new_tokens=8)
+    assert turn.selection.startswith("[")
+    assert isinstance(turn.text, str)
+
+
+def test_gt_mode_selection(engine, tiny_video):
+    conversation = [
+        {"role": "stream", "content": [{"type": "video", "video": {
+            "video_path": tiny_video, "fps": 1, "max_frames": 2}}]},
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": "q2"},
+    ]
+    turn = engine.chat(conversation, mode="gt", select_gt=[0],
+                       if_visual=True, max_new_tokens=4)
+    assert turn.selection == "[yes,0]"
