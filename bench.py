@@ -161,6 +161,10 @@ def main():
             "decoder_size": "7B" if full else "0.5B-demo",
         }
     except Exception as e:  # decoder bench is best-effort
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
         extras = {"decoder_bench_error": type(e).__name__}
     try:
         turn_p50, ingest_s, ingest_fps = bench_session(full, on_tpu)

@@ -1,0 +1,74 @@
+"""Unified CLI: ``python -m cogstream_tpu <command> ...``
+
+Commands map onto the reference's script entry points (README.md:65-119
+of the reference) plus the serving front-end this framework adds:
+
+  train-stage1     selector LoRA training        (torchrun first_stage_training.py)
+  train-stage2     interleave-reasoning training (accelerate second_stage_training.py)
+  answer-generate  test-set inference            (torchrun answer_generate.py)
+  judge            run one LLM-judge metric      (eval_{1..5}_*.py)
+  summarize        aggregate judged scores       (analysis/step1*.py)
+  serve            HTTP streaming-session server (no reference analogue)
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    sys.argv = [f"cogstream_tpu {cmd}"] + rest
+    if cmd == "train-stage1":
+        from .train.stage1 import main as run
+    elif cmd == "train-stage2":
+        from .train.stage2 import main as run
+    elif cmd == "answer-generate":
+        from .evaluate.answer_generate import main as run
+    elif cmd == "serve":
+        from .runtime.serve import main as run
+    elif cmd == "judge":
+        import argparse
+
+        from .evaluate import judges
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--metric", required=True,
+                        choices=sorted(judges.METRIC_RUBRICS))
+        ap.add_argument("--pred-dir", required=True)
+        ap.add_argument("--out-dir", required=True)
+        ap.add_argument("--model", default="fake",
+                        help="'fake' or an OpenAI-compatible model name")
+        args = ap.parse_args(rest)
+        client = (judges.FakeJudge() if args.model == "fake"
+                  else judges.OpenAICompatJudge(args.model))
+        judges.judge_directory(args.metric, client, args.pred_dir,
+                               args.out_dir,
+                               coi_context=args.metric == "DC")
+        return 0
+    elif cmd == "summarize":
+        import argparse
+        import json
+
+        from .evaluate import aggregate
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--judged-dir", required=True)
+        ap.add_argument("--out")
+        args = ap.parse_args(rest)
+        report = aggregate.summarize(args.judged_dir, args.out)
+        print(aggregate.format_table(report))
+        return 0
+    else:
+        print(f"unknown command {cmd!r}\n{__doc__}")
+        return 2
+    run()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -185,9 +185,17 @@ def judge_directory(
             continue
         out_path = os.path.join(out_dir, fname)
         if os.path.exists(out_path):
-            continue
-        with open(os.path.join(pred_dir, fname)) as f:
-            video = json.load(f)
+            # merge-resume: all five metrics accumulate into ONE judged
+            # file; a metric already present is skipped (the reference
+            # needs one directory per metric, eval_1_IA.py:107-109)
+            with open(out_path) as f:
+                video = json.load(f)
+            if all(metric in (qa.get("scores") or {})
+                   for qa in video.get("QAs", [])):
+                continue
+        else:
+            with open(os.path.join(pred_dir, fname)) as f:
+                video = json.load(f)
         items, contexts = [], []
         for qa in video.get("QAs", []):
             items.append({

@@ -1,5 +1,23 @@
 """Inference runtime: jitted generation, retrieval, engine (parity
-path) and the streaming KV-reuse session (fast path)."""
+path) and the streaming KV-reuse session (fast path).
 
-from .engine import CogReasonerEngine, TurnResult  # noqa: F401
-from .session import StreamingSession  # noqa: F401
+Attribute access is lazy so light-weight consumers (history parsing in
+the eval CLI) don't pull jax/the model stack at import time.
+"""
+
+_LAZY = {
+    "CogReasonerEngine": ("engine", "CogReasonerEngine"),
+    "TurnResult": ("engine", "TurnResult"),
+    "StreamingSession": ("session", "StreamingSession"),
+    "SessionServer": ("serve", "SessionServer"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(f".{module}", __name__),
+                       attr)
+    raise AttributeError(name)
