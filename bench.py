@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def _median_time(fn, iters=5, warmup=2):
+def _median_time(fn, iters=3, warmup=1):
     import jax
     for _ in range(warmup):
         jax.block_until_ready(fn())
@@ -88,15 +88,17 @@ def bench_decoder(full: bool):
     # eos_id=-1 is never sampled → exactly NEW tokens generated
     decode_tok_s = NEW / dt
 
-    def prefill():
+    # params must be ARGUMENTS, not closure constants — the axon remote
+    # compiler rejects HLO with GBs of baked-in weights (HTTP 413)
+    @jax.jit
+    def pf(params, emb, positions):
         cache = init_kv_cache(cfg, 1, S + NEW)
-        hidden, c = qwen2.qwen2_forward(params, emb, positions, cfg,
+        hidden, _ = qwen2.qwen2_forward(params, emb, positions, cfg,
                                         cache=cache)
         return hidden
 
-    pf = jax.jit(prefill)
-    dt_p = _median_time(lambda: pf, iters=1, warmup=0)  # placeholder
-    dt_p = _median_time(pf, iters=3, warmup=1)
+    dt_p = _median_time(lambda: pf(params, emb, positions),
+                        iters=3, warmup=1)
     return decode_tok_s, S / dt_p
 
 
@@ -123,7 +125,7 @@ def bench_session(full: bool, use_pallas: bool):
                             use_pallas=use_pallas)
 
     rng = np.random.default_rng(0)
-    T, gh, gw = 16, 16, 16
+    T, gh, gw = 8, 16, 16
     pv = rng.normal(size=(T * gh * gw,
                           3 * cfg.vision.patch_size ** 2)).astype(np.float32)
     t0 = time.perf_counter()

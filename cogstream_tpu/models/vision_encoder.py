@@ -168,8 +168,14 @@ def vision_encoder_core(
     x = _dense(pixel_values.astype(cfg.jnp_dtype), params["patch_embed"])
     angles = vision_rope_angles(pos_ids, cfg.head_dim)
 
-    # one transformer block in the HLO, scanned over the stacked [L]
-    # params (27 unrolled copies would dominate compile time)
+    # one transformer block traced once, scanned over the stacked [L]
+    # params. With the Pallas kernel the scan is fully unrolled: a
+    # custom call inside a rolled scan blocks XLA from fusing the
+    # per-iteration weight slices and layout changes around it (measured
+    # 16x slower on v5e), while the unrolled form compiles fine at
+    # depth 27 and runs at full speed — the decoder keeps the rolled
+    # scan (no custom calls there, and depth-28 unrolls hung the
+    # compiler).
     def body(x, layer):
         x = x + _attn_block(_layernorm(x, layer["ln1"], cfg.layer_norm_eps),
                             layer["attn"], angles, segment_ids, cfg,
@@ -178,7 +184,7 @@ def vision_encoder_core(
                            layer["mlp"])
         return x, None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(body, x, params["layers"], unroll=use_pallas)
     x = _layernorm(x, params["post_ln"], cfg.layer_norm_eps)
 
     # merge-window mean (exact bilinear 2x downsample, ref :487-506)
