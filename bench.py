@@ -145,6 +145,9 @@ def bench_session(full: bool, use_pallas: bool):
 def main():
     import jax
 
+    from cogstream_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     full = os.environ.get("COGSTREAM_BENCH_FULL") == "1"

@@ -8,6 +8,7 @@ of the reference) plus the serving front-end this framework adds:
   answer-generate  test-set inference            (torchrun answer_generate.py)
   judge            run one LLM-judge metric      (eval_{1..5}_*.py)
   summarize        aggregate judged scores       (analysis/step1*.py)
+  nlp-metrics      BLEU/METEOR/ROUGE-L/CIDEr     (step2c_basic_nlp_metrics.py)
   serve            HTTP streaming-session server (no reference analogue)
 """
 
@@ -62,6 +63,23 @@ def main(argv=None):
         args = ap.parse_args(rest)
         report = aggregate.summarize(args.judged_dir, args.out)
         print(aggregate.format_table(report))
+        return 0
+    elif cmd == "nlp-metrics":
+        import argparse
+        import json
+
+        from .evaluate import nlp_metrics
+        from .evaluate.aggregate import load_judged_dir
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--pred-dir", required=True)
+        args = ap.parse_args(rest)
+        preds, refs = [], []
+        for video in load_judged_dir(args.pred_dir):
+            for qa in video.get("QAs", []):
+                preds.append(qa.get("prediction", ""))
+                refs.append(qa.get("answer", ""))
+        print(json.dumps(nlp_metrics.compute_all(preds, refs)))
         return 0
     else:
         print(f"unknown command {cmd!r}\n{__doc__}")

@@ -180,6 +180,17 @@ def coi_items_from_videos(videos: Iterable[Dict]) -> List[Dict]:
     return items
 
 
+def latency_stats(videos: Iterable[Dict]) -> Optional[Dict[str, float]]:
+    """p50/p95 per-turn latency if answer generation recorded it."""
+    lats = sorted(qa["latency_s"] for video in videos
+                  for qa in video.get("QAs", []) if "latency_s" in qa)
+    if not lats:
+        return None
+    pick = lambda p: lats[min(len(lats) - 1, int(p * (len(lats) - 1)))]
+    return {"p50_s": round(pick(0.5), 3), "p95_s": round(pick(0.95), 3),
+            "n": len(lats)}
+
+
 def summarize(judged_dir: str, out_path: Optional[str] = None) -> Dict:
     videos = load_judged_dir(judged_dir)
     report = {
@@ -187,6 +198,7 @@ def summarize(judged_dir: str, out_path: Optional[str] = None) -> Dict:
         "coherence": dialogue_coherence(videos),
         "coi": coi_metrics(coi_items_from_videos(videos)),
         "visual_flag": visual_flag_metrics(coi_items_from_videos(videos)),
+        "latency": latency_stats(videos),
         "n_videos": len(videos),
     }
     if out_path:

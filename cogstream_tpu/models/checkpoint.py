@@ -128,9 +128,8 @@ def vision_params_from_state_dict(sd: Dict, cfg,
                 "fc2": _lin(sd[lp + "mlp.fc2.weight"], sd[lp + "mlp.fc2.bias"], dtype),
             },
         })
-    from .qwen2 import stack_layer_list
-
-    params["layers"] = stack_layer_list(layers)
+    # vision keeps a per-layer list (see models/vision_encoder.py)
+    params["layers"] = layers
     return params
 
 

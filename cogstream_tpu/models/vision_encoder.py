@@ -87,9 +87,14 @@ def init_vision_params(key: jax.Array, cfg: VisionEncoderConfig) -> Params:
                 "fc2": _linear(k6, cfg.intermediate_size, cfg.hidden_size, dtype),
             },
         })
-    from .qwen2 import stack_layer_list
-
-    params["layers"] = stack_layer_list(layers)  # [L, ...] for the scan
+    # vision layers stay a per-layer LIST (each leaf its own buffer):
+    # the flash-attention custom call defeats XLA's scan optimizations —
+    # measured on v5e: pallas-in-rolled-scan runs 16x slower (29 vs 464
+    # frames/s), while the unrolled list form runs at full speed. The
+    # one-time compile cost of 27 inline kernels is absorbed by the
+    # persistent compilation cache (utils/cache.py). The decoder keeps
+    # stacked+scan (no custom calls there).
+    params["layers"] = layers
     return params
 
 
@@ -168,23 +173,15 @@ def vision_encoder_core(
     x = _dense(pixel_values.astype(cfg.jnp_dtype), params["patch_embed"])
     angles = vision_rope_angles(pos_ids, cfg.head_dim)
 
-    # one transformer block traced once, scanned over the stacked [L]
-    # params. With the Pallas kernel the scan is fully unrolled: a
-    # custom call inside a rolled scan blocks XLA from fusing the
-    # per-iteration weight slices and layout changes around it (measured
-    # 16x slower on v5e), while the unrolled form compiles fine at
-    # depth 27 and runs at full speed — the decoder keeps the rolled
-    # scan (no custom calls there, and depth-28 unrolls hung the
-    # compiler).
-    def body(x, layer):
+    # unrolled per-layer loop (see init_vision_params for why the
+    # vision tower does NOT scan: the Pallas custom call degrades
+    # rolled-scan runtime 16x on v5e)
+    for layer in params["layers"]:
         x = x + _attn_block(_layernorm(x, layer["ln1"], cfg.layer_norm_eps),
                             layer["attn"], angles, segment_ids, cfg,
                             attn_impl)
         x = x + _mlp_block(_layernorm(x, layer["ln2"], cfg.layer_norm_eps),
                            layer["mlp"])
-        return x, None
-
-    x, _ = jax.lax.scan(body, x, params["layers"], unroll=use_pallas)
     x = _layernorm(x, params["post_ln"], cfg.layer_norm_eps)
 
     # merge-window mean (exact bilinear 2x downsample, ref :487-506)

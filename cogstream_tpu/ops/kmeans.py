@@ -20,6 +20,7 @@ microseconds, and a data-dependent early exit would force a
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -83,6 +84,8 @@ def _kmeanspp_init(key, x, num_clusters):
     return centers, idxs
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("num_clusters", "alpha", "max_iters"))
 def kmeans_with_time(
     features: jax.Array,     # [T, F] (or [T, P, D], flattened internally)
     timestamps: jax.Array,   # [T]
@@ -130,6 +133,7 @@ def kmeans_with_time(
     return KMeansResult(centers, center_times, assignments)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
 def select_event_keyframes(
     features: jax.Array,      # [T, F] (or [T, P, D])
     centers: jax.Array,       # [K, F]

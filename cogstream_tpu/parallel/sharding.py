@@ -114,7 +114,8 @@ def vision_param_specs(cfg: VisionEncoderConfig, mesh: Mesh) -> Dict:
         "patch_embed": _dense_spec(cfg.num_channels * cfg.patch_size ** 2,
                                    H, mesh, "none", True),
         "post_ln": dict(ln),
-        "layers": _stack_specs(layer),
+        # vision layers are a per-layer list (models/vision_encoder.py)
+        "layers": [layer] * cfg.num_hidden_layers,
     }
 
 

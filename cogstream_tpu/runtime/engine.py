@@ -56,6 +56,9 @@ class CogReasonerEngine:
         use_pallas: bool = False,
         rng_seed: int = 0,
     ):
+        from ..utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()   # 27 unrolled pallas layers: compile once per machine
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

@@ -82,6 +82,7 @@ class StreamingSession:
         use_pallas: bool = False,
         rng_seed: int = 0,
         system_prompt: str = SYSTEM_PROMPT,
+        summary_forward: bool = True,
     ):
         self.params = params
         self.cfg = cfg
@@ -89,7 +90,13 @@ class StreamingSession:
         self.adapters = adapters or {}
         self.use_pallas = use_pallas
         self.max_len = max_len
+        # per-event summary LM forward at ingest (True = C7-faithful
+        # reps in hidden space; False = cheap feature-space centroids)
+        self.summary_forward = summary_forward
         self.cache = init_kv_cache(cfg.text, 1, max_len)
+        from ..utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self._key = jax.random.PRNGKey(rng_seed)
 
         self.ranges: List[SlotRange] = []
@@ -218,14 +225,15 @@ class StreamingSession:
             img_slot_ids = np.arange(r.start, r.end)[img_slots]
             self._pending_frames.append(
                 (frame_id, float(timestamps[fi]),
-                 frame_feats[fi], img_slot_ids, img_slot_ids[:1]))
+                 frame_feats[fi], img_slot_ids, img_slot_ids[:1], rows))
             if len(self._pending_frames) >= cc.frames_per_event:
                 self._close_event()
 
     def _close_event(self) -> None:
-        """Seal a frames_per_event window: pick keyframes, compute the
-        pooled summary representation (C7's per-event LM forward,
-        amortized at ingest — cogreasoner_chat.py:303-316)."""
+        """Seal a frames_per_event window: pick keyframes and compute
+        the event representation via the per-event summary LM forward
+        (C7's question-independent half, cogreasoner_chat.py:303-316),
+        amortized at ingest — off the question critical path."""
         frames = self._pending_frames
         self._pending_frames = []
         feats = np.stack([f[2] for f in frames])        # [n, H]
@@ -239,8 +247,37 @@ class StreamingSession:
             ev.keep_slots.extend(f[4].tolist())         # first image slot
             if i in kf:
                 ev.keep_slots.extend(f[3].tolist())     # whole keyframe
-        ev.rep = jnp.asarray(center)
+        ev.rep = self._event_summary_rep(frames) if self.summary_forward \
+            else jnp.asarray(center)
         self.events.append(ev)
+
+    def _event_summary_rep(self, frames) -> jax.Array:
+        """Mean-pooled hidden state of the event-summary prompt forward
+        over this event's kept visual rows (splice semantics as
+        models/cogreasoner.event_relevance, single event)."""
+        from ..models.cogreasoner import (
+            SUMMARY_INSTRUCTION, SUMMARY_SYSTEM)
+
+        parts = ["<|im_start|>system\n" + SUMMARY_SYSTEM + "<|im_end|>\n"
+                 "<|im_start|>user\n"]
+        rows = []
+        for j, f in enumerate(frames):
+            n_kept = int(f[5].shape[0])
+            parts.append(f"Time {f[1]:.1f}s:" + "<image>" * n_kept
+                         + ("," if j < len(frames) - 1 else ""))
+            rows.append(f[5])
+        parts.append("\n" + SUMMARY_INSTRUCTION + "<|im_end|>\n"
+                     "<|im_start|>assistant")
+        ids = np.asarray(self.tok.encode("".join(parts)), np.int32)
+        feats = jnp.concatenate(rows, axis=0)
+        img_positions = np.nonzero(ids == self.tok.image_token_id)[0]
+        emb = qwen2.embed(self.params["text"], jnp.asarray(ids))
+        emb = emb.at[jnp.asarray(img_positions)].set(
+            feats.astype(emb.dtype))
+        pos = jnp.arange(len(ids), dtype=jnp.int32)[None]
+        hidden, _ = qwen2.qwen2_forward(
+            self.params["text"], emb[None], pos, self.cfg.text)
+        return jnp.mean(hidden[0].astype(jnp.float32), axis=0)
 
     # ------------------------------------------------------------------
     # ask

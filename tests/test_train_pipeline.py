@@ -134,3 +134,25 @@ def test_pack_turn_batch_compression_mapping(tiny_config):
     # answer supervised, prompt masked
     labels = batch["labels"][0]
     assert (labels != -100).sum() == len(tok.encode("ok")) + 1
+
+
+def test_train_stage1_smoke(tmp_path, tiny_config, qa_json):
+    """Full stage-1 driver on the tiny model: mesh, constrained loss,
+    orbax save, adapter export."""
+    from cogstream_tpu.train.data import load_selector_dataset
+    from cogstream_tpu.train.stage1 import Stage1Config, train_stage1
+
+    params = {"text": __import__("cogstream_tpu.models.qwen2",
+                                 fromlist=["init_qwen2_params"])
+              .init_qwen2_params(jax.random.PRNGKey(0), tiny_config.text)}
+    tok = ByteTokenizer(image_token_id=tiny_config.image_token_index)
+    samples = load_selector_dataset(qa_json)
+    out = str(tmp_path / "s1")
+    state = train_stage1(
+        params, tiny_config, tok, samples, out,
+        Stage1Config(epochs=1, batch_size=2, max_len=2048,
+                     grad_accum=1, warmup_steps=1, save_every=1000,
+                     log_every=1000, shuffle_copies=1),
+        log=lambda *a: None)
+    assert int(np.asarray(state.step)) >= 1
+    assert os.path.exists(os.path.join(out, "language_module.npz"))
