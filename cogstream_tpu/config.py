@@ -226,6 +226,40 @@ def cogreasoner_config_from_json(text: str) -> CogReasonerConfig:
     )
 
 
+def load_processor_config(model_dir: str) -> ProcessorConfig:
+    """Merge preprocessor_config.json + processor_config.json from a HF
+    checkpoint dir into a ProcessorConfig (the reference's two-file
+    processor knob layout)."""
+    import os
+
+    knobs: dict = {}
+    pre = os.path.join(model_dir, "preprocessor_config.json")
+    if os.path.exists(pre):
+        with open(pre) as f:
+            d = json.load(f)
+        mean = d.get("image_mean")
+        std = d.get("image_std")
+        knobs.update({k: v for k, v in {
+            "patch_size": d.get("patch_size"),
+            "min_tokens": d.get("min_tokens"),
+            "max_tokens": d.get("max_tokens"),
+            "image_mean": tuple(mean) if mean else None,
+            "image_std": tuple(std) if std else None,
+            "rescale_factor": d.get("rescale_factor"),
+        }.items() if v is not None})
+    proc = os.path.join(model_dir, "processor_config.json")
+    if os.path.exists(proc):
+        with open(proc) as f:
+            d = json.load(f)
+        knobs.update({k: v for k, v in {
+            "fps": d.get("fps"),
+            "max_frames": d.get("max_frames"),
+            "image_merge_size": d.get("image_merge_size"),
+            "video_merge_size": d.get("video_merge_size"),
+        }.items() if v is not None})
+    return ProcessorConfig(**knobs)
+
+
 def load_hf_config(path: str) -> CogReasonerConfig:
     """Build a CogReasonerConfig from a HuggingFace-style config.json
     (the reference checkpoint layout, config.json:1-44)."""

@@ -189,9 +189,12 @@ class StreamingSession:
         cc = self.cfg.compression
         merged_per_frame = (gh // merge_size) * (gw // merge_size)
 
+        rows = t * gh * gw
+        pad_rows = -(-rows // 1024) * 1024   # bucket the encode shape
         mm = cogreasoner.encode_images(
             self.params, pixel_values, np.array([[t, gh, gw]]),
-            np.array([merge_size]), self.cfg, use_pallas=self.use_pallas)
+            np.array([merge_size]), self.cfg, use_pallas=self.use_pallas,
+            pad_to=pad_rows)
         # pixel-diff keep mask — question-independent, applied at ingest
         keep = cogreasoner.pixel_diff_keep_mask(
             jnp.asarray(pixel_values), t, merged_per_frame,
