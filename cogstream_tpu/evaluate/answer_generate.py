@@ -87,6 +87,63 @@ def generate_for_video(
     return {"video": video_path, "QAs": results}
 
 
+def generate_for_video_streaming(
+    session_factory,
+    processor_cfg,
+    video_path: str,
+    segments: Sequence[dict],
+    mode: str = "FCC",
+    max_new_tokens: int = 512,
+    log=print,
+) -> Dict:
+    """Streaming-session variant (BASELINE.md config 5): one KV-reusing
+    session per video — each segment is ingested once, questions run
+    against cached history (vs generate_for_video's per-turn full
+    re-process parity path)."""
+    from ..processor.image_processor import ImageProcessor
+    from ..processor.video_loader import load_video
+
+    sess = session_factory()
+    image_processor = ImageProcessor(processor_cfg)
+    results: List[dict] = []
+    n_hist = 0
+    for seg in segments:
+        s, e = (seg.get("timestamp") or [None, None])[:2]
+        frames, timestamps, _ = load_video(
+            video_path, start_time=s, end_time=e,
+            fps=processor_cfg.fps, max_frames=processor_cfg.max_frames)
+        if frames:
+            batch = image_processor([np.stack(frames)], modals=["video"])
+            t, gh, gw = (int(x) for x in batch.grid_sizes[0])
+            sess.append_stream_segment(
+                batch.pixel_values, (t, gh, gw),
+                int(batch.merge_sizes[0]), timestamps)
+        for qa in seg.get("QAs", []):
+            pair = qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \
+                else qa.get("QA_pairs", qa)
+            q = pair.get("Q", "")
+            t0 = time.time()
+            r = sess.ask(q, mode=mode, max_new_tokens=max_new_tokens)
+            dt = time.time() - t0
+            _, pred_coi = parse_selection(r["selection"])
+            results.append({
+                "question": q,
+                "answer": pair.get("A", ""),
+                "prediction": r["text"],
+                "pred_coi": pred_coi,
+                "pred_visual": r["if_visual"],
+                "coi": qa.get("coi", []),
+                "is_visual": qa.get("is_visual", True),
+                "label": qa.get("label", ""),
+                "class": qa.get("class", qa.get("type")),
+                "n_hist": n_hist,
+                "latency_s": round(dt, 3),
+                "cache_tokens": r["cache_tokens"],
+            })
+            n_hist += 1
+    return {"video": video_path, "QAs": results, "streaming": True}
+
+
 def run_eval(
     engine,
     processor,
@@ -96,6 +153,8 @@ def run_eval(
     mode: str = "FCC",
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    session_factory=None,          # set → streaming KV-reuse path
+    processor_cfg=None,
     log=print,
 ) -> None:
     import jax
@@ -114,9 +173,14 @@ def run_eval(
         video = os.path.join(video_dir,
                              spec.get("video", fname[:-5] + ".mp4"))
         try:
-            result = generate_for_video(
-                engine, processor, video, spec.get("segments", []),
-                mode=mode)
+            if session_factory is not None:
+                result = generate_for_video_streaming(
+                    session_factory, processor_cfg, video,
+                    spec.get("segments", []), mode=mode)
+            else:
+                result = generate_for_video(
+                    engine, processor, video, spec.get("segments", []),
+                    mode=mode)
             atomic_write_json(out_path, result, indent=1)
             lat = [q["latency_s"] for q in result["QAs"]]
             log(f"{fname}: {len(lat)} turns, p50 latency "
@@ -135,6 +199,8 @@ def main():
     ap.add_argument("--save-dir", required=True)
     ap.add_argument("--mode", default="FCC",
                     choices=["FCC", "AC", "NC", "gt"])
+    ap.add_argument("--streaming", action="store_true",
+                    help="KV-reusing session per video (fast path)")
     args = ap.parse_args()
 
     from ..config import load_hf_config
@@ -154,8 +220,16 @@ def main():
         adapters["full_module"] = load_lora_adapter(args.lora_adapter_2)
     engine = CogReasonerEngine(params, cfg, tok, adapters=adapters)
     processor = CogStreamProcessor(tok, cfg.processor)
+    session_factory = None
+    if args.streaming:
+        from ..runtime.session import StreamingSession
+
+        def session_factory():
+            return StreamingSession(params, cfg, tok, adapters=adapters,
+                                    use_pallas=True)
     run_eval(engine, processor, args.video_dir, args.query_dir,
-             args.save_dir, mode=args.mode)
+             args.save_dir, mode=args.mode,
+             session_factory=session_factory, processor_cfg=cfg.processor)
 
 
 if __name__ == "__main__":

@@ -207,28 +207,50 @@ class StreamingSession:
             jnp.mean(mm.reshape(t, merged_per_frame, -1), axis=1)
             .astype(jnp.float32))                       # [t, H]
 
+        # ONE prefill per segment (per-frame prefills cost a fresh
+        # compile per unique kept-token count — ~1s each over the
+        # remote-compile tunnel): concat every frame's template ids,
+        # splice all kept visual rows in one gather, bucket, write.
         img_id = self.tok.image_token_id
+        all_ids: List[np.ndarray] = []
+        frame_img_offsets: List[np.ndarray] = []   # img positions per frame
+        feat_rows: List[np.ndarray] = []           # flat rows into mm
+        offset = 0
         for fi in range(t):
             kept = np.nonzero(keep_host[fi])[0]
             stamp = f"Time {float(timestamps[fi]):.1f}s:"
             text = (f"<|im_start|>stream\n{stamp}"
                     + "<image>" * len(kept) + "<|im_end|>\n")
             ids = np.asarray(self.tok.encode(text), np.int32)
-            emb = qwen2.embed(self.params["text"], jnp.asarray(ids))
-            rows = mm[fi * merged_per_frame + jnp.asarray(kept)]
-            img_slots = np.nonzero(ids == img_id)[0]
-            emb = emb.at[jnp.asarray(img_slots)].set(
-                rows.astype(emb.dtype))
-            r = self._prefill_embeds(emb, kind="stream")
+            img_pos = np.nonzero(ids == img_id)[0]
+            all_ids.append(ids)
+            frame_img_offsets.append(offset + img_pos)
+            feat_rows.append(fi * merged_per_frame + kept)
+            offset += len(ids)
+
+        seg_ids = np.concatenate(all_ids)
+        flat_img = np.concatenate(frame_img_offsets) if frame_img_offsets \
+            else np.zeros((0,), np.int64)
+        flat_rows = np.concatenate(feat_rows) if feat_rows \
+            else np.zeros((0,), np.int64)
+        emb = qwen2.embed(self.params["text"], jnp.asarray(seg_ids))
+        rows_dev = mm[jnp.asarray(flat_rows)]
+        emb = emb.at[jnp.asarray(flat_img)].set(
+            rows_dev.astype(emb.dtype))
+        r = self._prefill_embeds(emb, kind="stream")
+
+        for fi in range(t):
             frame_id = self.total_frames
             self.total_frames += 1
             # only image-token slots participate in event pruning; the
-            # "Time X.Xs:" text stays visible (ref drops <image> ids only,
-            # cogreasoner_chat.py:449-476)
-            img_slot_ids = np.arange(r.start, r.end)[img_slots]
+            # "Time X.Xs:" text stays visible (ref drops <image> ids
+            # only, cogreasoner_chat.py:449-476)
+            img_slot_ids = r.start + frame_img_offsets[fi]
+            frame_rows = mm[jnp.asarray(feat_rows[fi])]
             self._pending_frames.append(
                 (frame_id, float(timestamps[fi]),
-                 frame_feats[fi], img_slot_ids, img_slot_ids[:1], rows))
+                 frame_feats[fi], img_slot_ids, img_slot_ids[:1],
+                 frame_rows))
             if len(self._pending_frames) >= cc.frames_per_event:
                 self._close_event()
 
@@ -272,15 +294,23 @@ class StreamingSession:
         parts.append("\n" + SUMMARY_INSTRUCTION + "<|im_end|>\n"
                      "<|im_start|>assistant")
         ids = np.asarray(self.tok.encode("".join(parts)), np.int32)
+        n = len(ids)
+        np_pad = self._bucket(n, 128)   # bucket → stable jit shapes
+        ids_pad = np.zeros((np_pad,), np.int32)
+        ids_pad[:n] = ids
         feats = jnp.concatenate(rows, axis=0)
         img_positions = np.nonzero(ids == self.tok.image_token_id)[0]
-        emb = qwen2.embed(self.params["text"], jnp.asarray(ids))
+        emb = qwen2.embed(self.params["text"], jnp.asarray(ids_pad))
         emb = emb.at[jnp.asarray(img_positions)].set(
             feats.astype(emb.dtype))
-        pos = jnp.arange(len(ids), dtype=jnp.int32)[None]
+        pos = jnp.concatenate([
+            jnp.arange(n, dtype=jnp.int32),
+            jnp.full((np_pad - n,), -1, jnp.int32)])[None]
         hidden, _ = qwen2.qwen2_forward(
             self.params["text"], emb[None], pos, self.cfg.text)
-        return jnp.mean(hidden[0].astype(jnp.float32), axis=0)
+        valid = (pos[0] >= 0)[:, None].astype(jnp.float32)
+        return (jnp.sum(hidden[0].astype(jnp.float32) * valid, axis=0)
+                / jnp.maximum(valid.sum(), 1.0))
 
     # ------------------------------------------------------------------
     # ask
