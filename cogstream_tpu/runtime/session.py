@@ -141,21 +141,24 @@ class StreamingSession:
         return max(step, -(-n // step) * step)
 
     def _prefill_embeds(self, embeds: jax.Array, kind: str,
-                        turn: int = -1) -> SlotRange:
+                        turn: int = -1,
+                        real_len: Optional[int] = None) -> SlotRange:
         """Write S tokens into the cache. Lengths are bucketed to
         multiples of 32 so repeated ingests/asks hit the jit cache;
         padding slots carry position -1 (invisible) and are skipped by
-        the recorded SlotRange."""
-        S = embeds.shape[0]
-        Sp = self._bucket(S)
+        the recorded SlotRange. Pass ``real_len`` when ``embeds`` is
+        already bucket-padded."""
+        S = real_len if real_len is not None else embeds.shape[0]
+        Sp = self._bucket(embeds.shape[0]) if real_len is None \
+            else embeds.shape[0]
         start = self.write_index
         if start + Sp > self.max_len:
             raise RuntimeError(
                 f"session cache overflow: {start}+{Sp} > {self.max_len}")
-        if Sp > S:
+        if Sp > embeds.shape[0]:
             embeds = jnp.concatenate(
-                [embeds, jnp.zeros((Sp - S, embeds.shape[1]),
-                                   embeds.dtype)])
+                [embeds, jnp.zeros((Sp - embeds.shape[0],
+                                    embeds.shape[1]), embeds.dtype)])
         positions = jnp.concatenate([
             jnp.arange(self.next_pos, self.next_pos + S, dtype=jnp.int32),
             jnp.full((Sp - S,), -1, jnp.int32)])[None]
@@ -233,11 +236,40 @@ class StreamingSession:
             else np.zeros((0,), np.int64)
         flat_rows = np.concatenate(feat_rows) if feat_rows \
             else np.zeros((0,), np.int64)
-        emb = qwen2.embed(self.params["text"], jnp.asarray(seg_ids))
-        rows_dev = mm[jnp.asarray(flat_rows)]
-        emb = emb.at[jnp.asarray(flat_img)].set(
-            rows_dev.astype(emb.dtype))
-        r = self._prefill_embeds(emb, kind="stream")
+
+        # bucket every device-op shape so repeated segments reuse
+        # compiled programs: ids → mult of 32 (+1 scratch row that
+        # absorbs the padded scatter indices), img scatter/gather →
+        # mult of 64
+        n = len(seg_ids)
+        Sp = self._bucket(n)
+        ids_pad = np.zeros((Sp,), np.int32)
+        ids_pad[:n] = seg_ids
+        n_img = len(flat_img)
+        n_img_p = self._bucket(max(n_img, 1), 64)
+        img_pad = np.full((n_img_p,), Sp, np.int64)     # scratch row
+        img_pad[:n_img] = flat_img
+        rows_pad = np.zeros((n_img_p,), np.int64)
+        rows_pad[:n_img] = flat_rows
+
+        emb = qwen2.embed(self.params["text"], jnp.asarray(ids_pad))
+        emb = jnp.concatenate(
+            [emb, jnp.zeros((1, emb.shape[1]), emb.dtype)])  # scratch
+        rows_dev = mm[jnp.asarray(rows_pad)]
+        emb = emb.at[jnp.asarray(img_pad)].set(rows_dev.astype(emb.dtype))
+        emb = emb[:-1]                                   # drop scratch
+        r = self._prefill_embeds(emb, kind="stream", real_len=n)
+
+        # fixed-shape per-frame feature gather ([merged, H] regardless of
+        # kept count) so event summaries never see per-count shapes
+        frame_rows_idx = np.zeros((t, merged_per_frame), np.int64)
+        kept_counts = np.zeros((t,), np.int32)
+        for fi in range(t):
+            k = feat_rows[fi]
+            frame_rows_idx[fi, :len(k)] = k
+            kept_counts[fi] = len(k)
+        frame_rows_all = mm[jnp.asarray(frame_rows_idx.reshape(-1))] \
+            .reshape(t, merged_per_frame, -1)
 
         for fi in range(t):
             frame_id = self.total_frames
@@ -246,11 +278,10 @@ class StreamingSession:
             # "Time X.Xs:" text stays visible (ref drops <image> ids
             # only, cogreasoner_chat.py:449-476)
             img_slot_ids = r.start + frame_img_offsets[fi]
-            frame_rows = mm[jnp.asarray(feat_rows[fi])]
             self._pending_frames.append(
                 (frame_id, float(timestamps[fi]),
                  frame_feats[fi], img_slot_ids, img_slot_ids[:1],
-                 frame_rows))
+                 (frame_rows_all[fi], int(kept_counts[fi]))))
             if len(self._pending_frames) >= cc.frames_per_event:
                 self._close_event()
 
@@ -285,12 +316,14 @@ class StreamingSession:
 
         parts = ["<|im_start|>system\n" + SUMMARY_SYSTEM + "<|im_end|>\n"
                  "<|im_start|>user\n"]
-        rows = []
+        rows = []          # fixed-shape [merged, H] per frame
+        sel_idx = []       # row index (within concat) per <image> token
         for j, f in enumerate(frames):
-            n_kept = int(f[5].shape[0])
+            frame_rows, n_kept = f[5]
             parts.append(f"Time {f[1]:.1f}s:" + "<image>" * n_kept
                          + ("," if j < len(frames) - 1 else ""))
-            rows.append(f[5])
+            rows.append(frame_rows)
+            sel_idx.append(j * frame_rows.shape[0] + np.arange(n_kept))
         parts.append("\n" + SUMMARY_INSTRUCTION + "<|im_end|>\n"
                      "<|im_start|>assistant")
         ids = np.asarray(self.tok.encode("".join(parts)), np.int32)
@@ -300,9 +333,20 @@ class StreamingSession:
         ids_pad[:n] = ids
         feats = jnp.concatenate(rows, axis=0)
         img_positions = np.nonzero(ids == self.tok.image_token_id)[0]
+        sel = np.concatenate(sel_idx) if sel_idx else np.zeros(0, np.int64)
+        # bucket scatter/gather counts; pads land on a scratch row
+        n_img = len(img_positions)
+        n_img_p = self._bucket(max(n_img, 1), 64)
+        img_pad = np.full((n_img_p,), np_pad, np.int64)
+        img_pad[:n_img] = img_positions
+        sel_pad = np.zeros((n_img_p,), np.int64)
+        sel_pad[:n_img] = sel
         emb = qwen2.embed(self.params["text"], jnp.asarray(ids_pad))
-        emb = emb.at[jnp.asarray(img_positions)].set(
-            feats.astype(emb.dtype))
+        emb = jnp.concatenate(
+            [emb, jnp.zeros((1, emb.shape[1]), emb.dtype)])
+        emb = emb.at[jnp.asarray(img_pad)].set(
+            feats[jnp.asarray(sel_pad)].astype(emb.dtype))
+        emb = emb[:-1]
         pos = jnp.concatenate([
             jnp.arange(n, dtype=jnp.int32),
             jnp.full((np_pad - n,), -1, jnp.int32)])[None]
