@@ -68,6 +68,7 @@ def causal_gqa_attention(
     kv_valid: Optional[jax.Array] = None,   # [B, T] bool — which cache slots hold real tokens
     kv_positions: Optional[jax.Array] = None,  # [B, T] absolute positions of kv tokens
     scale: Optional[float] = None,
+    chunk_threshold: int = 1 << 22,   # S*T above this → chunked path
 ) -> jax.Array:
     """Causal grouped-query attention over a (possibly padded) KV region.
 
@@ -75,7 +76,16 @@ def causal_gqa_attention(
     offsets so the same code serves prefill (S == T, positions equal)
     and cached decode (S == 1, T == cache length). Padded KV slots are
     masked with ``kv_valid``.
+
+    Long sequences dispatch to the chunked online-softmax path (below):
+    the dense form materializes [B, Hkv, G, S, T] logits, which is
+    30 TB at the 32k context the model supports (config.json:17) —
+    shapes are static so the dispatch is a Python-level decision.
     """
+    S, T = q.shape[1], k.shape[1]
+    if S * T > chunk_threshold:
+        return chunked_causal_gqa_attention(
+            q, k, v, q_positions, kv_valid, kv_positions, scale)
     B, S, Hq, D = q.shape
     Hkv = k.shape[2]
     groups = Hq // Hkv
@@ -94,3 +104,74 @@ def causal_gqa_attention(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgst,bthd->bshgd", probs, v.astype(jnp.float32))
     return out.reshape(B, S, Hq, D).astype(q.dtype)
+
+
+def chunked_causal_gqa_attention(
+    q: jax.Array,               # [B, S, Hq, D]
+    k: jax.Array,               # [B, T, Hkv, D]
+    v: jax.Array,               # [B, T, Hkv, D]
+    q_positions: jax.Array,     # [B, S]
+    kv_valid: Optional[jax.Array] = None,
+    kv_positions: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    kv_chunk: int = 1024,
+) -> jax.Array:
+    """Flash-style online-softmax attention expressed in XLA: a
+    ``lax.scan`` over KV chunks carrying (m, l, acc), O(S * kv_chunk)
+    live memory instead of O(S * T). Scan-compatible (it lives inside
+    the decoder's layer scan where a Pallas custom call would degrade
+    16x — see models/vision_encoder.py) and MXU-friendly: every step is
+    two [S, chunk] x [chunk, D] GEMM batches.
+    """
+    B, S, Hq, D = q.shape
+    T = k.shape[1]
+    Hkv = k.shape[2]
+    G = Hq // Hkv
+    if scale is None:
+        scale = 1.0 / float(D) ** 0.5
+    if kv_positions is None:
+        kv_positions = q_positions
+    if kv_valid is None:
+        kv_valid = jnp.ones((B, T), jnp.bool_)
+
+    pad = (-T) % kv_chunk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kv_positions = jnp.pad(kv_positions, ((0, 0), (0, pad)),
+                               constant_values=-1)
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad)))
+    n_chunks = (T + pad) // kv_chunk
+
+    qf = q.astype(jnp.float32).reshape(B, S, Hkv, G, D) * scale
+    kc = k.astype(jnp.float32).reshape(B, n_chunks, kv_chunk, Hkv, D)
+    vc = v.astype(jnp.float32).reshape(B, n_chunks, kv_chunk, Hkv, D)
+    pc = kv_positions.reshape(B, n_chunks, kv_chunk)
+    uc = kv_valid.reshape(B, n_chunks, kv_chunk)
+
+    def step(carry, xs):
+        m, l, acc = carry                       # [B,Hkv,G,S], ", [B,Hkv,G,S,D]
+        kb, vb, pb, ub = xs                     # [B,C,Hkv,D], ", [B,C], [B,C]
+        s = jnp.einsum("bshgd,bchd->bhgsc", qf, kb)      # [B,Hkv,G,S,C]
+        mask = (q_positions[:, :, None] >= pb[:, None, :]) \
+            & ub[:, None, :] & (pb[:, None, :] >= 0)     # [B,S,C]
+        s = jnp.where(mask[:, None, None], s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        safe_m = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+        p = jnp.exp(s - safe_m[..., None])
+        p = jnp.where(mask[:, None, None], p, 0.0)
+        alpha = jnp.exp(jnp.where(m <= NEG_INF / 2, NEG_INF, m - m_new))
+        l = l * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhgsc,bchd->bhgsd", p, vb)
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((B, Hkv, G, S), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, G, S), jnp.float32)
+    a0 = jnp.zeros((B, Hkv, G, S, D), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        step, (m0, l0, a0),
+        (kc.transpose(1, 0, 2, 3, 4), vc.transpose(1, 0, 2, 3, 4),
+         pc.transpose(1, 0, 2), uc.transpose(1, 0, 2)))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]        # [B,Hkv,G,S,D]
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, Hq, D).astype(q.dtype)

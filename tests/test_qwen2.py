@@ -146,3 +146,27 @@ def test_lora_gating():
     np.testing.assert_allclose(np.asarray(off), np.asarray(base),
                                rtol=1e-6, atol=1e-6)
     assert np.abs(np.asarray(on) - np.asarray(base)).max() > 1e-4
+
+
+def test_chunked_attention_matches_dense():
+    from cogstream_tpu.ops.attention import (
+        causal_gqa_attention, chunked_causal_gqa_attention)
+
+    rng = np.random.default_rng(0)
+    B, S, T, Hq, Hkv, D = 2, 48, 80, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+    qp = jnp.asarray(np.tile(np.arange(32, 32 + S), (B, 1)))
+    kp = jnp.asarray(np.tile(np.arange(T), (B, 1)))
+    valid = jnp.asarray(rng.random((B, T)) > 0.1)
+    ref = causal_gqa_attention(q, k, v, qp, valid, kp)
+    out = chunked_causal_gqa_attention(q, k, v, qp, valid, kp,
+                                       kv_chunk=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+    # long-context dispatch picks the chunked path implicitly
+    out2 = causal_gqa_attention(q, k, v, qp, valid, kp,
+                                chunk_threshold=64)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=2e-5)
