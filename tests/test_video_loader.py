@@ -1,0 +1,92 @@
+"""Video loading: cv2 fallback semantics + native ring decoder (when
+ffmpeg exists) + frame-dir path (C2)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from cogstream_tpu.processor import video_loader
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("v") / "c.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (128, 96))
+    for i in range(60):   # 6 s @ 10 fps
+        frame = np.full((96, 128, 3), i * 4 % 255, np.uint8)
+        w.write(frame)
+    w.release()
+    return path
+
+
+def test_fps_resample_and_timestamps(clip):
+    frames, ts, dur = video_loader.load_video(clip, fps=2, max_frames=64)
+    assert 10 <= len(frames) <= 13          # ~6s * 2fps
+    assert frames[0].shape[0] == 3          # CHW
+    steps = np.diff(ts)
+    assert np.allclose(steps, 0.5, atol=0.01)
+    assert 5.5 <= dur <= 6.5
+
+
+def test_trim_window(clip):
+    frames, ts, _ = video_loader.load_video(clip, start_time=2.0,
+                                            end_time=4.0, fps=1)
+    assert 1 <= len(frames) <= 3
+    assert all(2.0 <= t <= 4.0 for t in ts)
+
+
+def test_max_frames_uniform_subsample(clip):
+    frames, ts, _ = video_loader.load_video(clip, fps=10, max_frames=5)
+    assert len(frames) == 5
+    assert ts == sorted(ts)
+
+
+def test_size_snapping(clip):
+    frames, _, _ = video_loader.load_video(clip, fps=1, size=56,
+                                           size_divisible=14)
+    c, h, w = frames[0].shape
+    assert h % 14 == 0 and w % 14 == 0
+    assert min(h, w) >= 42
+
+
+def test_temporal_factor_padding(clip):
+    frames, ts, _ = video_loader.load_video(clip, fps=1, max_frames=64,
+                                            temporal_factor=4)
+    assert len(frames) % 4 == 0
+    assert len(ts) == len(frames)
+
+
+def test_frame_dir(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(6):
+        Image.fromarray(
+            np.full((32, 48, 3), i * 40, np.uint8)).save(
+            d / f"{i:04d}.jpg")
+    frames, ts, dur = video_loader.load_video(str(d), fps=1,
+                                              max_frames=4)
+    assert len(frames) == 4
+
+
+def test_missing_file_raises():
+    with pytest.raises(Exception):
+        video_loader.load_video("/nonexistent/nope.mp4")
+
+
+@pytest.mark.skipif(not video_loader.have_ffmpeg(),
+                    reason="no ffmpeg binary on this host")
+def test_native_ring_decoder(clip):
+    from cogstream_tpu.processor.native_video import (
+        decode_video, is_available)
+
+    if not is_available():
+        pytest.skip("native lib unavailable")
+    frames = decode_video(clip, 128, 96, fps=5)
+    assert frames.shape[1:] == (96, 128, 3)
+    assert len(frames) >= 25
