@@ -9,6 +9,7 @@ of the reference) plus the serving front-end this framework adds:
   judge            run one LLM-judge metric      (eval_{1..5}_*.py)
   summarize        aggregate judged scores       (analysis/step1*.py)
   nlp-metrics      BLEU/METEOR/ROUGE-L/CIDEr     (step2c_basic_nlp_metrics.py)
+  datagen          full C19-C24 pipeline over segment specs
   serve            HTTP streaming-session server (no reference analogue)
 """
 
@@ -63,6 +64,56 @@ def main(argv=None):
         args = ap.parse_args(rest)
         report = aggregate.summarize(args.judged_dir, args.out)
         print(aggregate.format_table(report))
+        return 0
+    elif cmd == "datagen":
+        import argparse
+        import json as _json
+        import os
+
+        from .datagen import (
+            dialogue_path, formatting, generation, reformatting, scoring)
+        from .datagen.client import FakeMLLM, MLLMClient
+        from .utils.io import atomic_write_json
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--segments-dir", required=True,
+                        help="per-video segment specs (C18 output)")
+        ap.add_argument("--out-root", required=True)
+        ap.add_argument("--model", default="fake",
+                        help="'fake' or an OpenAI-compatible model name")
+        ap.add_argument("--n-streams", type=int, default=2)
+        ap.add_argument("--coi-threshold", type=int, default=5)
+        ap.add_argument("--seed", type=int, default=0)
+        args = ap.parse_args(rest)
+        client = (FakeMLLM(args.seed) if args.model == "fake"
+                  else MLLMClient(args.model))
+
+        qa_dir = os.path.join(args.out_root, "qas")
+        remix_dir = os.path.join(args.out_root, "remixed")
+        score_dir = os.path.join(args.out_root, "scores")
+        path_dir = os.path.join(args.out_root, "streams")
+        final_dir = os.path.join(args.out_root, "dataset")
+
+        generation.run_generation(client, args.segments_dir, qa_dir,
+                                  seed=args.seed)
+        os.makedirs(remix_dir, exist_ok=True)
+        for fname in sorted(os.listdir(qa_dir)):
+            if not fname.endswith(".json"):
+                continue
+            out_path = os.path.join(remix_dir, fname)
+            if os.path.exists(out_path):
+                continue
+            with open(os.path.join(qa_dir, fname)) as f:
+                video = _json.load(f)
+            video = reformatting.cap_counts(
+                reformatting.remix(video, seed=args.seed), seed=args.seed)
+            atomic_write_json(out_path, video)
+        scoring.run_scoring(client, remix_dir, score_dir)
+        dialogue_path.run_path_construction(
+            score_dir, remix_dir, path_dir, n_streams=args.n_streams,
+            threshold=args.coi_threshold, seed=args.seed)
+        stats = formatting.format_dataset(path_dir, remix_dir, final_dir)
+        print(_json.dumps(stats))
         return 0
     elif cmd == "nlp-metrics":
         import argparse

@@ -54,8 +54,14 @@ def load_selector_dataset(path: str) -> List[SelectorSample]:
     with open(path) as f:
         data = json.load(f)
     samples: List[SelectorSample] = []
-    videos = data.values() if isinstance(data, dict) else data
+    videos = list(data.values()) if isinstance(data, dict) else data
+    flat = []
     for video in videos:
+        if isinstance(video, list):      # merged layout: streams per video
+            flat.extend(video)
+        else:
+            flat.append(video)
+    for video in flat:
         qas = video.get("QAs") if isinstance(video, dict) else video
         if qas is None:
             continue
