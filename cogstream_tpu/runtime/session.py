@@ -361,12 +361,20 @@ class StreamingSession:
     # ------------------------------------------------------------------
 
     def _question_rep(self, question_ids: np.ndarray) -> jax.Array:
-        q_ids = jnp.asarray(question_ids[None, :])
-        q_pos = jnp.arange(q_ids.shape[1], dtype=jnp.int32)[None]
+        n = len(question_ids)
+        Sp = self._bucket(n)   # bucketed → one compile per length bucket
+        ids = np.zeros((Sp,), np.int32)
+        ids[:n] = question_ids
+        q_pos = jnp.concatenate([
+            jnp.arange(n, dtype=jnp.int32),
+            jnp.full((Sp - n,), -1, jnp.int32)])[None]
         h, _ = qwen2.qwen2_forward(
-            self.params["text"], qwen2.embed(self.params["text"], q_ids),
+            self.params["text"],
+            qwen2.embed(self.params["text"], jnp.asarray(ids))[None],
             q_pos, self.cfg.text)
-        return jnp.mean(h[0].astype(jnp.float32), axis=0)
+        valid = (q_pos[0] >= 0)[:, None].astype(jnp.float32)
+        return (jnp.sum(h[0].astype(jnp.float32) * valid, axis=0)
+                / jnp.maximum(valid.sum(), 1.0))
 
     def _allowed_mask(self, if_visual: bool,
                       selected_turns: Sequence[int],
