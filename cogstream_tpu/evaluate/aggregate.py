@@ -206,17 +206,29 @@ def summarize(judged_dir: str, out_path: Optional[str] = None) -> Dict:
     return report
 
 
-def format_table(report: Dict) -> str:
+def format_table(report: Dict, latex: bool = False) -> str:
+    """Markdown (default) or LaTeX results table (the step2b printers
+    emit LaTeX rows for the paper table)."""
     s = report["scores"]
-    lines = ["| metric | score |", "|---|---|",
-             f"| **Avg.** | {s['average']} |"]
-    for m, v in (s.get("metrics") or {}).items():
-        lines.append(f"| {m} | {v} |")
-    for g, v in (s.get("groups") or {}).items():
-        lines.append(f"| {g} | {v} |")
+    rows = [("Avg.", s["average"])]
+    rows += list((s.get("metrics") or {}).items())
+    rows += list((s.get("groups") or {}).items())
     c = report.get("coherence") or {}
-    lines.append(f"| coherence inter/exter | {c.get('inter')}/{c.get('exter')} |")
+    rows.append(("coherence inter/exter",
+                 f"{c.get('inter')}/{c.get('exter')}"))
     k = report.get("coi") or {}
     if k.get("support"):
-        lines.append(f"| COI F1 | {round(k['f1'], 4)} |")
+        rows.append(("COI F1", round(k["f1"], 4)))
+    lat = report.get("latency")
+    if lat:
+        rows.append(("latency p50/p95 (s)",
+                     f"{lat['p50_s']}/{lat['p95_s']}"))
+    if latex:
+        body = " \\\\\n".join(f"{name} & {val}" for name, val in rows)
+        return ("\\begin{tabular}{lr}\n\\toprule\nmetric & score \\\\\n"
+                "\\midrule\n" + body + " \\\\\n\\bottomrule\n"
+                "\\end{tabular}")
+    lines = ["| metric | score |", "|---|---|"]
+    lines += [f"| {'**Avg.**' if name == 'Avg.' else name} | {val} |"
+              for name, val in rows]
     return "\n".join(lines)
