@@ -150,6 +150,38 @@ def bench_session(full: bool, use_pallas: bool):
     return float(np.median(lat[1:])), ingest_s, T / ingest_s
 
 
+def bench_preprocess():
+    """BASELINE config 1: host-side preprocess (any-res resize +
+    patchify + normalize) + on-device temporal-semantic k-means over a
+    1-minute 1fps clip equivalent."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cogstream_tpu.config import ProcessorConfig
+    from cogstream_tpu.ops.kmeans import kmeans_with_time
+    from cogstream_tpu.processor.image_processor import ImageProcessor
+
+    rng = np.random.default_rng(0)
+    T = 60
+    frames = rng.integers(0, 255, (T, 3, 360, 640), np.uint8)
+    proc = ImageProcessor(ProcessorConfig())
+    t0 = time.perf_counter()
+    batch = proc([frames], modals=["video"])
+    prep_s = time.perf_counter() - t0
+
+    feats = jnp.asarray(rng.normal(size=(T, 256)), jnp.float32)
+    ts = jnp.arange(T, dtype=jnp.float32)
+    km = kmeans_with_time(feats, ts, 4, jax.random.PRNGKey(0))
+    jax.block_until_ready(km.assignments)
+    t0 = time.perf_counter()
+    km = kmeans_with_time(feats, ts, 4, jax.random.PRNGKey(1))
+    jax.block_until_ready(km.assignments)
+    km_s = time.perf_counter() - t0
+    return T / prep_s, km_s
+
+
 def main():
     import jax
 
@@ -187,6 +219,12 @@ def main():
         })
     except Exception as e:
         extras["session_bench_error"] = type(e).__name__
+    try:
+        prep_fps, km_s = bench_preprocess()
+        extras.update({"preprocess_fps": round(prep_fps, 1),
+                       "kmeans_s": round(km_s, 4)})
+    except Exception as e:
+        extras["preprocess_bench_error"] = type(e).__name__
 
     out = {
         "metric": "encoder_frames_per_sec_per_chip",

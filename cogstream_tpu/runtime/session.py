@@ -252,6 +252,7 @@ class StreamingSession:
         rows_pad = np.zeros((n_img_p,), np.int64)
         rows_pad[:n_img] = flat_rows
 
+        self.evict_for(Sp)          # sliding-window room for the segment
         emb = qwen2.embed(self.params["text"], jnp.asarray(ids_pad))
         emb = jnp.concatenate(
             [emb, jnp.zeros((1, emb.shape[1]), emb.dtype)])  # scratch
@@ -357,6 +358,76 @@ class StreamingSession:
                 / jnp.maximum(valid.sum(), 1.0))
 
     # ------------------------------------------------------------------
+    # compaction — long-stream endurance
+    # ------------------------------------------------------------------
+
+    def compact(self, keep_range) -> int:
+        """Physically compact the cache to the ranges ``keep_range``
+        selects (whole-range granularity): one gather per K/V stack
+        moves surviving slots to the front, reclaiming dropped turns,
+        evicted segments AND bucket-padding waste. Absolute RoPE
+        positions are preserved (only slots move), so attention
+        semantics are unchanged. Returns the new live-slot count."""
+        kept = [r for r in self.ranges if r.kind == "system"
+                or keep_range(r)]
+        perm = (np.concatenate([np.arange(r.start, r.end) for r in kept])
+                if kept else np.zeros((0,), np.int64))
+        n_new = len(perm)
+        old2new = np.full((self.max_len,), -1, np.int64)
+        old2new[perm] = np.arange(n_new)
+
+        idx = np.zeros((self.max_len,), np.int64)
+        idx[:n_new] = perm
+        gidx = jnp.asarray(idx)
+        valid = jnp.asarray(np.arange(self.max_len) < n_new)
+        k = jnp.take(self.cache.k, gidx, axis=2)
+        v = jnp.take(self.cache.v, gidx, axis=2)
+        pos = jnp.where(valid[None],
+                        jnp.take(self.cache.pos, gidx, axis=1), -1)
+        self.cache = KVCache(k, v, pos.astype(jnp.int32),
+                             jnp.asarray(n_new, jnp.int32))
+
+        new_ranges: List[SlotRange] = []
+        off = 0
+        for r in kept:
+            n = r.end - r.start
+            new_ranges.append(SlotRange(r.kind, off, off + n, r.turn))
+            off += n
+        self.ranges = new_ranges
+
+        remapped_events: List[EventRecord] = []
+        for ev in self.events:
+            new_fs = [old2new[np.asarray(s)] for s in ev.frame_slots]
+            if any((a < 0).any() for a in new_fs if a.size):
+                continue   # its segment was evicted
+            ev.frame_slots = new_fs
+            ev.keep_slots = [int(old2new[s]) for s in ev.keep_slots
+                             if old2new[s] >= 0]
+            remapped_events.append(ev)
+        self.events = remapped_events
+        return n_new
+
+    def evict_for(self, needed: int) -> None:
+        """Make room for ``needed`` new slots by evicting the OLDEST
+        stream segments and their associated QA turns (sliding-window
+        policy; the system prompt always survives)."""
+        if self.write_index + needed <= self.max_len:
+            return
+        live = [r for r in self.ranges if r.kind != "system"]
+        sizes = {id(r): r.end - r.start for r in live}
+        must_free = self.write_index + needed - self.max_len
+        # also reclaim pad waste: live size vs write_index difference
+        dropped: set = set()
+        freed = self.write_index - sum(
+            r.end - r.start for r in self.ranges)
+        for r in live:                     # oldest-first (list order)
+            if freed >= must_free:
+                break
+            dropped.add(id(r))
+            freed += sizes[id(r)]
+        self.compact(lambda r: id(r) not in dropped)
+
+    # ------------------------------------------------------------------
     # ask
     # ------------------------------------------------------------------
 
@@ -425,13 +496,15 @@ class StreamingSession:
 
         q_text = f"<|im_start|>user\n{question}<|im_end|>\n<|im_start|>assistant\n"
         q_ids = np.asarray(self.tok.encode(q_text), np.int32)
+        S = len(q_ids)
+        Sp = self._bucket(S)   # bucketed prefill → stable jit cache
+        # evict BEFORE building the visibility mask — compaction moves
+        # slots, which would invalidate a pre-built mask
+        self.evict_for(Sp + max_new_tokens)
         allowed = self._allowed_mask(
             if_visual, sel_idx, np.asarray(self.tok.encode(question),
                                            np.int32))
-
         start = self.write_index
-        S = len(q_ids)
-        Sp = self._bucket(S)   # bucketed prefill → stable jit cache
         if start + Sp + max_new_tokens > self.max_len:
             raise RuntimeError("session cache overflow")
         ids_pad = np.zeros((Sp,), np.int32)

@@ -125,3 +125,59 @@ def test_session_event_pruning_mask(session_setup):
     for r in sess.ranges:
         if r.kind == "stream":
             assert not blocked[r.start:r.end].any()
+
+
+def test_session_compaction_and_eviction(session_setup):
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    sess = StreamingSession(params, cfg, tok, max_len=2048,
+                            summary_forward=False)
+    rng = np.random.default_rng(2)
+    t, gh, gw = 2, 4, 4
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+    sess.append_stream_segment(pv, (t, gh, gw), 2, [0.0, 1.0])
+    sess.ask("first question?", mode="AC", max_new_tokens=4)
+    sess.append_stream_segment(pv, (t, gh, gw), 2, [2.0, 3.0])
+    before = sess.write_index
+    n_ranges = len(sess.ranges)
+
+    # compact away the first QA turn; stream + system survive
+    n_new = sess.compact(lambda r: not (r.kind in ("question", "answer")
+                                        and r.turn == 0))
+    assert n_new < before                     # pads + turn reclaimed
+    assert sess.write_index == n_new
+    kinds = [r.kind for r in sess.ranges]
+    assert "question" not in kinds
+    starts = [r.start for r in sess.ranges]
+    assert starts == sorted(starts)
+    # ranges are now back-to-back (no pad gaps)
+    for a, b in zip(sess.ranges[:-1], sess.ranges[1:]):
+        assert a.end == b.start
+    # events survived with remapped slots inside the live region
+    for ev in sess.events:
+        for s in ev.frame_slots:
+            assert (np.asarray(s) < n_new).all()
+
+    # the session still answers after compaction
+    r = sess.ask("still working?", mode="AC", max_new_tokens=4)
+    assert isinstance(r["text"], str)
+
+
+def test_session_eviction_makes_room(session_setup):
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    sess = StreamingSession(params, cfg, tok, max_len=512,
+                            summary_forward=False)
+    rng = np.random.default_rng(3)
+    t, gh, gw = 2, 4, 4
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+    # keep streaming far past the cache size — old segments must evict
+    for seg in range(8):
+        sess.append_stream_segment(pv, (t, gh, gw), 2,
+                                   [2.0 * seg, 2.0 * seg + 1.0])
+    assert sess.write_index <= 512
+    r = sess.ask("what now?", mode="AC", max_new_tokens=4)
+    assert isinstance(r["text"], str)
+    assert sess.write_index <= 512
