@@ -24,7 +24,7 @@ import json
 import os
 import re
 import time
-from typing import Dict, List, Optional, Protocol, Sequence, Tuple
+from typing import Dict, List, Optional, Protocol, Sequence
 from ..utils.io import atomic_write_json
 
 SCORE_RE = re.compile(r"[Ss]core\s*[:=]\s*(\d+(?:\.\d+)?)")

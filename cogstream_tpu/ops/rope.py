@@ -10,9 +10,6 @@ row-frequencies and col-frequencies (modeling_videollama3_encoder.py:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

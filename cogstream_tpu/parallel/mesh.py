@@ -9,7 +9,6 @@ batch parallelism, ``model`` for Megatron-style tensor parallelism — and
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax

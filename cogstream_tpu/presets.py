@@ -9,12 +9,7 @@ driver's compile check and by bench.py unless COGSTREAM_BENCH_FULL=1.
 
 from __future__ import annotations
 
-from .config import (
-    CogReasonerConfig,
-    ProcessorConfig,
-    Qwen2Config,
-    VisionEncoderConfig,
-)
+from .config import CogReasonerConfig, Qwen2Config, VisionEncoderConfig
 
 
 def cogreasoner_7b() -> CogReasonerConfig:

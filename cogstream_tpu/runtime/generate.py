@@ -14,7 +14,7 @@ position -1 and are invisible to attention (models/qwen2.py).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ model rather than the reference's rewrite-and-reprefill.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
