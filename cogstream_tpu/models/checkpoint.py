@@ -146,9 +146,15 @@ def projector_params_from_state_dict(sd: Dict,
 
 
 def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
-                             dtype=None) -> Dict:
+                             dtype=None, mesh=None) -> Dict:
     """Load the full CogReasoner pytree from a HF checkpoint directory
-    with safetensors shards (streaming shard by shard to bound host RAM)."""
+    with safetensors shards (streaming shard by shard to bound host RAM).
+
+    With ``mesh`` the assembled tree is placed leaf-by-leaf onto the
+    GSPMD specs (parallel/sharding.py) — a 7B load lands directly in
+    its tensor-parallel layout; no chip ever holds the unsharded 16 GB
+    (SURVEY.md §7 "hard parts": 7B fits v5e-8 only sharded).
+    """
     from safetensors import safe_open  # lazy: only needed on this path
 
     index_path = os.path.join(model_dir, "model.safetensors.index.json")
@@ -167,9 +173,15 @@ def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
             for name in fh.keys():
                 sd[name] = fh.get_tensor(name)
 
-    return {
+    params = {
         "text": qwen2_params_from_state_dict(sd, cfg.text, dtype=dtype),
         "vision": vision_params_from_state_dict(sd, cfg.vision, dtype=dtype),
         "projector": projector_params_from_state_dict(
             sd, dtype=dtype or cfg.text.jnp_dtype),
     }
+    if mesh is not None:
+        from ..parallel.sharding import cogreasoner_param_specs, shard_params
+
+        params = shard_params(params,
+                              cogreasoner_param_specs(cfg, mesh), mesh)
+    return params

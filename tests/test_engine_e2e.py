@@ -82,3 +82,42 @@ def test_gt_mode_selection(engine, tiny_video):
     turn = engine.chat(conversation, mode="gt", select_gt=[0],
                        if_visual=True, max_new_tokens=4)
     assert turn.selection == "[yes,0]"
+
+
+def test_streaming_eval_path(engine, tiny_video, tmp_path):
+    """run_eval with a session factory: per-video KV reuse, resumable
+    output, latency + cache-token fields for aggregation."""
+    import json
+
+    from cogstream_tpu.evaluate.answer_generate import run_eval
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    spec = {"video": tiny_video, "segments": [
+        {"timestamp": [0.0, 2.0], "QAs": [
+            {"QA_pairs": [{"Q": "what is shown?", "A": "noise"}],
+             "coi": [], "is_visual": True, "label": "Basic"}]},
+        {"timestamp": [2.0, 4.0], "QAs": [
+            {"QA_pairs": [{"Q": "and later?", "A": "more"}],
+             "coi": [0], "is_visual": True, "label": "Streaming"}]},
+    ]}
+    (qdir / "vid.json").write_text(json.dumps(spec))
+    save = tmp_path / "preds"
+
+    cfg, params, tok = engine.cfg, engine.params, engine.tokenizer
+
+    def factory():
+        return StreamingSession(params, cfg, tok, max_len=2048,
+                                summary_forward=False)
+
+    run_eval(None, None, video_dir="/", query_dir=str(qdir),
+             save_dir=str(save), mode="AC", process_index=0,
+             process_count=1, session_factory=factory,
+             processor_cfg=cfg.processor, log=lambda *a: None)
+    out = json.loads((save / "vid.json").read_text())
+    assert out.get("streaming") is True
+    assert len(out["QAs"]) == 2
+    assert out["QAs"][1]["n_hist"] == 1
+    assert "latency_s" in out["QAs"][0]
+    assert out["QAs"][1]["cache_tokens"] > out["QAs"][0]["cache_tokens"]
