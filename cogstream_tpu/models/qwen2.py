@@ -213,6 +213,7 @@ def qwen2_forward(
     lora_scale: float = 2.0,
     remat: bool = False,
     kv_allowed: Optional[jax.Array] = None,   # [B, max_len] bool per-turn visibility
+    write_slots: Optional[jax.Array] = None,  # [B, S] per-row cache slots (pooled mode)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden [B, S, H], updated cache).
 
@@ -225,6 +226,12 @@ def qwen2_forward(
     pass — the TPU replacement for gradient checkpointing + DeepSpeed
     activation checkpointing (first_stage_training.py:495,
     default_config.yaml:6-9).
+
+    ``write_slots`` switches the cache write from the shared
+    ``write_index`` slice to a per-row scatter — the pooled-serving
+    mode where B independent sessions share one cache tensor, each row
+    at its own fill level (runtime/pool.py). Slots >= max_len are
+    dropped (the convention for masked/finished rows).
     """
     B, S, H = inputs_embeds.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -234,8 +241,13 @@ def qwen2_forward(
     ad_trees, gates = _adapter_layers(adapters)
 
     if cache is not None:
-        kv_pos = jax.lax.dynamic_update_slice(
-            cache.pos, positions, (0, cache.write_index))
+        if write_slots is not None:
+            rows = jnp.arange(B)[:, None]
+            kv_pos = cache.pos.at[rows, write_slots].set(
+                positions, mode="drop")
+        else:
+            kv_pos = jax.lax.dynamic_update_slice(
+                cache.pos, positions, (0, cache.write_index))
         kv_valid = kv_pos >= 0
         if kv_allowed is not None:
             # per-turn history retrieval: unselected turns' slots are
@@ -286,10 +298,17 @@ def qwen2_forward(
     def body(x, xs):
         layer, ad, ck, cv = xs
         x, h, q, k, v = block(x, layer, ad)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype), (0, cache.write_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype), (0, cache.write_index, 0, 0))
+        if write_slots is not None:
+            rows = jnp.arange(B)[:, None]
+            ck = ck.at[rows, write_slots].set(k.astype(ck.dtype),
+                                              mode="drop")
+            cv = cv.at[rows, write_slots].set(v.astype(cv.dtype),
+                                              mode="drop")
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, cache.write_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, cache.write_index, 0, 0))
         attn = causal_gqa_attention(
             q, ck.astype(q.dtype), cv.astype(q.dtype),
             q_positions=positions, kv_valid=kv_valid, kv_positions=kv_pos)

@@ -61,13 +61,22 @@ def generate_tokens(
     adapters=None,
     lora_scale: float = 2.0,
     kv_allowed: Optional[jax.Array] = None,   # [B, max_len] per-turn visibility
+    write_slots: Optional[jax.Array] = None,  # [B, S] pooled-mode prompt slots
+    active: Optional[jax.Array] = None,       # [B] bool — rows with a real request
 ) -> GenerateResult:
+    """One compiled prefill+decode. In pooled mode (``write_slots``)
+    every batch row is an independent session at its own cache fill
+    level: prompt K/V scatter to per-row slots, generated tokens extend
+    each row contiguously after its prompt, and ``active=False`` rows
+    (no request this round) are treated as immediately done."""
     B = inputs_embeds.shape[0]
+    max_len = cache.max_len
 
     # ---- prefill -----------------------------------------------------------
     hidden, cache = qwen2.qwen2_forward(
         params, inputs_embeds, positions, cfg, cache=cache,
-        adapters=adapters, lora_scale=lora_scale, kv_allowed=kv_allowed)
+        adapters=adapters, lora_scale=lora_scale, kv_allowed=kv_allowed,
+        write_slots=write_slots)
     last_h = jnp.take_along_axis(
         hidden, last_index[:, None, None].astype(jnp.int32), axis=1)  # [B,1,H]
     logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
@@ -78,6 +87,14 @@ def generate_tokens(
     tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first_tok)
     done0 = first_tok == eos_id
+    if active is not None:
+        done0 = done0 | ~active
+    if write_slots is not None:
+        # generated tokens extend each row right after its prompt
+        next_slot0 = jnp.max(
+            jnp.where(positions >= 0, write_slots, -1), axis=1) + 1
+    else:
+        next_slot0 = jnp.zeros((B,), jnp.int32)  # unused
 
     class Carry(NamedTuple):
         i: jax.Array
@@ -85,6 +102,7 @@ def generate_tokens(
         tokens: jax.Array
         cur: jax.Array       # [B] token to feed next
         pos: jax.Array       # [B] its position
+        slot: jax.Array      # [B] pooled-mode cache slot for cur
         done: jax.Array      # [B]
         key: jax.Array
 
@@ -94,9 +112,14 @@ def generate_tokens(
     def body(c: Carry):
         emb = qwen2.embed(params, c.cur[:, None])
         step_pos = jnp.where(c.done, -1, c.pos)[:, None]
+        step_slots = None
+        if write_slots is not None:
+            # finished rows write to max_len → dropped by the scatter
+            step_slots = jnp.where(c.done, max_len, c.slot)[:, None]
         hidden, cache2 = qwen2.qwen2_forward(
             params, emb, step_pos, cfg, cache=c.cache,
-            adapters=adapters, lora_scale=lora_scale, kv_allowed=kv_allowed)
+            adapters=adapters, lora_scale=lora_scale,
+            kv_allowed=kv_allowed, write_slots=step_slots)
         logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)[:, 0]
         key, sk = jax.random.split(c.key)
         nxt = sample_token(logits, sk, temperature, top_p, vocab_mask)
@@ -104,10 +127,12 @@ def generate_tokens(
         tokens = jax.lax.dynamic_update_slice(
             c.tokens, nxt[:, None], (0, c.i))
         done = c.done | (nxt == eos_id)
-        return Carry(c.i + 1, cache2, tokens, nxt, c.pos + 1, done, key)
+        return Carry(c.i + 1, cache2, tokens, nxt, c.pos + 1,
+                     c.slot + 1, done, key)
 
     init = Carry(jnp.asarray(1, jnp.int32), cache, tokens0, first_tok,
-                 first_pos.astype(jnp.int32), done0, key)
+                 first_pos.astype(jnp.int32),
+                 next_slot0.astype(jnp.int32), done0, key)
     final = jax.lax.while_loop(cond, body, init)
 
     num = jnp.sum(

@@ -1,0 +1,209 @@
+"""Pooled multi-session serving: batched decode over shared cache rows.
+
+The reference serves one conversation at a time (answer_generate.py's
+sequential loop). Production TPU serving wants the opposite: decode is
+weights-bound, so B concurrent sessions decoding together cost barely
+more than one — the weight reads amortize across the batch. This pool
+gives every session a ROW of one shared KV cache tensor; per-row
+scatter writes (models/qwen2.py ``write_slots``) let each row sit at
+its own fill level, and one ``generate_tokens`` call answers many
+sessions' questions simultaneously (per-row ``kv_allowed`` retrieval
+masks, per-row eos).
+
+Ingest stays per-session (it's off the latency path): the row is
+sliced out of the pool, prefilled through the normal single-session
+path, and written back — two row-sized copies, trivial next to a
+segment's encode.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CogReasonerConfig
+from ..models import qwen2
+from ..models.qwen2 import KVCache, init_kv_cache
+from .generate import decode_new_tokens, generate_tokens
+from .session import StreamingSession
+
+
+class SessionPool:
+    def __init__(self, params: Dict, cfg: CogReasonerConfig, tokenizer,
+                 n_rows: int = 4, max_len: int = 8192,
+                 adapters: Optional[Dict] = None,
+                 use_pallas: bool = False, summary_forward: bool = True):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.n_rows = n_rows
+        self.max_len = max_len
+        self.adapters = adapters or {}
+        self.cache = init_kv_cache(cfg.text, n_rows, max_len)
+        self.sessions: Dict[int, StreamingSession] = {}
+        self._mk = lambda: StreamingSession(
+            params, cfg, tokenizer, adapters=adapters, max_len=max_len,
+            use_pallas=use_pallas, summary_forward=summary_forward)
+
+    # -- row plumbing --------------------------------------------------------
+
+    def _free_row(self) -> int:
+        for b in range(self.n_rows):
+            if b not in self.sessions:
+                return b
+        raise RuntimeError("session pool full")
+
+    def open(self) -> int:
+        """Create a session on a free row; returns the row id.
+
+        Sessions own single-row caches; the pool keeps a synchronized
+        copy of each row (synced after every per-session op) so the
+        batched decode sees a consistent [n_rows] tensor. The 2x row
+        memory is the v1 trade for keeping every single-session code
+        path unchanged.
+        """
+        b = self._free_row()
+        self.sessions[b] = self._mk()   # __init__ prefills the system prompt
+        self._store_row(b)
+        return b
+
+    def close(self, row: int) -> None:
+        self.sessions.pop(row, None)
+
+    def _load_row(self, b: int, write_index: int) -> None:
+        """Refresh session b's cache from the pool row (post-batch)."""
+        sess = self.sessions[b]
+        sess.cache = KVCache(
+            k=self.cache.k[:, b:b + 1],
+            v=self.cache.v[:, b:b + 1],
+            pos=self.cache.pos[b:b + 1],
+            write_index=jnp.asarray(write_index, jnp.int32),
+        )
+
+    def _store_row(self, b: int) -> None:
+        sess = self.sessions[b]
+        self.cache = KVCache(
+            k=self.cache.k.at[:, b:b + 1].set(sess.cache.k),
+            v=self.cache.v.at[:, b:b + 1].set(sess.cache.v),
+            pos=self.cache.pos.at[b:b + 1].set(sess.cache.pos),
+            write_index=self.cache.write_index,
+        )
+
+    # -- per-session ops (row in/out) -----------------------------------------
+
+    def ingest(self, row: int, *args, **kwargs) -> None:
+        self.sessions[row].append_stream_segment(*args, **kwargs)
+        self._store_row(row)
+
+    def ask(self, row: int, question: str, **kwargs) -> Dict:
+        """Solo ask (unbatched) — delegates to the session."""
+        out = self.sessions[row].ask(question, **kwargs)
+        self._store_row(row)
+        return out
+
+    # -- the batched path ------------------------------------------------------
+
+    def ask_batch(
+        self,
+        requests: Sequence[Tuple[int, str]],       # (row, question)
+        mode: str = "FCC",
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+    ) -> Dict[int, Dict]:
+        """Answer several sessions' questions in ONE prefill+decode.
+
+        Per-row work that stays host-side/serial: selector decode and
+        visibility-mask construction (cheap); the expensive decode loop
+        runs once for the whole batch.
+        """
+        B = self.n_rows
+        reqs = dict(requests)
+        assert all(r in self.sessions for r in reqs), "unknown row"
+
+        # per-row selection + masks + question ids (host)
+        metas: Dict[int, Dict] = {}
+        Sp = 32
+        for b, q in reqs.items():
+            sess = self.sessions[b]
+            from .history import parse_selection
+
+            if mode == "FCC" and sess.hist_qs:
+                selection = sess.selector.select(
+                    q, sess.hist_qs, sess.hist_as, key=sess._next_key())
+                if_visual, sel_idx = parse_selection(selection)
+            else:
+                selection, if_visual = "[yes]", True
+                sel_idx = list(range(len(sess.hist_qs)))
+            q_text = (f"<|im_start|>user\n{q}<|im_end|>\n"
+                      f"<|im_start|>assistant\n")
+            q_ids = np.asarray(self.tok.encode(q_text), np.int32)
+            Sp = max(Sp, StreamingSession._bucket(len(q_ids)))
+            metas[b] = dict(q=q, q_ids=q_ids, selection=selection,
+                            if_visual=if_visual, sel_idx=sel_idx)
+
+        ids = np.zeros((B, Sp), np.int32)
+        positions = np.full((B, Sp), -1, np.int32)
+        slots = np.full((B, Sp), self.max_len, np.int64)  # drop by default
+        last_index = np.zeros((B,), np.int32)
+        allowed = np.zeros((B, self.max_len), bool)
+        active = np.zeros((B,), bool)
+
+        for b, m in metas.items():
+            sess = self.sessions[b]
+            n = len(m["q_ids"])
+            sess.evict_for(Sp + max_new_tokens)
+            self._store_row(b)   # eviction may have compacted the row
+            start = sess.write_index
+            ids[b, :n] = m["q_ids"]
+            positions[b, :n] = np.arange(sess.next_pos, sess.next_pos + n)
+            slots[b, :n] = np.arange(start, start + n)
+            last_index[b] = n - 1
+            allowed[b] = sess._allowed_mask(
+                m["if_visual"], m["sel_idx"],
+                np.asarray(self.tok.encode(m["q"]), np.int32))
+            active[b] = True
+            m.update(start=start, n=n)
+
+        emb = qwen2.embed(self.params["text"], jnp.asarray(ids))
+        full = self.adapters.get("full_module")
+        adapters = [( (full.get("text", full)), jnp.float32(1.0))] \
+            if full else None
+        result = generate_tokens(
+            self.params["text"], emb, jnp.asarray(positions),
+            jnp.asarray(last_index), self.cache,
+            jax.random.PRNGKey(int(np.random.default_rng().integers(1 << 30))),
+            self.cfg.text, max_new_tokens, self.tok.eos_token_id,
+            temperature=temperature, adapters=adapters,
+            kv_allowed=jnp.asarray(allowed),
+            write_slots=jnp.asarray(slots),
+            active=jnp.asarray(active))
+        self.cache = result.cache
+
+        out: Dict[int, Dict] = {}
+        nums = np.asarray(result.num_tokens)
+        for b, m in metas.items():
+            sess = self.sessions[b]
+            text = decode_new_tokens(result.tokens, result.num_tokens,
+                                     self.tok, batch_index=b)
+            n_fed = max(0, int(nums[b]) - 1)   # terminal eos never cached
+            from .session import SlotRange
+
+            # pooled prompts pack tightly: pads are dropped, decode
+            # continues right after the n real prompt tokens
+            turn = len(sess.hist_qs)
+            end = m["start"] + m["n"] + n_fed
+            sess.ranges.append(SlotRange(
+                "question", m["start"], m["start"] + m["n"], turn))
+            sess.ranges.append(SlotRange(
+                "answer", m["start"] + m["n"], end, turn))
+            sess.next_pos += m["n"] + n_fed
+            sess.hist_qs.append(m["q"])
+            sess.hist_as.append(text)
+            self._load_row(b, end)   # refresh the session's row view
+            out[b] = {"text": text, "selection": m["selection"],
+                      "if_visual": m["if_visual"], "turn": turn,
+                      "cache_tokens": end}
+        return out

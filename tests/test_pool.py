@@ -1,0 +1,74 @@
+"""Pooled multi-session batched decode: parity with solo sessions."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+from cogstream_tpu.processor.tokenizer import ByteTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    return cfg, params, tok
+
+
+def test_pool_batched_ask_matches_solo(setup):
+    from cogstream_tpu.runtime.pool import SessionPool
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(0)
+    t, gh, gw = 2, 4, 4
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+    questions = {0: "what is happening?", 1: "who is there?"}
+
+    pool = SessionPool(params, cfg, tok, n_rows=3, max_len=1024,
+                       summary_forward=False)
+    r0 = pool.open()
+    r1 = pool.open()
+    pool.ingest(r0, pv, (t, gh, gw), 2, [0.0, 1.0])
+    pool.ingest(r1, pv, (t, gh, gw), 2, [0.0, 1.0])
+    batch_out = pool.ask_batch([(r0, questions[0]), (r1, questions[1])],
+                               mode="AC", max_new_tokens=8)
+
+    # solo references (greedy → deterministic)
+    for row, q in questions.items():
+        solo = StreamingSession(params, cfg, tok, max_len=1024,
+                                summary_forward=False)
+        solo.append_stream_segment(pv, (t, gh, gw), 2, [0.0, 1.0])
+        want = solo.ask(q, mode="AC", max_new_tokens=8)
+        assert batch_out[row]["text"] == want["text"], (
+            row, batch_out[row]["text"], want["text"])
+
+    # sessions stay consistent: a follow-up SOLO ask on the pool row works
+    follow = pool.ask(r0, "again?", mode="AC", max_new_tokens=4)
+    assert isinstance(follow["text"], str)
+    assert pool.sessions[r0].hist_qs == [questions[0], "again?"]
+
+
+def test_pool_partial_batch_and_capacity(setup):
+    from cogstream_tpu.runtime.pool import SessionPool
+
+    cfg, params, tok = setup
+    pool = SessionPool(params, cfg, tok, n_rows=2, max_len=512,
+                       summary_forward=False)
+    a = pool.open()
+    b = pool.open()
+    with pytest.raises(RuntimeError):
+        pool.open()                       # full
+    out = pool.ask_batch([(a, "only one active?")], mode="AC",
+                         max_new_tokens=4)
+    assert set(out) == {a}
+    pool.close(b)
+    c = pool.open()                       # row reused
+    assert c == b
