@@ -150,6 +150,39 @@ def bench_session(full: bool, use_pallas: bool):
     return float(np.median(lat[1:])), ingest_s, T / ingest_s
 
 
+def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
+    """Aggregate decode throughput with the session pool: one decode
+    program answers n_rows sessions at once (decode is weights-bound,
+    so the batch multiplies tokens/sec nearly for free)."""
+    import dataclasses
+    import time
+
+    import jax
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.config import CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.pool import SessionPool
+
+    cfg = presets.cogreasoner_7b() if full else presets.demo()
+    cfg = dataclasses.replace(cfg, compression=CompressionConfig(
+        frames_per_event=8, keyframes_per_event=2))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    pool = SessionPool(params, cfg, tok, n_rows=n_rows, max_len=4096,
+                       use_pallas=use_pallas, summary_forward=False)
+    rows = [pool.open() for _ in range(n_rows)]
+    NEW = 32
+    reqs = [(r, "what is happening in the video right now?")
+            for r in rows]
+    pool.ask_batch(reqs, mode="AC", max_new_tokens=NEW)   # warm
+    t0 = time.perf_counter()
+    pool.ask_batch(reqs, mode="AC", max_new_tokens=NEW)
+    dt = time.perf_counter() - t0
+    return n_rows * NEW / dt
+
+
 def bench_preprocess():
     """BASELINE config 1: host-side preprocess (any-res resize +
     patchify + normalize) + on-device temporal-semantic k-means over a
@@ -219,6 +252,11 @@ def main():
         })
     except Exception as e:
         extras["session_bench_error"] = type(e).__name__
+    try:
+        extras["pooled_decode_tok_s_b4"] = round(
+            bench_pool(full, on_tpu), 1)
+    except Exception as e:
+        extras["pool_bench_error"] = type(e).__name__
     try:
         prep_fps, km_s = bench_preprocess()
         extras.update({"preprocess_fps": round(prep_fps, 1),

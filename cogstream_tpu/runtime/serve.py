@@ -30,9 +30,79 @@ class UnknownSession(Exception):
     pass
 
 
+class BatchingFrontend:
+    """Opportunistic request batching over a SessionPool: /ask calls
+    enqueue and block; a collector thread flushes every ``flush_ms``,
+    answering all pending questions (one per row, grouped by decode
+    params) in a single pooled prefill+decode. Under concurrent load
+    the weights are read once per decode step for the whole batch."""
+
+    def __init__(self, pool, flush_ms: float = 15.0, lock=None):
+        self.pool = pool
+        self.lock = lock or threading.Lock()   # serializes vs ingest
+        self.flush_ms = flush_ms
+        self._queue: list = []
+        self._cv = threading.Condition()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def ask(self, row: int, question: str, mode: str = "FCC",
+            max_new_tokens: int = 256) -> Dict:
+        item = {"row": row, "q": question, "mode": mode,
+                "new": max_new_tokens, "event": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _loop(self):
+        import time as _t
+
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+            _t.sleep(self.flush_ms / 1000.0)   # let a batch accumulate
+            with self._cv:
+                pending, self._queue = self._queue, []
+            # one request per row per batch; group by decode params
+            by_params: Dict = {}
+            leftover = []
+            seen_rows = set()
+            for it in pending:
+                key = (it["mode"], it["new"])
+                if it["row"] in seen_rows:
+                    leftover.append(it)
+                    continue
+                seen_rows.add(it["row"])
+                by_params.setdefault(key, []).append(it)
+            for (mode, new), items in by_params.items():
+                try:
+                    with self.lock:
+                        out = self.pool.ask_batch(
+                            [(it["row"], it["q"]) for it in items],
+                            mode=mode, max_new_tokens=new)
+                    for it in items:
+                        it["result"] = out[it["row"]]
+                except Exception as e:  # noqa: BLE001
+                    for it in items:
+                        it["error"] = e
+                for it in items:
+                    it["event"].set()
+            if leftover:
+                with self._cv:
+                    self._queue = leftover + self._queue
+                    self._cv.notify()
+
+
 class SessionServer:
     def __init__(self, params, cfg, tokenizer, adapters=None,
-                 max_len: int = 16384, use_pallas: bool = True):
+                 max_len: int = 16384, use_pallas: bool = True,
+                 pool_rows: int = 0):
         from ..utils.profiling import StageTimer
         from .session import StreamingSession
 
@@ -43,6 +113,17 @@ class SessionServer:
         self.lock = threading.Lock()
         self.timer = StageTimer()
         self.cfg = cfg
+        self.pool = None
+        self.frontend = None
+        self._row_of: Dict[str, int] = {}
+        if pool_rows > 0:
+            from .pool import SessionPool
+
+            self.pool = SessionPool(
+                params, cfg, tokenizer, n_rows=pool_rows,
+                max_len=max_len, adapters=adapters,
+                use_pallas=use_pallas)
+            self.frontend = BatchingFrontend(self.pool, lock=self.lock)
 
     def _get(self, session_id: str):
         if session_id not in self.sessions:
@@ -51,7 +132,12 @@ class SessionServer:
 
     def create(self, session_id: str) -> Dict:
         with self.lock:
-            self.sessions[session_id] = self._mk()
+            if self.pool is not None:
+                row = self.pool.open()
+                self._row_of[session_id] = row
+                self.sessions[session_id] = self.pool.sessions[row]
+            else:
+                self.sessions[session_id] = self._mk()
         return {"session_id": session_id}
 
     def ingest(self, session_id: str, video_path: str,
@@ -69,13 +155,28 @@ class SessionServer:
                 proc = ImageProcessor(self.cfg.processor)
                 batch = proc([np.stack(frames)], modals=["video"])
                 t, gh, gw = batch.grid_sizes[0]
-                sess.append_stream_segment(
-                    batch.pixel_values, (int(t), int(gh), int(gw)),
-                    int(batch.merge_sizes[0]), timestamps)
+                if self.pool is not None:
+                    self.pool.ingest(
+                        self._row_of[session_id], batch.pixel_values,
+                        (int(t), int(gh), int(gw)),
+                        int(batch.merge_sizes[0]), timestamps)
+                else:
+                    sess.append_stream_segment(
+                        batch.pixel_values, (int(t), int(gh), int(gw)),
+                        int(batch.merge_sizes[0]), timestamps)
         return {"frames": len(frames), "cache_tokens": sess.write_index}
 
     def ask(self, session_id: str, question: str, mode: str = "FCC",
             max_new_tokens: int = 512) -> Dict:
+        if self.frontend is not None:
+            with self.lock:
+                self._get(session_id)
+                row = self._row_of[session_id]
+            # block WITHOUT the lock — the collector thread takes it to
+            # run the pooled decode; concurrent asks batch together
+            with self.timer.stage("ask"):
+                return self.frontend.ask(row, question, mode=mode,
+                                         max_new_tokens=max_new_tokens)
         with self.lock:
             sess = self._get(session_id)
             with self.timer.stage("ask"):
@@ -146,6 +247,8 @@ def main():
     ap.add_argument("--model-dir", required=True)
     ap.add_argument("--port", type=int, default=8787)
     ap.add_argument("--max-len", type=int, default=16384)
+    ap.add_argument("--pool-rows", type=int, default=0,
+                    help=">0 enables pooled batched serving")
     args = ap.parse_args()
 
     from ..config import load_hf_config
@@ -155,8 +258,10 @@ def main():
     cfg = load_hf_config(f"{args.model_dir}/config.json")
     params = load_cogreasoner_from_hf(args.model_dir, cfg)
     tok = HFTokenizer(args.model_dir)
-    print(f"serving on :{args.port}")
-    serve(SessionServer(params, cfg, tok, max_len=args.max_len),
+    print(f"serving on :{args.port}"
+          + (f" (pooled x{args.pool_rows})" if args.pool_rows else ""))
+    serve(SessionServer(params, cfg, tok, max_len=args.max_len,
+                        pool_rows=args.pool_rows),
           args.port)
 
 

@@ -74,3 +74,43 @@ def test_serve_errors(server_port):
 
 
 import urllib.error  # noqa: E402  (used in test above)
+
+
+def test_pooled_server_concurrent_asks():
+    """Two concurrent /ask requests over a pooled server batch into one
+    decode and both return."""
+    import dataclasses
+    import threading as th
+
+    import jax
+
+    from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.serve import SessionServer
+
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    server = SessionServer(params, cfg, tok, max_len=1024,
+                           use_pallas=False, pool_rows=2)
+    server.create("a")
+    server.create("b")
+
+    results = {}
+
+    def run(sid, q):
+        results[sid] = server.ask(sid, q, mode="AC", max_new_tokens=4)
+
+    t1 = th.Thread(target=run, args=("a", "first?"))
+    t2 = th.Thread(target=run, args=("b", "second?"))
+    t1.start(); t2.start()
+    t1.join(timeout=300); t2.join(timeout=300)
+    assert set(results) == {"a", "b"}
+    assert all("text" in r for r in results.values())
+    # follow-up turn on one session still consistent
+    r2 = server.ask("a", "again?", mode="AC", max_new_tokens=4)
+    assert r2["turn"] == 1
