@@ -150,6 +150,74 @@ def bench_session(full: bool, use_pallas: bool):
     return float(np.median(lat[1:])), ingest_s, T / ingest_s
 
 
+def bench_7b_int8():
+    """7B decode on ONE chip via int8 weights (ops/quant.py): ~7.6 GB
+    of layer weights + bf16 embeddings fit a single v5e's 16 GB HBM —
+    the quantized-base serving mode (the reference needs NF4 + a GPU
+    for the same trick). Weights are synthetic int8 (values don't
+    matter for throughput)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens
+
+    cfg = presets.cogreasoner_7b().text
+    key = jax.random.PRNGKey(0)
+    H, D = cfg.hidden_size, cfg.head_dim
+    kv_out = cfg.num_key_value_heads * D
+    I, V, L = cfg.intermediate_size, cfg.vocab_size, cfg.num_hidden_layers
+
+    def qdense(kshape, bias_dim=None):
+        p = {"kernel": {
+            "q": jnp.ones(kshape, jnp.int8),
+            "scale": jnp.full(kshape[:-2] + kshape[-1:], 1e-3,
+                              jnp.float32),
+        }}
+        if bias_dim is not None:
+            p["bias"] = jnp.zeros(kshape[:-2] + (bias_dim,), jnp.bfloat16)
+        return p
+
+    params = {
+        "embed_tokens": jnp.zeros((V, H), jnp.bfloat16),
+        "final_norm": {"scale": jnp.ones((H,), jnp.float32)},
+        "lm_head": qdense((H, V)),
+        "layers": {
+            "input_norm": {"scale": jnp.ones((L, H), jnp.float32)},
+            "post_attn_norm": {"scale": jnp.ones((L, H), jnp.float32)},
+            "attn": {
+                "q_proj": qdense((L, H, H), H),
+                "k_proj": qdense((L, H, kv_out), kv_out),
+                "v_proj": qdense((L, H, kv_out), kv_out),
+                "o_proj": qdense((L, H, H)),
+            },
+            "mlp": {
+                "gate_proj": qdense((L, H, I)),
+                "up_proj": qdense((L, H, I)),
+                "down_proj": qdense((L, I, H)),
+            },
+        },
+    }
+    S, NEW = 512, 32
+    ids = np.zeros((1, S), np.int32)
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    positions = jnp.asarray(np.arange(S, dtype=np.int32)[None])
+
+    def run():
+        cache = init_kv_cache(cfg, 1, S + NEW)
+        return generate_tokens(params, emb, positions,
+                               jnp.asarray([S - 1], jnp.int32), cache,
+                               jax.random.PRNGKey(0), cfg, NEW,
+                               eos_id=-1, temperature=0.0)
+
+    dt = _median_time(run, iters=2, warmup=1)
+    return NEW / dt
+
+
 def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
     """Aggregate decode throughput with the session pool: one decode
     program answers n_rows sessions at once (decode is weights-bound,
@@ -257,6 +325,11 @@ def main():
             bench_pool(full, on_tpu), 1)
     except Exception as e:
         extras["pool_bench_error"] = type(e).__name__
+    if on_tpu:
+        try:
+            extras["int8_7b_decode_tok_s"] = round(bench_7b_int8(), 2)
+        except Exception as e:
+            extras["int8_7b_bench_error"] = type(e).__name__
     try:
         prep_fps, km_s = bench_preprocess()
         extras.update({"preprocess_fps": round(prep_fps, 1),

@@ -27,7 +27,7 @@ import numpy as np
 from ..config import CogReasonerConfig
 from ..models import qwen2
 from ..models.qwen2 import KVCache, init_kv_cache
-from .generate import decode_new_tokens, generate_tokens
+from .generate import generate_tokens
 from .session import StreamingSession
 
 
@@ -154,8 +154,8 @@ class SessionPool:
         for b, m in metas.items():
             sess = self.sessions[b]
             n = len(m["q_ids"])
-            sess.evict_for(Sp + max_new_tokens)
-            self._store_row(b)   # eviction may have compacted the row
+            if sess.evict_for(Sp + max_new_tokens):
+                self._store_row(b)   # eviction compacted the row
             start = sess.write_index
             ids[b, :n] = m["q_ids"]
             positions[b, :n] = np.arange(sess.next_pos, sess.next_pos + n)
@@ -183,11 +183,14 @@ class SessionPool:
         self.cache = result.cache
 
         out: Dict[int, Dict] = {}
+        toks = np.asarray(result.tokens)     # one transfer for the batch
         nums = np.asarray(result.num_tokens)
         for b, m in metas.items():
             sess = self.sessions[b]
-            text = decode_new_tokens(result.tokens, result.num_tokens,
-                                     self.tok, batch_index=b)
+            ids_out = toks[b, :int(nums[b])].tolist()
+            if ids_out and ids_out[-1] == self.tok.eos_token_id:
+                ids_out = ids_out[:-1]
+            text = self.tok.decode(ids_out, skip_special_tokens=True)
             n_fed = max(0, int(nums[b]) - 1)   # terminal eos never cached
             from .session import SlotRange
 

@@ -406,12 +406,13 @@ class StreamingSession:
         self.events = remapped_events
         return n_new
 
-    def evict_for(self, needed: int) -> None:
+    def evict_for(self, needed: int) -> bool:
         """Make room for ``needed`` new slots by evicting the OLDEST
         stream segments and their associated QA turns (sliding-window
-        policy; the system prompt always survives)."""
+        policy; the system prompt always survives). Returns True when
+        a compaction actually ran."""
         if self.write_index + needed <= self.max_len:
-            return
+            return False
         live = [r for r in self.ranges if r.kind != "system"]
         sizes = {id(r): r.end - r.start for r in live}
         must_free = self.write_index + needed - self.max_len
@@ -425,6 +426,7 @@ class StreamingSession:
             dropped.add(id(r))
             freed += sizes[id(r)]
         self.compact(lambda r: id(r) not in dropped)
+        return True
 
     # ------------------------------------------------------------------
     # ask
