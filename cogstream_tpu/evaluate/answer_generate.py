@@ -65,8 +65,16 @@ def generate_for_video(
             q = pair.get("Q", "")
             conversation.append({"role": "user", "content": q})
             t0 = time.time()
+            gt_kwargs = {}
+            if mode == "gt":   # teacher-forced selection from GT labels
+                rel = qa.get("relevance") or []
+                gt_kwargs = {
+                    "select_gt": [i for i, r in enumerate(rel) if r],
+                    "if_visual": bool(qa.get("is_visual", True)),
+                }
             turn = engine.chat(conversation, mode=mode,
-                               max_new_tokens=max_new_tokens)
+                               max_new_tokens=max_new_tokens,
+                               **gt_kwargs)
             dt = time.time() - t0
             _, pred_coi = parse_selection(turn.selection)
             results.append({
