@@ -113,6 +113,7 @@ class StreamingSession:
             adapters=[(lang.get("text", lang), jnp.float32(1.0))]
             if lang else None)
 
+        self._system_prompt = system_prompt
         ids = tokenizer.encode(
             f"<|im_start|>system\n{system_prompt}<|im_end|>\n")
         self._prefill_text(np.asarray(ids, np.int32), kind="system")
@@ -355,6 +356,22 @@ class StreamingSession:
         valid = (pos[0] >= 0)[:, None].astype(jnp.float32)
         return (jnp.sum(hidden[0].astype(jnp.float32) * valid, axis=0)
                 / jnp.maximum(valid.sum(), 1.0))
+
+    def reset(self) -> None:
+        """Start a fresh dialogue stream reusing the allocated cache
+        buffers (position row cleared; K/V bytes become unreachable)."""
+        self.cache = self.cache._replace(
+            pos=jnp.full_like(self.cache.pos, -1),
+            write_index=jnp.zeros((), jnp.int32))
+        self.ranges = []
+        self.events = []
+        self.hist_qs, self.hist_as = [], []
+        self.next_pos = 0
+        self.total_frames = 0
+        self._pending_frames = []
+        ids = self.tok.encode(
+            f"<|im_start|>system\n{self._system_prompt}<|im_end|>\n")
+        self._prefill_text(np.asarray(ids, np.int32), kind="system")
 
     # ------------------------------------------------------------------
     # compaction — long-stream endurance

@@ -181,3 +181,18 @@ def test_session_eviction_makes_room(session_setup):
     r = sess.ask("what now?", mode="AC", max_new_tokens=4)
     assert isinstance(r["text"], str)
     assert sess.write_index <= 512
+
+
+def test_session_reset_reuses_buffers(session_setup):
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    sess = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False)
+    sess.ask("one?", mode="AC", max_new_tokens=4)
+    assert sess.hist_qs
+    sess.reset()
+    assert sess.hist_qs == [] and sess.total_frames == 0
+    assert len(sess.ranges) == 1 and sess.ranges[0].kind == "system"
+    r = sess.ask("fresh?", mode="AC", max_new_tokens=4)
+    assert r["turn"] == 0
