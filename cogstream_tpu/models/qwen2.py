@@ -214,6 +214,7 @@ def qwen2_forward(
     remat: bool = False,
     kv_allowed: Optional[jax.Array] = None,   # [B, max_len] bool per-turn visibility
     write_slots: Optional[jax.Array] = None,  # [B, S] per-row cache slots (pooled mode)
+    side_cache: Optional[KVCache] = None,     # lockstep decode side buffer
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden [B, S, H], updated cache).
 
@@ -232,6 +233,14 @@ def qwen2_forward(
     mode where B independent sessions share one cache tensor, each row
     at its own fill level (runtime/pool.py). Slots >= max_len are
     dropped (the convention for masked/finished rows).
+
+    ``side_cache`` is the pooled DECODE fast path: per-step scatters
+    into the big pooled cache cost ~2 ms/step on v5e, so generated
+    tokens instead append to this small lockstep buffer (shared
+    write_index — every row decodes step i together) with plain
+    dynamic-slice writes; attention reads main-cache ⊕ side; the caller
+    merges side → main once per turn (runtime/generate.py). ``cache``
+    is read-only in this mode and the updated SIDE cache is returned.
     """
     B, S, H = inputs_embeds.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -241,7 +250,11 @@ def qwen2_forward(
     ad_trees, gates = _adapter_layers(adapters)
 
     if cache is not None:
-        if write_slots is not None:
+        if side_cache is not None:
+            side_pos = jax.lax.dynamic_update_slice(
+                side_cache.pos, positions, (0, side_cache.write_index))
+            kv_pos = jnp.concatenate([cache.pos, side_pos], axis=1)
+        elif write_slots is not None:
             rows = jnp.arange(B)[:, None]
             kv_pos = cache.pos.at[rows, write_slots].set(
                 positions, mode="drop")
@@ -253,6 +266,10 @@ def qwen2_forward(
             # per-turn history retrieval: unselected turns' slots are
             # invisible to THIS turn's queries but stay resident —
             # the next turn may reselect them (runtime/session.py)
+            if side_cache is not None:
+                kv_allowed = jnp.concatenate(
+                    [kv_allowed,
+                     jnp.ones(side_pos.shape, jnp.bool_)], axis=1)
             kv_valid = kv_valid & kv_allowed
 
     def block(x, layer, ad):
@@ -294,6 +311,30 @@ def qwen2_forward(
         x, _ = jax.lax.scan(body, x, (params["layers"], ad_trees))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         return x, None
+
+    if side_cache is not None:
+        def body(x, xs):
+            layer, ad, ck, cv, sk, sv = xs
+            x, h, q, k, v = block(x, layer, ad)
+            sk = jax.lax.dynamic_update_slice(
+                sk, k.astype(sk.dtype), (0, side_cache.write_index, 0, 0))
+            sv = jax.lax.dynamic_update_slice(
+                sv, v.astype(sv.dtype), (0, side_cache.write_index, 0, 0))
+            attn = causal_gqa_attention(
+                q,
+                jnp.concatenate([ck, sk], axis=1).astype(q.dtype),
+                jnp.concatenate([cv, sv], axis=1).astype(q.dtype),
+                q_positions=positions, kv_valid=kv_valid,
+                kv_positions=kv_pos)
+            return finish_block(x, attn, layer, ad), (sk, sv)
+
+        x, (new_sk, new_sv) = jax.lax.scan(
+            body, x, (params["layers"], ad_trees,
+                      cache.k, cache.v, side_cache.k, side_cache.v))
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        new_side = KVCache(k=new_sk, v=new_sv, pos=side_pos,
+                           write_index=side_cache.write_index + S)
+        return x, new_side
 
     def body(x, xs):
         layer, ad, ck, cv = xs

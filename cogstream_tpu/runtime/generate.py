@@ -89,20 +89,32 @@ def generate_tokens(
     done0 = first_tok == eos_id
     if active is not None:
         done0 = done0 | ~active
-    if write_slots is not None:
-        # generated tokens extend each row right after its prompt
+    pooled = write_slots is not None
+    if pooled:
+        # generated tokens extend each row right after its prompt; during
+        # decode they accumulate in a small lockstep SIDE buffer (plain
+        # slice writes — per-step scatters into the big pooled cache cost
+        # ~2 ms/step) and merge back into the rows afterwards
         next_slot0 = jnp.max(
             jnp.where(positions >= 0, write_slots, -1), axis=1) + 1
+        side0 = qwen2.KVCache(
+            k=jnp.zeros(cache.k.shape[:2] + (max_new_tokens,)
+                        + cache.k.shape[3:], cache.k.dtype),
+            v=jnp.zeros(cache.v.shape[:2] + (max_new_tokens,)
+                        + cache.v.shape[3:], cache.v.dtype),
+            pos=jnp.full((B, max_new_tokens), -1, jnp.int32),
+            write_index=jnp.zeros((), jnp.int32),
+        )
     else:
         next_slot0 = jnp.zeros((B,), jnp.int32)  # unused
+        side0 = None
 
     class Carry(NamedTuple):
         i: jax.Array
-        cache: KVCache
+        cache: KVCache       # pooled mode: the (small) side buffer
         tokens: jax.Array
         cur: jax.Array       # [B] token to feed next
         pos: jax.Array       # [B] its position
-        slot: jax.Array      # [B] pooled-mode cache slot for cur
         done: jax.Array      # [B]
         key: jax.Array
 
@@ -112,14 +124,16 @@ def generate_tokens(
     def body(c: Carry):
         emb = qwen2.embed(params, c.cur[:, None])
         step_pos = jnp.where(c.done, -1, c.pos)[:, None]
-        step_slots = None
-        if write_slots is not None:
-            # finished rows write to max_len → dropped by the scatter
-            step_slots = jnp.where(c.done, max_len, c.slot)[:, None]
-        hidden, cache2 = qwen2.qwen2_forward(
-            params, emb, step_pos, cfg, cache=c.cache,
-            adapters=adapters, lora_scale=lora_scale,
-            kv_allowed=kv_allowed, write_slots=step_slots)
+        if pooled:
+            hidden, cache2 = qwen2.qwen2_forward(
+                params, emb, step_pos, cfg, cache=cache,  # main: read-only
+                adapters=adapters, lora_scale=lora_scale,
+                kv_allowed=kv_allowed, side_cache=c.cache)
+        else:
+            hidden, cache2 = qwen2.qwen2_forward(
+                params, emb, step_pos, cfg, cache=c.cache,
+                adapters=adapters, lora_scale=lora_scale,
+                kv_allowed=kv_allowed)
         logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)[:, 0]
         key, sk = jax.random.split(c.key)
         nxt = sample_token(logits, sk, temperature, top_p, vocab_mask)
@@ -127,18 +141,33 @@ def generate_tokens(
         tokens = jax.lax.dynamic_update_slice(
             c.tokens, nxt[:, None], (0, c.i))
         done = c.done | (nxt == eos_id)
-        return Carry(c.i + 1, cache2, tokens, nxt, c.pos + 1,
-                     c.slot + 1, done, key)
+        return Carry(c.i + 1, cache2, tokens, nxt, c.pos + 1, done, key)
 
-    init = Carry(jnp.asarray(1, jnp.int32), cache, tokens0, first_tok,
-                 first_pos.astype(jnp.int32),
-                 next_slot0.astype(jnp.int32), done0, key)
+    init = Carry(jnp.asarray(1, jnp.int32), side0 if pooled else cache,
+                 tokens0, first_tok, first_pos.astype(jnp.int32),
+                 done0, key)
     final = jax.lax.while_loop(cond, body, init)
 
     num = jnp.sum(
         jnp.cumsum((final.tokens == eos_id).astype(jnp.int32), axis=1) == 0,
         axis=1) + 1
     num = jnp.minimum(num, max_new_tokens)
+
+    if pooled:
+        # merge the side buffer into each row once: side slot i → main
+        # slot next_slot0[b]+i where the side holds a real token
+        side = final.cache
+        tgt = next_slot0[:, None] + jnp.arange(max_new_tokens)[None]
+        tgt = jnp.where(side.pos >= 0, tgt, max_len)       # drop pads
+        rows = jnp.arange(B)[:, None]
+        merged = qwen2.KVCache(
+            k=cache.k.at[:, rows, tgt].set(side.k, mode="drop"),
+            v=cache.v.at[:, rows, tgt].set(side.v, mode="drop"),
+            pos=cache.pos.at[rows, tgt].set(side.pos, mode="drop"),
+            write_index=cache.write_index,
+        )
+        return GenerateResult(final.tokens, num.astype(jnp.int32), merged)
+
     return GenerateResult(final.tokens, num.astype(jnp.int32), final.cache)
 
 

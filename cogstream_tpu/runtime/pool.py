@@ -123,16 +123,26 @@ class SessionPool:
         reqs = dict(requests)
         assert all(r in self.sessions for r in reqs), "unknown row"
 
-        # per-row selection + masks + question ids (host)
+        from .history import parse_selection
+
+        # batched FCC selection: one constrained decode for all rows
+        # that have history (Selector.select_batch)
+        selections: Dict[int, str] = {}
+        fcc_rows = [b for b in reqs
+                    if mode == "FCC" and self.sessions[b].hist_qs]
+        if fcc_rows:
+            sel_out = self.sessions[fcc_rows[0]].selector.select_batch(
+                [(reqs[b], self.sessions[b].hist_qs,
+                  self.sessions[b].hist_as) for b in fcc_rows],
+                key=self.sessions[fcc_rows[0]]._next_key())
+            selections = dict(zip(fcc_rows, sel_out))
+
         metas: Dict[int, Dict] = {}
         Sp = 32
         for b, q in reqs.items():
             sess = self.sessions[b]
-            from .history import parse_selection
-
-            if mode == "FCC" and sess.hist_qs:
-                selection = sess.selector.select(
-                    q, sess.hist_qs, sess.hist_as, key=sess._next_key())
+            if b in selections:
+                selection = selections[b]
                 if_visual, sel_idx = parse_selection(selection)
             else:
                 selection, if_visual = "[yes]", True

@@ -107,6 +107,46 @@ class Selector:
         self.vocab_mask = build_vocab_mask(
             cfg.vocab_size, constrained_selector_token_ids(tokenizer))
 
+    def select_batch(self, items, include_demo: bool = True,
+                     key: Optional[jax.Array] = None) -> List[str]:
+        """Batched constrained retrieval: ``items`` is a list of
+        (current_question, hist_qs, hist_as); one prefill+decode covers
+        all of them (used by the pooled serving path)."""
+        import numpy as np
+
+        prompts = [build_selector_prompt(q, hq, ha, include_demo)
+                   for q, hq, ha in items]
+        ids_list = [np.asarray(self.tokenizer.encode(p), np.int32)
+                    for p in prompts]
+        B = len(ids_list)
+        S = bucket_length(max(len(i) for i in ids_list))
+        padded = np.zeros((B, S), np.int32)
+        positions = np.full((B, S), -1, np.int32)
+        last = np.zeros((B,), np.int32)
+        for b, ids in enumerate(ids_list):
+            padded[b, :len(ids)] = ids
+            positions[b, :len(ids)] = np.arange(len(ids))
+            last[b] = len(ids) - 1
+        cache = init_kv_cache(self.cfg, B, S + self.max_new_tokens)
+        emb = qwen2.embed(self.params, jnp.asarray(padded))
+        result = generate_tokens(
+            self.params, emb, jnp.asarray(positions),
+            jnp.asarray(last), cache,
+            key if key is not None else jax.random.PRNGKey(0),
+            self.cfg, self.max_new_tokens, self.tokenizer.eos_token_id,
+            temperature=0.0, vocab_mask=self.vocab_mask,
+            adapters=self.adapters, lora_scale=self.lora_scale)
+        toks = np.asarray(result.tokens)
+        nums = np.asarray(result.num_tokens)
+        outs = []
+        for b in range(B):
+            ids_out = toks[b, :int(nums[b])].tolist()
+            if ids_out and ids_out[-1] == self.tokenizer.eos_token_id:
+                ids_out = ids_out[:-1]
+            outs.append(normalize_selection(
+                self.tokenizer.decode(ids_out, skip_special_tokens=True)))
+        return outs
+
     def select(self, current_question: str, hist_qs: List[str],
                hist_as: List[str], include_demo: bool = True,
                key: Optional[jax.Array] = None) -> str:
