@@ -52,3 +52,34 @@ def test_stage_timer_summary():
     assert s["encode"]["n"] == 3
     assert abs(s["encode"]["p50_s"] - 0.02) < 1e-9
     assert "decode" in s
+
+
+def test_qlora_train_step_on_int8_base(tiny_config):
+    """QLoRA analogue: frozen int8 base + trainable LoRA (the
+    reference's NF4 + LoRA mode, second_stage_training.py:266-294)."""
+    from cogstream_tpu.config import LoRAConfig
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.lora import init_qwen2_lora
+    from cogstream_tpu.train.trainer import (
+        bind_text_loss, init_train_state, make_optimizer, make_train_step)
+
+    cfg = tiny_config.text
+    lora_cfg = LoRAConfig(rank=4)
+    params = quantize_tree(
+        qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg))
+    lora = init_qwen2_lora(jax.random.PRNGKey(1), cfg, lora_cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 200, size=(2, 24)).astype(np.int32)
+    labels = ids.copy()
+    labels[:, :12] = -100
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels)}
+
+    tx = make_optimizer(5e-2, total_steps=10, warmup_steps=1)
+    step = make_train_step(tx, bind_text_loss(cfg, lora_cfg), donate=False)
+    state = init_train_state(tx, lora)
+    losses = []
+    for _ in range(6):
+        state, loss = step(params, state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
