@@ -170,3 +170,28 @@ def test_chunked_attention_matches_dense():
                                 chunk_threshold=64)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                atol=2e-5)
+
+
+def test_chunked_attention_gradients_match():
+    from cogstream_tpu.ops.attention import (
+        causal_gqa_attention, chunked_causal_gqa_attention)
+
+    rng = np.random.default_rng(1)
+    B, S, Hq, Hkv, D = 1, 40, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    pos = jnp.asarray(np.arange(S, dtype=np.int32)[None])
+
+    def loss_dense(q, k, v):
+        return jnp.sum(causal_gqa_attention(q, k, v, pos) ** 2)
+
+    def loss_chunk(q, k, v):
+        return jnp.sum(chunked_causal_gqa_attention(
+            q, k, v, pos, kv_chunk=16) ** 2)
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    gc = jax.grad(loss_chunk, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gd, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
