@@ -9,6 +9,7 @@ of the reference) plus the serving front-end this framework adds:
   judge            run one LLM-judge metric      (eval_{1..5}_*.py)
   summarize        aggregate judged scores       (analysis/step1*.py)
   nlp-metrics      BLEU/METEOR/ROUGE-L/CIDEr     (step2c_basic_nlp_metrics.py)
+  segment-videos   split raw videos + sample keyframes (C18)
   datagen          full C19-C24 pipeline over segment specs
   serve            HTTP streaming-session server (no reference analogue)
 """
@@ -64,6 +65,22 @@ def main(argv=None):
         args = ap.parse_args(rest)
         report = aggregate.summarize(args.judged_dir, args.out)
         print(aggregate.format_table(report))
+        return 0
+    elif cmd == "segment-videos":
+        import argparse
+        import json as _json
+
+        from .datagen.segmentation import split_and_sample
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--video", required=True)
+        ap.add_argument("--timestamps", required=True,
+                        help="comma-separated cut points in seconds")
+        ap.add_argument("--out-root", required=True)
+        args = ap.parse_args(rest)
+        ts = [float(t) for t in args.timestamps.split(",") if t.strip()]
+        spec = split_and_sample(args.video, args.out_root, ts)
+        print(_json.dumps({"segments": len(spec["segments"])}))
         return 0
     elif cmd == "datagen":
         import argparse
