@@ -72,3 +72,43 @@ def test_pool_partial_batch_and_capacity(setup):
     pool.close(b)
     c = pool.open()                       # row reused
     assert c == b
+
+
+def test_pooled_generate_matches_standard(setup):
+    """Side-buffer pooled decode must produce the same greedy tokens as
+    the standard shared-index path when rows start at offset 0."""
+    import jax.numpy as jnp
+
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens
+
+    cfg, params, tok = setup
+    text = params["text"]
+    tcfg = cfg.text
+    B, S, NEW, ML = 3, 16, 8, 128
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 200, size=(B, S)).astype(np.int32)
+    emb = qwen2.embed(text, jnp.asarray(ids))
+    positions = jnp.asarray(np.tile(np.arange(S, dtype=np.int32), (B, 1)))
+    last = jnp.asarray([S - 1] * B, jnp.int32)
+
+    ref = generate_tokens(text, emb, positions, last,
+                          init_kv_cache(tcfg, B, ML),
+                          jax.random.PRNGKey(0), tcfg, NEW, eos_id=-1)
+
+    # per-row offsets 0 / 7 / 19: same visible content, pooled layout
+    slots = np.stack([np.arange(o, o + S)
+                      for o in (0, 7, 19)]).astype(np.int64)
+    out = generate_tokens(text, emb, positions, last,
+                          init_kv_cache(tcfg, B, ML),
+                          jax.random.PRNGKey(0), tcfg, NEW, eos_id=-1,
+                          write_slots=jnp.asarray(slots),
+                          active=jnp.asarray([True] * B))
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(out.tokens))
+    # merged cache rows carry the generated tokens at slot offsets
+    pos_out = np.asarray(out.cache.pos)
+    for b, o in enumerate((0, 7, 19)):
+        n = int(np.asarray(out.num_tokens)[b]) - 1
+        assert (pos_out[b, o + S:o + S + n] >= 0).all()
