@@ -121,3 +121,23 @@ def test_streaming_eval_path(engine, tiny_video, tmp_path):
     assert out["QAs"][1]["n_hist"] == 1
     assert "latency_s" in out["QAs"][0]
     assert out["QAs"][1]["cache_tokens"] > out["QAs"][0]["cache_tokens"]
+
+
+def test_image_conversation(engine, tmp_path):
+    """Single-image chat (modal='image', merge_size 1) through the
+    parity path."""
+    from PIL import Image
+
+    img_path = str(tmp_path / "pic.png")
+    rng = np.random.default_rng(5)
+    Image.fromarray(rng.integers(0, 255, (56, 84, 3), np.uint8)).save(
+        img_path)
+    conversation = [
+        {"role": "user", "content": [
+            {"type": "image", "image": {"image_path": img_path}},
+            {"type": "text", "text": "describe the image"},
+        ]},
+    ]
+    turn = engine.chat(conversation, mode="AC", max_new_tokens=6)
+    assert isinstance(turn.text, str)
+    assert turn.num_tokens >= 1
