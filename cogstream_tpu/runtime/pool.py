@@ -85,6 +85,7 @@ class SessionPool:
             pos=self.cache.pos[b:b + 1],
             write_index=jnp.asarray(write_index, jnp.int32),
         )
+        sess._wi = int(write_index)
 
     def _store_row(self, b: int) -> None:
         sess = self.sessions[b]

@@ -98,6 +98,7 @@ class StreamingSession:
         # rival weight reads; every cast already rides the existing
         # .astype plumbing in models/qwen2.py
         self.cache = init_kv_cache(cfg.text, 1, max_len, dtype=kv_dtype)
+        self._wi = 0
         from ..utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -133,7 +134,11 @@ class StreamingSession:
 
     @property
     def write_index(self) -> int:
-        return int(np.asarray(self.cache.write_index))
+        """Host-side mirror of the cache fill level. Every slot count is
+        known analytically on the host, so reading the device scalar
+        (a ~ms round trip per access on the remote-compile tunnel)
+        would be pure waste."""
+        return self._wi
 
     def _full_adapters(self):
         full = self.adapters.get("full_module")
@@ -171,6 +176,7 @@ class StreamingSession:
             self.params["text"], embeds[None], positions, self.cfg.text,
             cache=self.cache, adapters=self._full_adapters())
         self.next_pos += S
+        self._wi = start + Sp
         r = SlotRange(kind, start, start + S, turn)
         self.ranges.append(r)
         return r
@@ -368,6 +374,7 @@ class StreamingSession:
         self.cache = self.cache._replace(
             pos=jnp.full_like(self.cache.pos, -1),
             write_index=jnp.zeros((), jnp.int32))
+        self._wi = 0
         self.ranges = []
         self.events = []
         self.hist_qs, self.hist_as = [], []
@@ -407,6 +414,7 @@ class StreamingSession:
                         jnp.take(self.cache.pos, gidx, axis=1), -1)
         self.cache = KVCache(k, v, pos.astype(jnp.int32),
                              jnp.asarray(n_new, jnp.int32))
+        self._wi = n_new
 
         new_ranges: List[SlotRange] = []
         off = 0
@@ -543,11 +551,13 @@ class StreamingSession:
             temperature=temperature, adapters=self._full_adapters(),
             kv_allowed=jnp.asarray(allowed)[None])
         self.cache = result.cache
+        n_fed = max(0, int(np.asarray(result.num_tokens)[0]) - 1)
         text = decode_new_tokens(result.tokens, result.num_tokens, self.tok)
 
         # answer slots = tokens actually fed back through the cache (the
-        # terminal eos never re-enters) — read the true end post-decode
-        ans_end = self.write_index
+        # terminal eos never re-enters): prompt bucket + fed tokens
+        self._wi = start + Sp + n_fed
+        ans_end = self._wi
         self.ranges.append(SlotRange("question", start, start + S, turn))
         self.ranges.append(SlotRange("answer", start + Sp, ans_end, turn))
         self.next_pos += S + max(0, ans_end - start - Sp)
