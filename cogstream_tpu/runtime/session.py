@@ -33,6 +33,7 @@ model rather than the reference's rewrite-and-reprefill.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -50,6 +51,30 @@ from .retrieval import Selector
 SYSTEM_PROMPT = (
     "You are a helpful assistant watching a live video stream and "
     "answering the user's questions about it.")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "t", "merged"))
+def _ingest_device_step(text_params, adapters, cache, mm, ids_pad,
+                        img_pad, rows_pad, positions, frame_rows_idx,
+                        cfg, t, merged):
+    """One fused device program per segment ingest: embed the template
+    ids, splice the kept visual rows (scratch-row scatter), prefill the
+    cache, and produce the per-frame features/rows the event machinery
+    needs — a single dispatch instead of ~6 (each eager op costs a
+    round trip on the remote-compile tunnel)."""
+    emb = qwen2.embed(text_params, ids_pad)
+    emb = jnp.concatenate([emb, jnp.zeros((1, emb.shape[1]), emb.dtype)])
+    emb = emb.at[img_pad].set(mm[rows_pad].astype(emb.dtype))
+    emb = emb[:-1]
+    _, cache2 = qwen2.qwen2_forward(
+        text_params, emb[None], positions[None], cfg, cache=cache,
+        adapters=adapters)
+    frame_feats = jnp.mean(
+        mm[: t * merged].reshape(t, merged, -1).astype(jnp.float32),
+        axis=1)
+    frame_rows_all = mm[frame_rows_idx.reshape(-1)].reshape(
+        t, merged, -1)
+    return cache2, frame_feats, frame_rows_all
 
 
 @dataclass
@@ -217,10 +242,6 @@ class StreamingSession:
             min_tokens=cc.min_tokens_per_frame)
         keep_host = np.asarray(keep)                    # [t, merged]
 
-        frame_feats = np.asarray(
-            jnp.mean(mm.reshape(t, merged_per_frame, -1), axis=1)
-            .astype(jnp.float32))                       # [t, H]
-
         # ONE prefill per segment (per-frame prefills cost a fresh
         # compile per unique kept-token count — ~1s each over the
         # remote-compile tunnel): concat every frame's template ids,
@@ -264,13 +285,10 @@ class StreamingSession:
         rows_pad[:n_img] = flat_rows
 
         self.evict_for(Sp)          # sliding-window room for the segment
-        emb = qwen2.embed(self.params["text"], jnp.asarray(ids_pad))
-        emb = jnp.concatenate(
-            [emb, jnp.zeros((1, emb.shape[1]), emb.dtype)])  # scratch
-        rows_dev = mm[jnp.asarray(rows_pad)]
-        emb = emb.at[jnp.asarray(img_pad)].set(rows_dev.astype(emb.dtype))
-        emb = emb[:-1]                                   # drop scratch
-        r = self._prefill_embeds(emb, kind="stream", real_len=n)
+        start = self.write_index
+        if start + Sp > self.max_len:
+            raise RuntimeError(
+                f"session cache overflow: {start}+{Sp} > {self.max_len}")
 
         # fixed-shape per-frame feature gather ([merged, H] regardless of
         # kept count) so event summaries never see per-count shapes
@@ -280,8 +298,21 @@ class StreamingSession:
             k = feat_rows[fi]
             frame_rows_idx[fi, :len(k)] = k
             kept_counts[fi] = len(k)
-        frame_rows_all = mm[jnp.asarray(frame_rows_idx.reshape(-1))] \
-            .reshape(t, merged_per_frame, -1)
+
+        positions = np.concatenate([
+            np.arange(self.next_pos, self.next_pos + n, dtype=np.int32),
+            np.full((Sp - n,), -1, np.int32)])
+        self.cache, frame_feats_dev, frame_rows_all = _ingest_device_step(
+            self.params["text"], self._full_adapters(), self.cache, mm,
+            jnp.asarray(ids_pad), jnp.asarray(img_pad),
+            jnp.asarray(rows_pad), jnp.asarray(positions),
+            jnp.asarray(frame_rows_idx), self.cfg.text, t,
+            merged_per_frame)
+        frame_feats = np.asarray(frame_feats_dev)
+        self.next_pos += n
+        self._wi = start + Sp
+        r = SlotRange("stream", start, start + n)
+        self.ranges.append(r)
 
         for fi in range(t):
             frame_id = self.total_frames
