@@ -78,3 +78,39 @@ def test_lora_specs_follow_kernels(tiny_config):
     # shard_params works end-to-end on the lora tree
     sharded = shard_params(lora, lspecs, mesh)
     jax.tree.map(lambda x: None, sharded)
+
+
+def test_session_on_tp_mesh_matches_unsharded(tiny_config):
+    """Streaming session served from TP-sharded params produces the
+    same greedy answers — serving-on-mesh correctness."""
+    import dataclasses
+
+    from cogstream_tpu.config import CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.parallel.sharding import cogreasoner_param_specs
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg = dataclasses.replace(
+        tiny_config, compression=CompressionConfig(frames_per_event=2,
+                                                   keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    rng = np.random.default_rng(0)
+    pv = rng.normal(size=(2 * 4 * 4, 3 * 14 * 14)).astype(np.float32)
+
+    ref_sess = StreamingSession(params, cfg, tok, max_len=1024,
+                                summary_forward=False)
+    ref_sess.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    want = ref_sess.ask("what is this?", mode="AC", max_new_tokens=6)
+
+    mesh = make_mesh(data_parallel=1, model_parallel=4,
+                     devices=jax.devices()[:4])
+    sparams = shard_params(params, cogreasoner_param_specs(cfg, mesh),
+                           mesh)
+    with mesh:
+        sess = StreamingSession(sparams, cfg, tok, max_len=1024,
+                                summary_forward=False)
+        sess.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+        got = sess.ask("what is this?", mode="AC", max_new_tokens=6)
+    assert got["text"] == want["text"]
