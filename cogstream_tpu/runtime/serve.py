@@ -7,6 +7,10 @@ JSON-over-HTTP (stdlib only — no server deps in the TPU image):
                               "fps"?}                   → decode+encode+cache
     POST /ask                {"session_id", "question", "mode"?}
                                                         → answer + latency
+    POST /ask_stream         same body → chunked text deltas, then a
+                             0x1e record separator + final JSON meta
+                             (solo sessions; pooled servers fall back
+                             to the blocking batched path)
     GET  /stats                                         → per-stage timers
 
 One TPU process serves many sessions; requests are serialized through a
@@ -184,6 +188,22 @@ class SessionServer:
                                max_new_tokens=max_new_tokens)
         return out
 
+    def ask_stream(self, session_id: str, question: str,
+                   mode: str = "FCC", max_new_tokens: int = 512):
+        """Generator of text deltas, ending with the result dict."""
+        if self.frontend is not None:
+            # pooled mode: no incremental path yet — emit once
+            out = self.ask(session_id, question, mode=mode,
+                           max_new_tokens=max_new_tokens)
+            yield out["text"]
+            yield out
+            return
+        with self.lock:
+            sess = self._get(session_id)
+            with self.timer.stage("ask"):
+                yield from sess.ask_stream(
+                    question, mode=mode, max_new_tokens=max_new_tokens)
+
     def stats(self) -> Dict:
         return self.timer.summary()
 
@@ -223,6 +243,23 @@ def make_handler(server: SessionServer):
                         req["session_id"], req["question"],
                         req.get("mode", "FCC"),
                         req.get("max_new_tokens", 512)))
+                if self.path == "/ask_stream":
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; charset=utf-8")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    for item in server.ask_stream(
+                            req["session_id"], req["question"],
+                            req.get("mode", "FCC"),
+                            req.get("max_new_tokens", 512)):
+                        if isinstance(item, dict):
+                            self.wfile.write(b"\x1e")
+                            self.wfile.write(json.dumps(item).encode())
+                        else:
+                            self.wfile.write(item.encode())
+                        self.wfile.flush()
+                    return None
                 return self._json(404, {"error": "unknown path"})
             except UnknownSession as e:
                 return self._json(404, {"error": str(e)})

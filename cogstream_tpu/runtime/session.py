@@ -399,6 +399,100 @@ class StreamingSession:
         return (jnp.sum(hidden[0].astype(jnp.float32) * valid, axis=0)
                 / jnp.maximum(valid.sum(), 1.0))
 
+    def ask_stream(self, question: str, mode: str = "FCC",
+                   max_new_tokens: int = 512, chunk: int = 16,
+                   temperature: float = 0.0):
+        """Generator variant of ``ask``: yields text deltas as decode
+        chunks complete. Each chunk is one jitted prefill+decode whose
+        1-token "prompt" is the previous chunk's last sampled token —
+        no recompute, the cache simply continues. Ends by yielding the
+        final result dict (same shape as ``ask``)."""
+        turn = len(self.hist_qs)
+        if mode == "FCC" and self.hist_qs:
+            selection = self.selector.select(
+                question, self.hist_qs, self.hist_as,
+                key=self._next_key())
+            if_visual, sel_idx = parse_selection(selection)
+        else:
+            selection, if_visual = "[yes]", True
+            sel_idx = list(range(turn))
+
+        q_text = (f"<|im_start|>user\n{question}<|im_end|>\n"
+                  f"<|im_start|>assistant\n")
+        q_ids = np.asarray(self.tok.encode(q_text), np.int32)
+        S = len(q_ids)
+        Sp = self._bucket(S)
+        self.evict_for(Sp + max_new_tokens)
+        allowed = jnp.asarray(self._allowed_mask(
+            if_visual, sel_idx,
+            np.asarray(self.tok.encode(question), np.int32)))[None]
+        start = self.write_index
+        if start + Sp + max_new_tokens > self.max_len:
+            raise RuntimeError("session cache overflow")
+
+        ids_pad = np.zeros((Sp,), np.int32)
+        ids_pad[:S] = q_ids
+        emb = qwen2.embed(self.params["text"], jnp.asarray(ids_pad))[None]
+        positions = jnp.concatenate([
+            jnp.arange(self.next_pos, self.next_pos + S, dtype=jnp.int32),
+            jnp.full((Sp - S,), -1, jnp.int32)])[None]
+        last_index = jnp.asarray([S - 1], jnp.int32)
+
+        all_ids: List[int] = []
+        emitted = ""
+        produced = 0
+        done = False
+        wi = start + Sp
+        next_pos = self.next_pos + S
+        while produced < max_new_tokens and not done:
+            n_chunk = min(chunk, max_new_tokens - produced)
+            result = generate_tokens(
+                self.params["text"], emb, positions, last_index,
+                self.cache, self._next_key(), self.cfg.text, n_chunk,
+                self.tok.eos_token_id, temperature=temperature,
+                adapters=self._full_adapters(), kv_allowed=allowed)
+            self.cache = result.cache
+            toks = np.asarray(result.tokens)[0]
+            num = int(np.asarray(result.num_tokens)[0])
+            chunk_ids = toks[:num].tolist()
+            done = (bool(chunk_ids)
+                    and chunk_ids[-1] == self.tok.eos_token_id) \
+                or num < n_chunk
+            fed = max(0, num - 1) if done else num - 1
+            # continuation feeds the last sampled token as next prompt
+            if chunk_ids and chunk_ids[-1] == self.tok.eos_token_id:
+                chunk_ids = chunk_ids[:-1]
+            all_ids.extend(chunk_ids)
+            produced += num
+            wi += fed
+            text_so_far = self.tok.decode(all_ids,
+                                          skip_special_tokens=True)
+            delta = text_so_far[len(emitted):]
+            emitted = text_so_far
+            if delta:
+                yield delta
+            if not done:
+                last_tok = int(toks[num - 1])
+                emb = qwen2.embed(
+                    self.params["text"],
+                    jnp.asarray([[last_tok]], jnp.int32))
+                positions = jnp.asarray(
+                    [[next_pos + produced - 1]], jnp.int32)
+                last_index = jnp.asarray([0], jnp.int32)
+                # prompt bucket already consumed; the 1-token prompt of
+                # the continuation occupies the next slot
+                wi += 1
+
+        self._wi = wi
+        self.ranges.append(SlotRange("question", start, start + S, turn))
+        self.ranges.append(SlotRange("answer", start + Sp, self._wi, turn))
+        self.next_pos = next_pos + produced
+        self.hist_qs.append(question)
+        self.hist_as.append(emitted)
+        yield {"text": emitted, "selection": selection,
+               "if_visual": if_visual, "turn": turn,
+               "cache_tokens": self._wi}
+
     def reset(self) -> None:
         """Start a fresh dialogue stream reusing the allocated cache
         buffers (position row cleared; K/V bytes become unreachable)."""

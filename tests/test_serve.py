@@ -114,3 +114,21 @@ def test_pooled_server_concurrent_asks():
     # follow-up turn on one session still consistent
     r2 = server.ask("a", "again?", mode="AC", max_new_tokens=4)
     assert r2["turn"] == 1
+
+
+def test_ask_stream_endpoint(server_port):
+    """Chunked /ask_stream: text deltas then 0x1e + JSON meta."""
+    port = server_port
+    _post(port, "/session", {"session_id": "s"})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/ask_stream",
+        data=json.dumps({"session_id": "s", "question": "hello?",
+                         "mode": "AC", "max_new_tokens": 8}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        raw = r.read()
+    assert b"\x1e" in raw
+    text, meta = raw.rsplit(b"\x1e", 1)
+    meta = json.loads(meta)
+    assert meta["text"] == text.decode()
+    assert meta["turn"] == 0

@@ -219,3 +219,35 @@ def test_session_fp8_kv_cache(session_setup):
     ref.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
     r2 = ref.ask("what?", mode="AC", max_new_tokens=4)
     assert isinstance(r2["text"], str)
+
+
+def test_ask_stream_matches_ask(session_setup):
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    rng = np.random.default_rng(6)
+    pv = rng.normal(size=(2 * 4 * 4, 3 * 14 * 14)).astype(np.float32)
+
+    ref = StreamingSession(params, cfg, tok, max_len=1024,
+                           summary_forward=False)
+    ref.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    want = ref.ask("what now?", mode="AC", max_new_tokens=24)
+
+    sess = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False)
+    sess.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    deltas = []
+    final = None
+    for item in sess.ask_stream("what now?", mode="AC",
+                                max_new_tokens=24, chunk=8):
+        if isinstance(item, dict):
+            final = item
+        else:
+            deltas.append(item)
+    assert final is not None
+    assert "".join(deltas) == final["text"]
+    # greedy streaming must equal the one-shot answer
+    assert final["text"] == want["text"]
+    # follow-up turn still works after a streamed turn
+    r2 = sess.ask("and again?", mode="AC", max_new_tokens=4)
+    assert r2["turn"] == 1
