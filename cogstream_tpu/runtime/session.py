@@ -278,7 +278,7 @@ class StreamingSession:
         ids_pad = np.zeros((Sp,), np.int32)
         ids_pad[:n] = seg_ids
         n_img = len(flat_img)
-        n_img_p = self._bucket(max(n_img, 1), 64)
+        n_img_p = self._bucket(max(n_img, 1), 128)
         img_pad = np.full((n_img_p,), Sp, np.int64)     # scratch row
         img_pad[:n_img] = flat_img
         rows_pad = np.zeros((n_img_p,), np.int64)
@@ -371,7 +371,7 @@ class StreamingSession:
                      "<|im_start|>assistant")
         ids = np.asarray(self.tok.encode("".join(parts)), np.int32)
         n = len(ids)
-        np_pad = self._bucket(n, 128)   # bucket → stable jit shapes
+        np_pad = self._bucket(n, 256)   # coarse bucket → stable jit shapes
         ids_pad = np.zeros((np_pad,), np.int32)
         ids_pad[:n] = ids
         feats = jnp.concatenate(rows, axis=0)
@@ -379,7 +379,7 @@ class StreamingSession:
         sel = np.concatenate(sel_idx) if sel_idx else np.zeros(0, np.int64)
         # bucket scatter/gather counts; pads land on a scratch row
         n_img = len(img_positions)
-        n_img_p = self._bucket(max(n_img, 1), 64)
+        n_img_p = self._bucket(max(n_img, 1), 128)
         img_pad = np.full((n_img_p,), np_pad, np.int64)
         img_pad[:n_img] = img_positions
         sel_pad = np.zeros((n_img_p,), np.int64)
