@@ -30,6 +30,7 @@ TPU-native design deltas (SURVEY.md §7):
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
@@ -261,6 +262,8 @@ def pool_minor_frames(
     return x.reshape(T * patches_per_frame, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("t", "merged_per_frame",
+                                             "threshold", "min_tokens"))
 def pixel_diff_keep_mask(
     pixel_values: jax.Array,    # [t*gh*gw, C*ps*ps] one video item's rows
     t: int,

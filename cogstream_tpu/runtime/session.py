@@ -77,6 +77,21 @@ def _ingest_device_step(text_params, adapters, cache, mm, ids_pad,
     return cache2, frame_feats, frame_rows_all
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _event_summary_device(text_params, ids_pad, img_pad, sel_pad, feats,
+                          pos, cfg):
+    """Jitted half of the per-event summary forward: embed + splice +
+    decoder forward + masked mean — one dispatch per event."""
+    emb = qwen2.embed(text_params, ids_pad)
+    emb = jnp.concatenate([emb, jnp.zeros((1, emb.shape[1]), emb.dtype)])
+    emb = emb.at[img_pad].set(feats[sel_pad].astype(emb.dtype))
+    emb = emb[:-1]
+    hidden, _ = qwen2.qwen2_forward(text_params, emb[None], pos, cfg)
+    valid = (pos[0] >= 0)[:, None].astype(jnp.float32)
+    return (jnp.sum(hidden[0].astype(jnp.float32) * valid, axis=0)
+            / jnp.maximum(valid.sum(), 1.0))
+
+
 @dataclass
 class SlotRange:
     kind: str                 # "system" | "stream" | "question" | "answer"
@@ -384,20 +399,13 @@ class StreamingSession:
         img_pad[:n_img] = img_positions
         sel_pad = np.zeros((n_img_p,), np.int64)
         sel_pad[:n_img] = sel
-        emb = qwen2.embed(self.params["text"], jnp.asarray(ids_pad))
-        emb = jnp.concatenate(
-            [emb, jnp.zeros((1, emb.shape[1]), emb.dtype)])
-        emb = emb.at[jnp.asarray(img_pad)].set(
-            feats[jnp.asarray(sel_pad)].astype(emb.dtype))
-        emb = emb[:-1]
-        pos = jnp.concatenate([
-            jnp.arange(n, dtype=jnp.int32),
-            jnp.full((np_pad - n,), -1, jnp.int32)])[None]
-        hidden, _ = qwen2.qwen2_forward(
-            self.params["text"], emb[None], pos, self.cfg.text)
-        valid = (pos[0] >= 0)[:, None].astype(jnp.float32)
-        return (jnp.sum(hidden[0].astype(jnp.float32) * valid, axis=0)
-                / jnp.maximum(valid.sum(), 1.0))
+        pos = np.concatenate([
+            np.arange(n, dtype=np.int32),
+            np.full((np_pad - n,), -1, np.int32)])[None]
+        return _event_summary_device(
+            self.params["text"], jnp.asarray(ids_pad),
+            jnp.asarray(img_pad), jnp.asarray(sel_pad), feats,
+            jnp.asarray(pos), self.cfg.text)
 
     def ask_stream(self, question: str, mode: str = "FCC",
                    max_new_tokens: int = 512, chunk: int = 16,
