@@ -125,7 +125,9 @@ def bench_session(full: bool, use_pallas: bool):
                             use_pallas=use_pallas)
 
     rng = np.random.default_rng(0)
-    T, gh, gw = 8, 16, 16
+    # 16-frame segments: ingest cost is dispatch-dominated on the
+    # tunnel, so throughput scales with the micro-batch size
+    T, gh, gw = 16, 16, 16
     pv = rng.normal(size=(T * gh * gw,
                           3 * cfg.vision.patch_size ** 2)).astype(np.float32)
     # first two segments pay residual jit compiles; the third measures
