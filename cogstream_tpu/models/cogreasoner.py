@@ -42,11 +42,7 @@ import numpy as np
 from ..config import CogReasonerConfig
 from . import qwen2
 from .projector import init_projector_params, projector_forward
-from .vision_encoder import (
-    build_vision_metadata,
-    init_vision_params,
-    vision_encoder_core,
-)
+from .vision_encoder import init_vision_params, vision_encoder_forward
 
 SUMMARY_SYSTEM = (
     "You are a helpful assistant specializing in summarizing events from "
@@ -86,19 +82,9 @@ def encode_images(
     pad_to: Optional[int] = None,
 ) -> jax.Array:
     """Patch rows → projected LM-space features [N_merged, H_lm]."""
-    meta = build_vision_metadata(grid_sizes, merge_sizes, pad_to=pad_to)
-    n = meta.pos_ids.shape[0]
-    pv = jnp.asarray(pixel_values)
-    if pv.shape[0] < n:
-        pv = jnp.concatenate(
-            [pv, jnp.zeros((n - pv.shape[0], pv.shape[1]), pv.dtype)])
-    flash_kv = (None if meta.kv_start is None or not use_pallas else
-                (jnp.asarray(meta.kv_start), jnp.asarray(meta.kv_count)))
-    feats = vision_encoder_core(
-        params["vision"], pv, jnp.asarray(meta.pos_ids),
-        jnp.asarray(meta.segment_ids), jnp.asarray(meta.merge_group_ids),
-        meta.num_out_tokens, cfg.vision, use_pallas=use_pallas,
-        flash_kv=flash_kv, flash_kmax=meta.kmax)
+    feats = vision_encoder_forward(
+        params["vision"], pixel_values, grid_sizes, merge_sizes,
+        cfg.vision, use_pallas=use_pallas, pad_to=pad_to)
     return projector_forward(params["projector"],
                              feats.astype(cfg.text.jnp_dtype))
 
@@ -384,7 +370,13 @@ def run_visual_compression(
     total_frames = int(timestamps.shape[0])
     n_tokens = int(mm_features.shape[0])
 
-    if total_frames == 0 or n_tokens % max(total_frames, 1) != 0:
+    # compression applies to pure-video streams only (the reference
+    # asserts batch==1 around this path, cogreasoner_chat.py:560-563);
+    # a mixed image+video batch would make the per-frame token count
+    # ambiguous — still images pass through uncompressed
+    if (total_frames == 0
+            or any(m != "video" for m in modals)
+            or n_tokens % max(total_frames, 1) != 0):
         keep = jnp.ones((n_tokens,), jnp.bool_)
         return VisualCompressionResult(keep, mm_features, None, None)
 

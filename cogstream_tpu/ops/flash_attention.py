@@ -58,8 +58,6 @@ def kv_block_ranges(
     seg = np.asarray(segment_ids)
     n = seg.shape[0]
     nq = -(-n // block_q)
-    nk = -(-n // block_k)
-    # first/last token index of every segment id present
     starts = np.full((nq,), 0, np.int32)
     counts = np.full((nq,), 0, np.int32)
     for i in range(nq):
@@ -70,11 +68,8 @@ def kv_block_ranges(
             counts[i] = 0
             continue
         lo_seg, hi_seg = int(real.min()), int(real.max())
-        # tokens of these segments span [first_tok, last_tok]
-        first_tok = int(np.searchsorted(seg[:n], lo_seg, side="left"))
-        # seg may contain -1 padding at the tail; searchsorted needs the
-        # non-decreasing prefix — padding (-1) only appears after real ids
-        # in our layout, but guard anyway:
+        # tokens of these segments span [first_tok, last_tok]; padding
+        # (-1) sorts as +inf so searchsorted sees a non-decreasing array
         real_all = np.where(seg >= 0, seg, np.iinfo(np.int32).max)
         first_tok = int(np.searchsorted(real_all, lo_seg, side="left"))
         last_tok = int(np.searchsorted(real_all, hi_seg, side="right")) - 1

@@ -171,6 +171,10 @@ class SessionPool:
             if sess.evict_for(Sp + max_new_tokens):
                 self._store_row(b)   # eviction compacted the row
             start = sess.write_index
+            if start + Sp + max_new_tokens > self.max_len:
+                raise RuntimeError(
+                    f"pool row {b} overflow: {start}+{Sp}"
+                    f"+{max_new_tokens} > {self.max_len}")
             ids[b, :n] = m["q_ids"]
             positions[b, :n] = np.arange(sess.next_pos, sess.next_pos + n)
             slots[b, :n] = np.arange(start, start + n)

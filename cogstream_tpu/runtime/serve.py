@@ -244,21 +244,32 @@ def make_handler(server: SessionServer):
                         req.get("mode", "FCC"),
                         req.get("max_new_tokens", 512)))
                 if self.path == "/ask_stream":
+                    # resolve the session BEFORE sending headers so
+                    # 404/400 stay clean status codes
+                    server._get(req["session_id"])
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "text/plain; charset=utf-8")
                     self.send_header("Connection", "close")
                     self.end_headers()
-                    for item in server.ask_stream(
-                            req["session_id"], req["question"],
-                            req.get("mode", "FCC"),
-                            req.get("max_new_tokens", 512)):
-                        if isinstance(item, dict):
-                            self.wfile.write(b"\x1e")
-                            self.wfile.write(json.dumps(item).encode())
-                        else:
-                            self.wfile.write(item.encode())
-                        self.wfile.flush()
+                    try:
+                        for item in server.ask_stream(
+                                req["session_id"], req["question"],
+                                req.get("mode", "FCC"),
+                                req.get("max_new_tokens", 512)):
+                            if isinstance(item, dict):
+                                self.wfile.write(b"\x1e")
+                                self.wfile.write(
+                                    json.dumps(item).encode())
+                            else:
+                                self.wfile.write(item.encode())
+                            self.wfile.flush()
+                    except Exception as e:  # headers already sent:
+                        # emit an in-band error record, never a second
+                        # status line
+                        self.wfile.write(b"\x1e" + json.dumps(
+                            {"error": f"{type(e).__name__}: {e}"}
+                        ).encode())
                     return None
                 return self._json(404, {"error": "unknown path"})
             except UnknownSession as e:

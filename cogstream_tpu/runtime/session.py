@@ -421,6 +421,8 @@ class StreamingSession:
                 question, self.hist_qs, self.hist_as,
                 key=self._next_key())
             if_visual, sel_idx = parse_selection(selection)
+        elif mode == "NC":
+            selection, if_visual, sel_idx = "[yes]", True, []
         else:
             selection, if_visual = "[yes]", True
             sel_idx = list(range(turn))
@@ -450,53 +452,63 @@ class StreamingSession:
         emitted = ""
         produced = 0
         done = False
+        wrote_any = False
         wi = start + Sp
         next_pos = self.next_pos + S
-        while produced < max_new_tokens and not done:
-            n_chunk = min(chunk, max_new_tokens - produced)
-            result = generate_tokens(
-                self.params["text"], emb, positions, last_index,
-                self.cache, self._next_key(), self.cfg.text, n_chunk,
-                self.tok.eos_token_id, temperature=temperature,
-                adapters=self._full_adapters(), kv_allowed=allowed)
-            self.cache = result.cache
-            toks = np.asarray(result.tokens)[0]
-            num = int(np.asarray(result.num_tokens)[0])
-            chunk_ids = toks[:num].tolist()
-            done = (bool(chunk_ids)
-                    and chunk_ids[-1] == self.tok.eos_token_id) \
-                or num < n_chunk
-            fed = max(0, num - 1) if done else num - 1
-            # continuation feeds the last sampled token as next prompt
-            if chunk_ids and chunk_ids[-1] == self.tok.eos_token_id:
-                chunk_ids = chunk_ids[:-1]
-            all_ids.extend(chunk_ids)
-            produced += num
-            wi += fed
-            text_so_far = self.tok.decode(all_ids,
-                                          skip_special_tokens=True)
-            delta = text_so_far[len(emitted):]
-            emitted = text_so_far
-            if delta:
-                yield delta
-            if not done:
-                last_tok = int(toks[num - 1])
-                emb = qwen2.embed(
-                    self.params["text"],
-                    jnp.asarray([[last_tok]], jnp.int32))
-                positions = jnp.asarray(
-                    [[next_pos + produced - 1]], jnp.int32)
-                last_index = jnp.asarray([0], jnp.int32)
-                # prompt bucket already consumed; the 1-token prompt of
-                # the continuation occupies the next slot
-                wi += 1
-
-        self._wi = wi
-        self.ranges.append(SlotRange("question", start, start + S, turn))
-        self.ranges.append(SlotRange("answer", start + Sp, self._wi, turn))
-        self.next_pos = next_pos + produced
-        self.hist_qs.append(question)
-        self.hist_as.append(emitted)
+        try:
+            while produced < max_new_tokens and not done:
+                n_chunk = min(chunk, max_new_tokens - produced)
+                result = generate_tokens(
+                    self.params["text"], emb, positions, last_index,
+                    self.cache, self._next_key(), self.cfg.text, n_chunk,
+                    self.tok.eos_token_id, temperature=temperature,
+                    adapters=self._full_adapters(), kv_allowed=allowed)
+                self.cache = result.cache
+                wrote_any = True
+                toks = np.asarray(result.tokens)[0]
+                num = int(np.asarray(result.num_tokens)[0])
+                chunk_ids = toks[:num].tolist()
+                done = (bool(chunk_ids)
+                        and chunk_ids[-1] == self.tok.eos_token_id) \
+                    or num < n_chunk
+                # continuation feeds the last sampled token as next prompt
+                if chunk_ids and chunk_ids[-1] == self.tok.eos_token_id:
+                    chunk_ids = chunk_ids[:-1]
+                all_ids.extend(chunk_ids)
+                produced += num
+                wi += max(0, num - 1)
+                text_so_far = self.tok.decode(all_ids,
+                                              skip_special_tokens=True)
+                delta = text_so_far[len(emitted):]
+                emitted = text_so_far
+                if delta:
+                    yield delta
+                if not done and produced < max_new_tokens:
+                    last_tok = int(toks[num - 1])
+                    emb = qwen2.embed(
+                        self.params["text"],
+                        jnp.asarray([[last_tok]], jnp.int32))
+                    positions = jnp.asarray(
+                        [[next_pos + produced - 1]], jnp.int32)
+                    last_index = jnp.asarray([0], jnp.int32)
+                    # the continuation's 1-token prompt occupies the
+                    # next slot (only counted when it actually runs)
+                    wi += 1
+        finally:
+            # commit bookkeeping even when the consumer abandons the
+            # generator mid-stream (e.g. HTTP client disconnect): the
+            # device cache already holds whatever was generated, so the
+            # host state must reflect it. If the very first chunk never
+            # wrote (exception before any decode), nothing to commit.
+            if wrote_any:
+                self._wi = wi
+                self.ranges.append(SlotRange("question", start,
+                                             start + S, turn))
+                self.ranges.append(SlotRange("answer", start + Sp,
+                                             self._wi, turn))
+                self.next_pos = next_pos + produced
+                self.hist_qs.append(question)
+                self.hist_as.append(emitted)
         yield {"text": emitted, "selection": selection,
                "if_visual": if_visual, "turn": turn,
                "cache_tokens": self._wi}
@@ -567,6 +579,16 @@ class StreamingSession:
                              if old2new[s] >= 0]
             remapped_events.append(ev)
         self.events = remapped_events
+
+        # pending (not-yet-sealed) frames also carry absolute slot ids
+        remapped_pending = []
+        for f in self._pending_frames:
+            new_slots = old2new[np.asarray(f[3])]
+            if new_slots.size and (new_slots < 0).any():
+                continue   # its segment was evicted
+            remapped_pending.append(
+                (f[0], f[1], f[2], new_slots, new_slots[:1], f[5]))
+        self._pending_frames = remapped_pending
         return n_new
 
     def evict_for(self, needed: int) -> bool:

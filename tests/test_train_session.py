@@ -251,3 +251,22 @@ def test_ask_stream_matches_ask(session_setup):
     # follow-up turn still works after a streamed turn
     r2 = sess.ask("and again?", mode="AC", max_new_tokens=4)
     assert r2["turn"] == 1
+
+
+def test_ask_stream_truncated_keeps_wi_in_sync(session_setup):
+    """Truncation at max_new_tokens must not count a phantom
+    continuation slot: host mirror == device write_index."""
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    sess = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False)
+    # eos_id=2 from tiny config virtually never sampled at random init,
+    # so max_new_tokens=16 with chunk=8 truncates at the cap
+    for item in sess.ask_stream("count forever", mode="AC",
+                                max_new_tokens=16, chunk=8):
+        pass
+    assert sess._wi == int(np.asarray(sess.cache.write_index))
+    # next turn slots line up exactly
+    r = sess.ask("next?", mode="AC", max_new_tokens=4)
+    assert sess._wi == int(np.asarray(sess.cache.write_index))
