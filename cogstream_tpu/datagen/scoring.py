@@ -23,6 +23,10 @@ _INT_RE = re.compile(r"-?\d+")
 SCORED_LEVELS_CURRENT = ("L3", "L4")
 SCORED_LEVELS_PREVIOUS = ("L1", "L3")
 MAX_SCORE = 7
+# structural co-references score ABOVE the judged 0-7 scale so the
+# dialogue-path auto-take (auto_take_score=8) always fires for them,
+# mirroring the reference's SCORE_THRESHOLD=8 convention
+STRUCTURAL_SCORE = 8
 
 
 def parse_score(text: str) -> Optional[int]:
@@ -68,7 +72,7 @@ def score_video(client, video: Dict, out_path: Optional[str] = None,
                 for plevel in SCORED_LEVELS_PREVIOUS:
                     for pqa in pseg.get("QAs", {}).get(plevel, []):
                         if is_structural_coreference(qa, pi):
-                            scores.append(MAX_SCORE)
+                            scores.append(STRUCTURAL_SCORE)
                             continue
                         text = client.chat(prompts.scoring_prompt(
                             qa.get("Q", ""), qa.get("A", ""),

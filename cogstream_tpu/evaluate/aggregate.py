@@ -164,15 +164,32 @@ def load_judged_dir(path: str) -> List[Dict]:
     return out
 
 
+def gt_qa_indices(qa: Dict) -> Optional[List[int]]:
+    """Canonical GT chain-of-inference as PRIOR-QA indices.
+
+    The dataset format stores GT as a binary ``relevance`` vector over
+    prior QAs (data_formating.py:24-73 / step1a's element-wise
+    comparison); ``gt_coi`` may carry explicit indices. The raw ``coi``
+    field from dialogue-path construction indexes prior SEGMENTS — a
+    different space — and is deliberately NOT used here.
+    """
+    if "relevance" in qa and qa["relevance"] is not None:
+        return [i for i, r in enumerate(qa["relevance"]) if r]
+    if "gt_coi" in qa:
+        return list(qa["gt_coi"])
+    return None
+
+
 def coi_items_from_videos(videos: Iterable[Dict]) -> List[Dict]:
     items = []
     for video in videos:
         qas = video.get("QAs", [])
         for i, qa in enumerate(qas):
-            if "pred_coi" in qa or "coi" in qa:
+            gt = gt_qa_indices(qa)
+            if "pred_coi" in qa and gt is not None:
                 items.append({
                     "pred_coi": qa.get("pred_coi", []),
-                    "gt_coi": qa.get("coi", qa.get("gt_coi", [])),
+                    "gt_coi": gt,
                     "n_hist": i,
                     "pred_visual": qa.get("pred_visual"),
                     "gt_visual": qa.get("is_visual"),

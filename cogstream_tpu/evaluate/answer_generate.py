@@ -52,12 +52,15 @@ def generate_for_video(
     n_hist = 0
     for seg in segments:
         s, e = (seg.get("timestamp") or [None, None])[:2]
+        video_args = {"video_path": video_path, "fps": fps,
+                      "max_frames": max_frames}
+        if s is not None:
+            video_args["start_time"] = s
+        if e is not None:
+            video_args["end_time"] = e
         conversation.append({
             "role": "stream",
-            "content": [{"type": "video", "video": {
-                "video_path": video_path, "fps": fps,
-                "max_frames": max_frames, "start_time": s,
-                "end_time": e}}],
+            "content": [{"type": "video", "video": video_args}],
         })
         for qa in seg.get("QAs", []):
             pair = qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \
@@ -83,6 +86,7 @@ def generate_for_video(
                 "prediction": turn.text,
                 "pred_coi": pred_coi,
                 "pred_visual": turn.if_visual,
+                "relevance": qa.get("relevance"),
                 "coi": qa.get("coi", []),
                 "is_visual": qa.get("is_visual", True),
                 "label": qa.get("label", ""),
@@ -115,17 +119,22 @@ def generate_for_video_streaming(
     image_processor = ImageProcessor(processor_cfg)
     results: List[dict] = []
     n_hist = 0
+    seg_time_end = 0.0     # global-timestamp accumulation (+1s between
+                           # segments), matching processor.load_multimodal
     for seg in segments:
         s, e = (seg.get("timestamp") or [None, None])[:2]
         frames, timestamps, _ = load_video(
             video_path, start_time=s, end_time=e,
             fps=processor_cfg.fps, max_frames=processor_cfg.max_frames)
         if frames:
+            base = timestamps[0] if timestamps else 0.0
+            stamps = [t - base + seg_time_end for t in timestamps]
             batch = image_processor([np.stack(frames)], modals=["video"])
             t, gh, gw = (int(x) for x in batch.grid_sizes[0])
             sess.append_stream_segment(
                 batch.pixel_values, (t, gh, gw),
-                int(batch.merge_sizes[0]), timestamps)
+                int(batch.merge_sizes[0]), stamps)
+            seg_time_end = (max(stamps) if stamps else seg_time_end) + 1.0
         for qa in seg.get("QAs", []):
             pair = qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \
                 else qa.get("QA_pairs", qa)
@@ -140,6 +149,7 @@ def generate_for_video_streaming(
                 "prediction": r["text"],
                 "pred_coi": pred_coi,
                 "pred_visual": r["if_visual"],
+                "relevance": qa.get("relevance"),
                 "coi": qa.get("coi", []),
                 "is_visual": qa.get("is_visual", True),
                 "label": qa.get("label", ""),

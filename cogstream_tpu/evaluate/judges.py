@@ -23,7 +23,6 @@ import hashlib
 import json
 import os
 import re
-import time
 from typing import Dict, List, Optional, Protocol, Sequence
 from ..utils.io import atomic_write_json
 
@@ -62,42 +61,30 @@ class FakeJudge:
 
 
 class OpenAICompatJudge:
-    """Retrying OpenAI-SDK wrapper (C22 semantics: backoff, usage
-    accounting, model fallback — tools/MLLMs.py behavioral parity)."""
+    """Judge over any OpenAI-compatible endpoint. Thin adapter around
+    datagen.client.MLLMClient so the retry/backoff/fallback/usage logic
+    lives in exactly one place (C22)."""
 
     def __init__(self, model: str, api_key: Optional[str] = None,
                  base_url: Optional[str] = None, max_retries: int = 5,
                  fallback_model: Optional[str] = None):
-        from openai import OpenAI  # gated: only needed on this path
+        from ..datagen.client import MLLMClient
 
-        self.client = OpenAI(
-            api_key=api_key or os.environ.get("OPENAI_API_KEY", ""),
-            base_url=base_url or os.environ.get("OPENAI_BASE_URL"))
-        self.model = model
-        self.fallback_model = fallback_model
-        self.max_retries = max_retries
-        self.prompt_tokens = 0
-        self.completion_tokens = 0
+        self._client = MLLMClient(
+            model, api_key=api_key, base_url=base_url,
+            max_retries=max_retries, fallback_model=fallback_model,
+            temperature=0.0)
+
+    @property
+    def prompt_tokens(self):
+        return self._client.prompt_tokens
+
+    @property
+    def completion_tokens(self):
+        return self._client.completion_tokens
 
     def chat(self, system: str, user: str) -> str:
-        model = self.model
-        for attempt in range(self.max_retries):
-            try:
-                r = self.client.chat.completions.create(
-                    model=model,
-                    messages=[{"role": "system", "content": system},
-                              {"role": "user", "content": user}])
-                if r.usage:
-                    self.prompt_tokens += r.usage.prompt_tokens or 0
-                    self.completion_tokens += r.usage.completion_tokens or 0
-                return r.choices[0].message.content or ""
-            except Exception:
-                if attempt == self.max_retries - 1:
-                    raise
-                if self.fallback_model and attempt >= self.max_retries // 2:
-                    model = self.fallback_model
-                time.sleep(min(2 ** attempt, 20))
-        return ""
+        return self._client.chat(user, system=system)
 
 
 def extract_scores(text: str) -> List[float]:
@@ -204,10 +191,13 @@ def judge_directory(
                 "ground_truth": qa.get("answer", ""),
             })
             ctx = None
-            if coi_context and qa.get("coi"):
+            if coi_context:
+                from .aggregate import gt_qa_indices
+
+                deps = gt_qa_indices(qa) or []
                 hist = video.get("QAs", [])
                 lines = []
-                for j in qa["coi"]:
+                for j in deps:
                     if isinstance(j, int) and 0 <= j < len(hist):
                         h = hist[j]
                         lines.append(f"Q: {h.get('question','')} "

@@ -71,7 +71,7 @@ def load_video(
         # OpenCV fallback (its bundled decoder) — same contract
         return _load_video_cv2(video_path, start_time, end_time, fps,
                                max_frames, size, size_divisible,
-                               temporal_factor)
+                               temporal_factor, trim_time)
 
     info = probe_video(video_path)
     duration = float(info["format"]["duration"])
@@ -134,19 +134,26 @@ def load_video(
 
     frames = list(frames)
     timestamps = [float(t) for t in timestamps]
-    if temporal_factor > 1:
-        pad = temporal_factor - len(frames) % temporal_factor
-        frames.extend([frames[-1]] * pad)
-        step = 1 / (fps or 1.0)
-        timestamps.extend(timestamps[-1] + step * (i + 1) for i in range(pad))
+    if temporal_factor > 1 and frames:
+        pad = (-len(frames)) % temporal_factor
+        if pad:
+            frames.extend([frames[-1]] * pad)
+            step = 1 / (fps or 1.0)
+            timestamps.extend(timestamps[-1] + step * (i + 1)
+                              for i in range(pad))
 
     return frames, timestamps, duration
 
 
 def _load_video_cv2(video_path, start_time, end_time, fps, max_frames,
-                    size, size_divisible, temporal_factor):
+                    size, size_divisible, temporal_factor,
+                    trim_time: float = 0.0):
     """cv2.VideoCapture decode path (hosts without an ffmpeg binary —
-    e.g. the TPU image ships OpenCV's bundled decoder instead)."""
+    e.g. the TPU image ships OpenCV's bundled decoder instead).
+    Mirrors the ffmpeg path's semantics: ``trim_time`` trims a
+    fractional head off the window (the processor's cross-segment
+    timestamp alignment) and the returned duration is the trimmed
+    window's, not the whole file's."""
     import cv2
 
     cap = cv2.VideoCapture(video_path)
@@ -154,9 +161,17 @@ def _load_video_cv2(video_path, start_time, end_time, fps, max_frames,
         raise RuntimeError(f"cv2 cannot open {video_path}")
     src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     n_src = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
-    duration = n_src / src_fps if n_src else 0.0
+    file_duration = n_src / src_fps if n_src else 0.0
     t0 = start_time or 0.0
-    t1 = min(end_time, duration) if end_time is not None else duration
+    t1 = min(end_time, file_duration) if end_time is not None \
+        else file_duration
+    window = max(0.0, t1 - t0)
+    if trim_time > 0:
+        # ffmpeg path: trim=start=trim_time:end=floor(dur-trim)+trim
+        end_in_window = math.floor(window - trim_time) + trim_time
+        t1 = t0 + min(window, end_in_window)
+        t0 = t0 + trim_time
+    duration = max(0.0, t1 - t0)
     step = 1.0 / fps if fps else 1.0 / src_fps
 
     wanted = np.arange(t0, max(t1, t0 + 1e-6), step)
@@ -191,8 +206,8 @@ def _load_video_cv2(video_path, start_time, end_time, fps, max_frames,
         frames = [frames[i] for i in sel]
         timestamps = [timestamps[i] for i in sel]
     if temporal_factor > 1 and frames:
-        pad = temporal_factor - len(frames) % temporal_factor
-        if pad != temporal_factor:
+        pad = (-len(frames)) % temporal_factor
+        if pad:
             frames.extend([frames[-1]] * pad)
             timestamps.extend(timestamps[-1] + step * (i + 1)
                               for i in range(pad))

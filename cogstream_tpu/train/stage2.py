@@ -226,12 +226,15 @@ def train_stage2_video(
 
     for seg in segments:
         s, e = seg.get("timestamp", [None, None])[:2]
+        video_args = {"video_path": video_path, "fps": tcfg.fps,
+                      "max_frames": tcfg.max_frames}
+        if s is not None:
+            video_args["start_time"] = s
+        if e is not None:
+            video_args["end_time"] = e
         conversation.append({
             "role": "stream",
-            "content": [{"type": "video", "video": {
-                "video_path": video_path, "fps": tcfg.fps,
-                "max_frames": tcfg.max_frames, "start_time": s,
-                "end_time": e}}],
+            "content": [{"type": "video", "video": video_args}],
         })
         for qa in seg.get("QAs", []):
             pair = qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \

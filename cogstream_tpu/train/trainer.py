@@ -11,7 +11,6 @@ TP all fall out of the same annotations (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -23,12 +22,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import CogReasonerConfig, LoRAConfig, Qwen2Config
 from ..models import qwen2
 from ..parallel.mesh import DATA_AXIS
-from ..parallel.sharding import (
-    cogreasoner_param_specs,
-    lora_param_specs,
-    qwen2_param_specs,
-    specs_to_shardings,
-)
 
 IGNORE_INDEX = -100
 
@@ -92,9 +85,13 @@ def make_optimizer(
     first_stage_training.py:488, second_stage_training.py:310), with
     gradient accumulation folded in via MultiSteps (accum 4 at ref
     :166-181)."""
+    # MultiSteps advances the inner schedule once per ACCUMULATED update,
+    # so the cosine horizon must be measured in optimizer updates, not
+    # micro-batches
+    updates = max(1, total_steps // max(grad_accum, 1))
     if schedule == "cosine":
         sched = optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
+            0.0, learning_rate, warmup_steps, max(updates, warmup_steps + 1))
     else:
         sched = learning_rate
     tx = optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay)

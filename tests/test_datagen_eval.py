@@ -81,12 +81,12 @@ def test_judges_and_aggregate(tmp_path):
         {"question": "what color is the car",
          "prediction": "the car is red",
          "answer": "the car is red", "label": "Basic",
-         "class": "Attribute", "coi": [], "is_visual": True,
+         "class": "Attribute", "relevance": [], "is_visual": True,
          "pred_coi": [], "pred_visual": True},
         {"question": "what happened after",
          "prediction": "something unrelated entirely",
          "answer": "the red car drove away", "label": "Streaming",
-         "class": "Sequence", "coi": [0], "is_visual": True,
+         "class": "Sequence", "relevance": [1], "is_visual": True,
          "pred_coi": [0], "pred_visual": True},
     ]}
     with open(pred_dir / "v.json", "w") as f:
