@@ -141,3 +141,26 @@ def test_image_conversation(engine, tmp_path):
     turn = engine.chat(conversation, mode="AC", max_new_tokens=6)
     assert isinstance(turn.text, str)
     assert turn.num_tokens >= 1
+
+
+def test_rewrite_preserves_stream_visuals(engine, tiny_video):
+    """Regression: history rewrite must keep <|stream_start|> blocks —
+    a dropped stream block silently blinds every turn after the first."""
+    conversation = [
+        {"role": "stream", "content": [{"type": "video", "video": {
+            "video_path": tiny_video, "fps": 1, "max_frames": 2}}]},
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": "q2"},
+    ]
+    out = engine.processor(conversation, add_generation_prompt=True)
+    img_id = engine.tokenizer.image_token_id
+    n_img = int(np.sum(out.input_ids == img_id))
+    assert n_img > 0
+    sel = engine.qa_selection(out, mode="gt", select_gt=[0],
+                              if_visual=True)
+    assert int(np.sum(sel.input_ids == img_id)) == n_img
+    # and with if_visual=False all visuals drop
+    sel2 = engine.qa_selection(out, mode="gt", select_gt=[0],
+                               if_visual=False)
+    assert int(np.sum(sel2.input_ids == img_id)) == 0
