@@ -302,10 +302,15 @@ def main():
     on_tpu = platform not in ("cpu",)
     full = os.environ.get("COGSTREAM_BENCH_FULL") == "1"
 
+    profile_dir = os.environ.get("COGSTREAM_BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     try:
         fps, enc_dt = bench_encoder(use_pallas=on_tpu)
     except Exception:
         fps, enc_dt = bench_encoder(use_pallas=False)
+    if profile_dir:
+        jax.profiler.stop_trace()   # encoder section only; view in xprof
 
     extras = {}
     try:

@@ -112,3 +112,22 @@ def test_pooled_generate_matches_standard(setup):
     for b, o in enumerate((0, 7, 19)):
         n = int(np.asarray(out.num_tokens)[b]) - 1
         assert (pos_out[b, o + S:o + S + n] >= 0).all()
+
+
+def test_pool_with_fp8_kv(setup):
+    """Pool + fp8 KV cache compose."""
+    import jax.numpy as jnp
+
+    from cogstream_tpu.runtime.pool import SessionPool
+
+    cfg, params, tok = setup
+    pool = SessionPool(params, cfg, tok, n_rows=2, max_len=512,
+                       summary_forward=False,
+                       kv_dtype=jnp.float8_e4m3fn)
+    assert pool.cache.k.dtype == jnp.float8_e4m3fn
+    a = pool.open()
+    b = pool.open()
+    out = pool.ask_batch([(a, "one?"), (b, "two?")], mode="AC",
+                         max_new_tokens=4)
+    assert set(out) == {a, b}
+    assert all(isinstance(r["text"], str) for r in out.values())
