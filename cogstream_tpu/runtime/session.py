@@ -17,12 +17,17 @@ TPU-native replacement: a per-session position-tagged KV cache where
 
 History retrieval does not re-tokenize: dropping an unselected QA turn
 is a per-turn **visibility mask** over its slot range (qwen2_forward's
-``kv_allowed``), so the next turn can reselect it. Event pruning
-likewise masks unimportant events' frame slots, keeping each frame's
-first token + the event keyframes — the cached-KV analogue of the
-reference's mean-pool-to-patch-0 compression (cogreasoner_chat.py:
-434-447; exact pooling is impossible retroactively on cached KV, the
-first patch stands in for the pooled token — a documented delta).
+``kv_allowed``), so the next turn can reselect it. Event pruning uses
+**shadow pooled slots** for exact parity with the reference's
+mean-pool-to-patch-0 compression (cogreasoner_chat.py:434-447): exact
+pooling is impossible retroactively on cached KV, so each ingest ALSO
+prefills one extra token per frame whose input embedding is the mean of
+that frame's merged patch features — the very value
+``pool_minor_frames`` splices in the engine path. Shadow slots are
+invisible by default (to asks AND to later ingests); when an event
+scores below the similarity threshold, its non-keyframe frames flip to
+shadow-only visibility (pooled token + timestamp text), keyframes stay
+full — token-for-token the reference's compressed layout.
 
 Semantics deltas vs the parity engine (runtime/engine.py), by design:
 kept tokens retain their original absolute RoPE positions (masked turns
@@ -55,23 +60,29 @@ SYSTEM_PROMPT = (
 
 @functools.partial(jax.jit, static_argnames=("cfg", "t", "merged"))
 def _ingest_device_step(text_params, adapters, cache, mm, ids_pad,
-                        img_pad, rows_pad, positions, frame_rows_idx,
-                        cfg, t, merged):
+                        img_pad, rows_pad, shadow_idx, positions,
+                        kv_allowed, frame_rows_idx, cfg, t, merged):
     """One fused device program per segment ingest: embed the template
-    ids, splice the kept visual rows (scratch-row scatter), prefill the
-    cache, and produce the per-frame features/rows the event machinery
-    needs — a single dispatch instead of ~6 (each eager op costs a
-    round trip on the remote-compile tunnel)."""
+    ids, splice the kept visual rows (scratch-row scatter), scatter the
+    per-frame pooled SHADOW embeddings (exact ``pool_minor_frames``
+    values, ref :434-447), prefill the cache, and produce the per-frame
+    features/rows the event machinery needs — a single dispatch instead
+    of ~6 (each eager op costs a round trip on the remote-compile
+    tunnel). ``kv_allowed`` hides previous segments' shadow slots from
+    this prefill (pooled duplicates must never leak into full-res
+    attention)."""
     emb = qwen2.embed(text_params, ids_pad)
     emb = jnp.concatenate([emb, jnp.zeros((1, emb.shape[1]), emb.dtype)])
     emb = emb.at[img_pad].set(mm[rows_pad].astype(emb.dtype))
+    # pooled-in-mm-dtype, exactly what the engine path splices for a
+    # minor frame's surviving token
+    pooled = jnp.mean(mm[: t * merged].reshape(t, merged, -1), axis=1)
+    emb = emb.at[shadow_idx].set(pooled.astype(emb.dtype))
     emb = emb[:-1]
     _, cache2 = qwen2.qwen2_forward(
         text_params, emb[None], positions[None], cfg, cache=cache,
-        adapters=adapters)
-    frame_feats = jnp.mean(
-        mm[: t * merged].reshape(t, merged, -1).astype(jnp.float32),
-        axis=1)
+        adapters=adapters, kv_allowed=kv_allowed)
+    frame_feats = pooled.astype(jnp.float32)
     frame_rows_all = mm[frame_rows_idx.reshape(-1)].reshape(
         t, merged, -1)
     return cache2, frame_feats, frame_rows_all
@@ -94,10 +105,22 @@ def _event_summary_device(text_params, ids_pad, img_pad, sel_pad, feats,
 
 @dataclass
 class SlotRange:
-    kind: str                 # "system" | "stream" | "question" | "answer"
+    kind: str        # "system" | "stream" | "shadow" | "question" | "answer"
     start: int
     end: int                  # exclusive
     turn: int = -1            # QA turn index for question/answer ranges
+
+
+@dataclass
+class PendingFrame:
+    """An ingested frame awaiting its event window to close."""
+    frame_id: int
+    timestamp: float
+    feat: np.ndarray          # [H] pooled feature (event machinery)
+    img_slots: np.ndarray     # cache slots of this frame's <image> tokens
+    shadow_slot: int          # cache slot of the pooled shadow token
+    frame_rows: np.ndarray    # [merged, H] fixed-shape feature rows
+    n_kept: int               # how many of frame_rows are real
 
 
 @dataclass
@@ -105,7 +128,8 @@ class EventRecord:
     frame_ids: List[int]
     rep: Optional[jax.Array] = None        # [H] pooled summary representation
     frame_slots: List[np.ndarray] = field(default_factory=list)
-    keep_slots: List[int] = field(default_factory=list)  # always-visible slots
+    shadow_slots: List[int] = field(default_factory=list)  # one per frame
+    keyframe_mask: List[bool] = field(default_factory=list)  # one per frame
 
 
 class StreamingSession:
@@ -150,8 +174,7 @@ class StreamingSession:
         self.hist_as: List[str] = []
         self.next_pos = 0          # absolute RoPE position counter
         self.total_frames = 0
-        self._pending_frames: List[Tuple[int, float, np.ndarray]] = []
-        # (frame_id, timestamp, per-frame pooled feature) awaiting event close
+        self._pending_frames: List[PendingFrame] = []
 
         lang = self.adapters.get("language_module")
         self.selector = Selector(
@@ -287,11 +310,14 @@ class StreamingSession:
         # bucket every device-op shape so repeated segments reuse
         # compiled programs: ids → mult of 32 (+1 scratch row that
         # absorbs the padded scatter indices), img scatter/gather →
-        # mult of 64
+        # mult of 64. Layout: [segment (n)][shadow pooled tokens (t)]
+        # [pad] — one shadow token per frame, consecutive RoPE
+        # positions right after the segment.
         n = len(seg_ids)
-        Sp = self._bucket(n)
+        Sp = self._bucket(n + t)
         ids_pad = np.zeros((Sp,), np.int32)
         ids_pad[:n] = seg_ids
+        shadow_idx = n + np.arange(t)
         n_img = len(flat_img)
         n_img_p = self._bucket(max(n_img, 1), 128)
         img_pad = np.full((n_img_p,), Sp, np.int64)     # scratch row
@@ -315,19 +341,22 @@ class StreamingSession:
             kept_counts[fi] = len(k)
 
         positions = np.concatenate([
-            np.arange(self.next_pos, self.next_pos + n, dtype=np.int32),
-            np.full((Sp - n,), -1, np.int32)])
+            np.arange(self.next_pos, self.next_pos + n + t, dtype=np.int32),
+            np.full((Sp - n - t,), -1, np.int32)])
         self.cache, frame_feats_dev, frame_rows_all = _ingest_device_step(
             self.params["text"], self._full_adapters(), self.cache, mm,
             jnp.asarray(ids_pad), jnp.asarray(img_pad),
-            jnp.asarray(rows_pad), jnp.asarray(positions),
+            jnp.asarray(rows_pad), jnp.asarray(shadow_idx),
+            jnp.asarray(positions),
+            jnp.asarray(self._ingest_allowed())[None],
             jnp.asarray(frame_rows_idx), self.cfg.text, t,
             merged_per_frame)
         frame_feats = np.asarray(frame_feats_dev)
-        self.next_pos += n
+        self.next_pos += n + t
         self._wi = start + Sp
         r = SlotRange("stream", start, start + n)
         self.ranges.append(r)
+        self.ranges.append(SlotRange("shadow", start + n, start + n + t))
 
         for fi in range(t):
             frame_id = self.total_frames
@@ -335,13 +364,23 @@ class StreamingSession:
             # only image-token slots participate in event pruning; the
             # "Time X.Xs:" text stays visible (ref drops <image> ids
             # only, cogreasoner_chat.py:449-476)
-            img_slot_ids = r.start + frame_img_offsets[fi]
-            self._pending_frames.append(
-                (frame_id, float(timestamps[fi]),
-                 frame_feats[fi], img_slot_ids, img_slot_ids[:1],
-                 (frame_rows_all[fi], int(kept_counts[fi]))))
+            self._pending_frames.append(PendingFrame(
+                frame_id, float(timestamps[fi]), frame_feats[fi],
+                r.start + frame_img_offsets[fi],
+                start + n + fi,
+                frame_rows_all[fi], int(kept_counts[fi])))
             if len(self._pending_frames) >= cc.frames_per_event:
                 self._close_event()
+
+    def _ingest_allowed(self) -> np.ndarray:
+        """Visibility for ingest prefills: everything except shadow
+        slots (the pooled duplicates must never enter full-res stream
+        attention; they exist only for pruned-event turns)."""
+        allowed = np.ones((self.max_len,), bool)
+        for r in self.ranges:
+            if r.kind == "shadow":
+                allowed[r.start:r.end] = False
+        return allowed
 
     def _close_event(self) -> None:
         """Seal a frames_per_event window: pick keyframes and compute
@@ -350,17 +389,16 @@ class StreamingSession:
         amortized at ingest — off the question critical path."""
         frames = self._pending_frames
         self._pending_frames = []
-        feats = np.stack([f[2] for f in frames])        # [n, H]
+        feats = np.stack([f.feat for f in frames])      # [n, H]
         center = feats.mean(axis=0)
         d = np.linalg.norm(feats - center, axis=1)
-        kf = np.argsort(d)[:self.cfg.compression.keyframes_per_event]
+        kf = set(np.argsort(d)[:self.cfg.compression.keyframes_per_event]
+                 .tolist())
 
-        ev = EventRecord(frame_ids=[f[0] for f in frames])
-        ev.frame_slots = [f[3] for f in frames]
-        for i, f in enumerate(frames):
-            ev.keep_slots.extend(f[4].tolist())         # first image slot
-            if i in kf:
-                ev.keep_slots.extend(f[3].tolist())     # whole keyframe
+        ev = EventRecord(frame_ids=[f.frame_id for f in frames])
+        ev.frame_slots = [f.img_slots for f in frames]
+        ev.shadow_slots = [f.shadow_slot for f in frames]
+        ev.keyframe_mask = [i in kf for i in range(len(frames))]
         ev.rep = self._event_summary_rep(frames) if self.summary_forward \
             else jnp.asarray(center)
         self.events.append(ev)
@@ -377,11 +415,10 @@ class StreamingSession:
         rows = []          # fixed-shape [merged, H] per frame
         sel_idx = []       # row index (within concat) per <image> token
         for j, f in enumerate(frames):
-            frame_rows, n_kept = f[5]
-            parts.append(f"Time {f[1]:.1f}s:" + "<image>" * n_kept
+            parts.append(f"Time {f.timestamp:.1f}s:" + "<image>" * f.n_kept
                          + ("," if j < len(frames) - 1 else ""))
-            rows.append(frame_rows)
-            sel_idx.append(j * frame_rows.shape[0] + np.arange(n_kept))
+            rows.append(f.frame_rows)
+            sel_idx.append(j * f.frame_rows.shape[0] + np.arange(f.n_kept))
         parts.append("\n" + SUMMARY_INSTRUCTION + "<|im_end|>\n"
                      "<|im_start|>assistant")
         ids = np.asarray(self.tok.encode("".join(parts)), np.int32)
@@ -572,22 +609,25 @@ class StreamingSession:
         remapped_events: List[EventRecord] = []
         for ev in self.events:
             new_fs = [old2new[np.asarray(s)] for s in ev.frame_slots]
-            if any((a < 0).any() for a in new_fs if a.size):
+            new_sh = [int(old2new[s]) for s in ev.shadow_slots]
+            if (any((a < 0).any() for a in new_fs if a.size)
+                    or any(s < 0 for s in new_sh)):
                 continue   # its segment was evicted
             ev.frame_slots = new_fs
-            ev.keep_slots = [int(old2new[s]) for s in ev.keep_slots
-                             if old2new[s] >= 0]
+            ev.shadow_slots = new_sh
             remapped_events.append(ev)
         self.events = remapped_events
 
         # pending (not-yet-sealed) frames also carry absolute slot ids
         remapped_pending = []
         for f in self._pending_frames:
-            new_slots = old2new[np.asarray(f[3])]
-            if new_slots.size and (new_slots < 0).any():
+            new_slots = old2new[np.asarray(f.img_slots)]
+            new_shadow = int(old2new[f.shadow_slot])
+            if (new_slots.size and (new_slots < 0).any()) or new_shadow < 0:
                 continue   # its segment was evicted
-            remapped_pending.append(
-                (f[0], f[1], f[2], new_slots, new_slots[:1], f[5]))
+            f.img_slots = new_slots
+            f.shadow_slot = new_shadow
+            remapped_pending.append(f)
         self._pending_frames = remapped_pending
         return n_new
 
@@ -605,11 +645,19 @@ class StreamingSession:
         dropped: set = set()
         freed = self.write_index - sum(
             r.end - r.start for r in self.ranges)
-        for r in live:                     # oldest-first (list order)
+        for i, r in enumerate(live):       # oldest-first (list order)
             if freed >= must_free:
                 break
+            if id(r) in dropped:
+                continue
             dropped.add(id(r))
             freed += sizes[id(r)]
+            # a stream segment and its shadow range live or die together
+            if (r.kind == "stream" and i + 1 < len(live)
+                    and live[i + 1].kind == "shadow"):
+                nxt = live[i + 1]
+                dropped.add(id(nxt))
+                freed += sizes[id(nxt)]
         self.compact(lambda r: id(r) not in dropped)
         return True
 
@@ -644,22 +692,31 @@ class StreamingSession:
                 allowed[r.start:r.end] = True
             elif r.kind == "stream":
                 allowed[r.start:r.end] = if_visual
+            elif r.kind == "shadow":
+                allowed[r.start:r.end] = False   # pooled duplicates
             elif r.kind in ("question", "answer") and r.turn in sel:
                 allowed[r.start:r.end] = True
 
-        if if_visual and self.events:
+        cc = self.cfg.compression
+        if (if_visual and self.events
+                and len(self.events) >= cc.min_events_for_compression):
             # question-aware event pruning on cached slots (C7 d/e):
-            # events below the similarity threshold keep only patch-0
-            # slots + keyframes; their other frame slots go invisible.
+            # events below the similarity threshold keep keyframes at
+            # full resolution; every other frame collapses to its
+            # pooled SHADOW slot (+ its always-visible timestamp text)
+            # — exact pool_minor_frames semantics (ref :434-447) on
+            # cached KV.
             q = np.asarray(self._question_rep(question_ids))
             reps = np.stack([np.asarray(e.rep) for e in self.events])
             sim = reps @ q / (np.linalg.norm(reps, axis=1)
                               * np.linalg.norm(q) + 1e-8)
             for e, s in zip(self.events, sim):
-                if s < self.cfg.compression.similarity_threshold:
-                    for slots in e.frame_slots:
-                        allowed[slots] = False
-                    allowed[np.asarray(e.keep_slots, int)] = True
+                if s < cc.similarity_threshold:
+                    for is_key, slots, shadow in zip(
+                            e.keyframe_mask, e.frame_slots,
+                            e.shadow_slots):
+                        allowed[slots] = is_key
+                        allowed[shadow] = not is_key
         return allowed
 
     def ask(

@@ -19,6 +19,9 @@ Batch layout (all static shapes, host-padded):
   feat_src     [B, S]         row into the merged-feature table, -1 = text
   positions    [B, S]         -1 on padding
   labels       [B, S]         IGNORE_INDEX outside the answer span
+  pool_group   [N]            optional: minor-frame pool group id, -1 = none
+  pool_dst     [G]            optional: destination row per group (its
+                              frame's patch-0 row); padded entries >= N
 """
 
 from __future__ import annotations
@@ -33,6 +36,27 @@ from ..models import qwen2
 from ..models.projector import projector_forward
 from ..models.vision_encoder import vision_encoder_core
 from .trainer import masked_cross_entropy
+
+
+def pool_feature_table(proj: jax.Array, pool_group: jax.Array,
+                       pool_dst: jax.Array) -> jax.Array:
+    """Exact minor-frame pooling INSIDE the differentiable graph: rows
+    sharing a ``pool_group`` id are mean-pooled and the mean overwrites
+    the group's ``pool_dst`` row (the frame's patch-0 — the only token
+    the compression mask keeps for a minor frame). Matches the
+    reference's ``compress_unimportant_events`` (cogreasoner_chat.py:
+    434-447), which pools the *trained* projector's outputs in autograd
+    — a host-side pre-pool with frozen params would cut the projector
+    LoRA out of the pooled tokens' gradient path."""
+    G = pool_dst.shape[0]
+    seg = jnp.where(pool_group >= 0, pool_group, G)
+    sums = jax.ops.segment_sum(proj.astype(jnp.float32), seg,
+                               num_segments=G + 1)[:G]
+    counts = jax.ops.segment_sum(
+        jnp.ones((proj.shape[0],), jnp.float32), seg,
+        num_segments=G + 1)[:G]
+    pooled = sums / jnp.maximum(counts, 1.0)[:, None]
+    return proj.at[pool_dst].set(pooled.astype(proj.dtype), mode="drop")
 
 
 def multimodal_loss_fn(
@@ -61,6 +85,10 @@ def multimodal_loss_fn(
         proj = x1 @ proj_params["layers"][1]["kernel"].astype(x1.dtype) \
             + proj_params["layers"][1]["bias"].astype(x1.dtype)
         proj = proj + (x1 @ lp[1]["a"].astype(x1.dtype)) @ lp[1]["b"].astype(x1.dtype) * lora_scale
+
+    if "pool_group" in batch:
+        proj = pool_feature_table(proj, batch["pool_group"],
+                                  batch["pool_dst"])
 
     ids = batch["input_ids"]
     feat_src = batch["feat_src"]

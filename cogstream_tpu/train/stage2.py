@@ -19,11 +19,13 @@ TPU-native split of labor:
   out of the GSPMD param specs; NF4 quantization of the frozen base
   (ref :266-271) is optional int8 via ops/quant.py.
 
-Training-time compression delta (documented): minor frames keep their
-first patch token *unpooled* instead of mean-pooled — exact pooling of
-projected features inside the jitted loss would tie the pool matrix to
-the adapter being trained; the first-patch stand-in keeps shapes static
-and the decision discrete (same stand-in the streaming session uses).
+Minor-frame pooling is EXACT and differentiable: the host passes the
+discrete pooling plan (``pool_group``/``pool_dst``, from the frozen-
+param compression decision) and the jitted loss mean-pools the current
+adapter's projected features into each minor frame's surviving patch-0
+token (train/multimodal.pool_feature_table) — the same autograd
+semantics as the reference's ``compress_unimportant_events``
+(cogreasoner_chat.py:434-447).
 """
 
 from __future__ import annotations
@@ -70,6 +72,37 @@ class Stage2Config:
     baseline: bool = False         # C14: skip selection/compression
 
 
+def build_pool_arrays(
+    minor: np.ndarray,            # [T_total] bool minor-frame mask
+    grid_sizes: np.ndarray,       # [B, 3]
+    merge_sizes: np.ndarray,      # [B]
+    num_vis_tokens: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """The discrete in-jit pooling plan: merged-feature rows of each
+    minor frame share a pool-group id; the group mean lands on the
+    frame's patch-0 row (its only surviving token). Returns None when
+    nothing pools. ``pool_dst`` is bucketed (pad entries point past the
+    table → dropped scatters)."""
+    if minor is None or not np.any(minor):
+        return None
+    pool_group = np.full((num_vis_tokens,), -1, np.int32)
+    dst: List[int] = []
+    row = frame = 0
+    for (t, gh, gw), ms in zip(grid_sizes, merge_sizes):
+        t, gh, gw, ms = int(t), int(gh), int(gw), int(ms)
+        merged = (gh // ms) * (gw // ms)
+        for _ in range(t):
+            if frame < len(minor) and minor[frame]:
+                pool_group[row:row + merged] = len(dst)
+                dst.append(row)
+            frame += 1
+            row += merged
+    G = max(8, -(-len(dst) // 8) * 8)   # bucket → fewer jit retraces
+    pool_dst = np.full((G,), num_vis_tokens, np.int32)
+    pool_dst[:len(dst)] = dst
+    return pool_group, pool_dst
+
+
 def pack_turn_batch(
     tokenizer,
     cfg: CogReasonerConfig,
@@ -78,11 +111,13 @@ def pack_turn_batch(
     images,                       # ImageBatch or None
     keep_visual: Optional[np.ndarray],
     max_seq_len: int,
+    minor_frames: Optional[np.ndarray] = None,
 ) -> Optional[Dict[str, np.ndarray]]:
     """One teacher-forced turn → static-shape multimodal batch (B=1).
 
     ``keep_visual`` masks merged visual tokens (compression); surviving
     ``<image>`` ids map in order onto surviving feature rows.
+    ``minor_frames`` adds the exact-pooling plan (build_pool_arrays).
     """
     img_id = tokenizer.image_token_id
     p_ids = tokenizer.encode(prompt_text)
@@ -128,6 +163,12 @@ def pack_turn_batch(
             "vis_grp": meta.merge_group_ids,
         })
         batch["num_vis_tokens"] = meta.num_out_tokens  # static sidecar
+        if minor_frames is not None:
+            pool = build_pool_arrays(minor_frames, images.grid_sizes,
+                                     images.merge_sizes,
+                                     meta.num_out_tokens)
+            if pool is not None:
+                batch["pool_group"], batch["pool_dst"] = pool
     return batch
 
 
@@ -168,17 +209,18 @@ class Stage2Trainer:
             log(f"resumed at step {int(np.asarray(self.state.step))}")
         self._steps: Dict[int, object] = {}
 
-    def _step_fn(self, num_vis_tokens: int):
-        if num_vis_tokens not in self._steps:
+    def _step_fn(self, num_vis_tokens: int, pool_g: int = 0):
+        key = (num_vis_tokens, pool_g)
+        if key not in self._steps:
             cfg, scale = self.cfg, self.lora_cfg.scale
 
             def loss(p, l, b):
                 return multimodal_loss_fn(p, l, b, cfg, scale,
                                           num_vis_tokens=num_vis_tokens,
                                           remat=True)
-            self._steps[num_vis_tokens] = make_train_step(
+            self._steps[key] = make_train_step(
                 self.tx, loss, donate=False)
-        return self._steps[num_vis_tokens]
+        return self._steps[key]
 
     def train_turn(self, batch: Dict[str, np.ndarray]) -> float:
         n_vis = int(batch.pop("num_vis_tokens", 0))
@@ -190,7 +232,8 @@ class Stage2Trainer:
             batch["vis_seg"] = np.full((4,), -1, np.int32)
             batch["vis_grp"] = np.full((4,), -1, np.int32)
             n_vis = 1
-        step = self._step_fn(n_vis)
+        pool_g = batch["pool_dst"].shape[0] if "pool_dst" in batch else 0
+        step = self._step_fn(n_vis, pool_g)
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         with self.mesh:
             self.state, loss = step(self.params, self.state, dev_batch)
@@ -245,7 +288,7 @@ def train_stage2_video(
 
             if trainer.tcfg.baseline:
                 prompt_text = out.original_text
-                keep = None
+                keep = minor = None
             else:
                 gt = build_gt_selection(qa.get("relevance", []),
                                         len(hist_qs),
@@ -256,7 +299,7 @@ def train_stage2_video(
                 kept_a = [hist_as[i] for i in idx if i < len(hist_qs)]
                 prompt_text = rewrite_history(
                     out.original_text, vis, kept_q, kept_a, q)
-                keep = None
+                keep = minor = None
                 if vis and out.images is not None and \
                         out.images.pixel_values.shape[0] > 0:
                     comp = cogreasoner.run_visual_compression(
@@ -271,9 +314,12 @@ def train_stage2_video(
                         np.asarray(tok.encode(q), np.int32),
                         jax.random.PRNGKey(0))
                     keep = np.asarray(comp.keep_visual)
+                    if comp.minor_frames is not None:
+                        minor = np.asarray(comp.minor_frames)
 
             batch = pack_turn_batch(tok, cfg, prompt_text, a, out.images,
-                                    keep, tcfg.max_seq_len)
+                                    keep, tcfg.max_seq_len,
+                                    minor_frames=minor)
             if batch is not None:
                 losses.append(trainer.train_turn(batch))
             conversation.append({"role": "assistant", "content": a})

@@ -60,6 +60,97 @@ def test_stage2_video_curriculum(tmp_path, tiny_video):
     assert os.path.exists(str(tmp_path / "s2" / "full_module.npz"))
 
 
+def test_pool_feature_table_matches_engine_pooling():
+    """In-jit exact pooling == pool_minor_frames (engine semantics)."""
+    import jax.numpy as jnp
+
+    from cogstream_tpu.models.cogreasoner import pool_minor_frames
+    from cogstream_tpu.train.multimodal import pool_feature_table
+    from cogstream_tpu.train.stage2 import build_pool_arrays
+
+    rng = np.random.default_rng(0)
+    T, H = 5, 8
+    gh = gw = 4
+    ms = 2
+    P = (gh // ms) * (gw // ms)
+    feats = jnp.asarray(rng.normal(size=(T * P, H)).astype(np.float32))
+    minor = np.array([False, True, False, True, True])
+    want = pool_minor_frames(feats, jnp.asarray(minor), P)
+    pool = build_pool_arrays(minor, np.array([[T, gh, gw]]),
+                             np.array([ms]), T * P)
+    assert pool is not None
+    got = pool_feature_table(feats, jnp.asarray(pool[0]),
+                             jnp.asarray(pool[1]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # nothing minor → no plan
+    assert build_pool_arrays(np.zeros(T, bool), np.array([[T, gh, gw]]),
+                             np.array([ms]), T * P) is None
+
+
+def test_stage2_pooling_affects_loss_and_projector_grad():
+    """The exact-pooling plan changes the loss (the pooled token really
+    is the mean) and keeps the projector LoRA in the pooled token's
+    gradient path."""
+    import types
+
+    import jax.numpy as jnp
+
+    from cogstream_tpu.config import CogReasonerConfig, LoRAConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.models.lora import init_cogreasoner_lora
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.train.multimodal import multimodal_loss_fn
+    from cogstream_tpu.train.stage2 import pack_turn_batch
+
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    lora = init_cogreasoner_lora(jax.random.PRNGKey(1), cfg,
+                                 LoRAConfig(rank=2, include_projector=True))
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+
+    t, gh, gw, ms = 2, 4, 4, 2
+    merged = (gh // ms) * (gw // ms)
+    rng = np.random.default_rng(2)
+    images = types.SimpleNamespace(
+        pixel_values=rng.normal(size=(t * gh * gw, 3 * 14 * 14))
+        .astype(np.float32),
+        grid_sizes=np.array([[t, gh, gw]]),
+        merge_sizes=np.array([ms]),
+    )
+    # frame 1 is minor: only its patch-0 survives — the pooled token
+    keep = np.ones((t * merged,), bool)
+    keep[merged:] = False
+    keep[merged] = True
+    minor = np.array([False, True])
+    prompt = "<|im_start|>user\n" + "<image>" * (t * merged) + \
+        "what?<|im_end|>\n<|im_start|>assistant\n"
+
+    def loss_for(minor_frames):
+        b = pack_turn_batch(tok, cfg, prompt, "an answer", images, keep,
+                            2048, minor_frames=minor_frames)
+        n_vis = int(b.pop("num_vis_tokens"))
+        dev = {k: jnp.asarray(v) for k, v in b.items()}
+        return dev, n_vis
+
+    dev_p, n_vis = loss_for(minor)
+    assert "pool_group" in dev_p
+    dev_n, _ = loss_for(None)
+
+    def f(l, dev):
+        return multimodal_loss_fn(params, l, dev, cfg, 2.0,
+                                  num_vis_tokens=n_vis, remat=False)
+
+    lp = float(f(lora, dev_p))
+    ln = float(f(lora, dev_n))
+    assert np.isfinite(lp) and np.isfinite(ln)
+    assert lp != ln   # pooled token == mean, not patch-0 passthrough
+
+    g = jax.grad(f)(lora, dev_p)
+    gb = [np.asarray(layer["b"]) for layer in g["projector"]["layers"]]
+    assert any(np.abs(x).max() > 0 for x in gb)
+
+
 def test_stage2_baseline_mode(tmp_path, tiny_video):
     """C14: baseline finetune skips selection/compression."""
     from cogstream_tpu.config import CogReasonerConfig

@@ -108,6 +108,11 @@ def test_session_event_pruning_mask(session_setup):
     from cogstream_tpu.runtime.session import StreamingSession
 
     cfg, params, tok = session_setup
+    # force the pruning path: compression active from the 1st event and
+    # every event scores below threshold=2.0 (cosine sim <= 1)
+    cfg = dataclasses.replace(cfg, compression=dataclasses.replace(
+        cfg.compression, min_events_for_compression=1,
+        similarity_threshold=2.0))
     sess = StreamingSession(params, cfg, tok, max_len=2048)
     rng = np.random.default_rng(1)
     t, gh, gw = 4, 4, 4
@@ -117,14 +122,77 @@ def test_session_event_pruning_mask(session_setup):
     assert len(sess.events) == 2
     qids = np.asarray(tok.encode("test question"), np.int32)
     allowed = sess._allowed_mask(True, [], qids)
-    # keep_slots of every event must remain visible regardless of sim
+    # pruned events: keyframes stay full-res (shadow hidden), other
+    # frames collapse to exactly their pooled shadow slot
+    assert any(r.kind == "shadow" for r in sess.ranges)
     for ev in sess.events:
-        assert allowed[np.asarray(ev.keep_slots, int)].all()
-    # with if_visual=False every stream slot is hidden
+        assert sum(ev.keyframe_mask) == cfg.compression.keyframes_per_event
+        for is_key, slots, shadow in zip(ev.keyframe_mask, ev.frame_slots,
+                                         ev.shadow_slots):
+            if is_key:
+                assert allowed[np.asarray(slots, int)].all()
+                assert not allowed[shadow]
+            else:
+                assert not allowed[np.asarray(slots, int)].any()
+                assert allowed[shadow]
+    # with if_visual=False every stream AND shadow slot is hidden
     blocked = sess._allowed_mask(False, [], qids)
     for r in sess.ranges:
-        if r.kind == "stream":
+        if r.kind in ("stream", "shadow"):
             assert not blocked[r.start:r.end].any()
+    # nothing prunes when events score above threshold: full-res kept,
+    # all shadows hidden
+    lo = dataclasses.replace(cfg, compression=dataclasses.replace(
+        cfg.compression, similarity_threshold=-2.0))
+    sess.cfg = lo
+    open_mask = sess._allowed_mask(True, [], qids)
+    for ev in sess.events:
+        for slots, shadow in zip(ev.frame_slots, ev.shadow_slots):
+            assert open_mask[np.asarray(slots, int)].all()
+            assert not open_mask[shadow]
+
+
+def test_shadow_slot_holds_exact_pooled_token(session_setup):
+    """The shadow slot's cached V must equal v_proj(rms_norm(pooled)),
+    where pooled is the engine path's pool_minor_frames value — i.e. the
+    pooled token entered the decoder EXACTLY (v depends only on the
+    token's own embedding, so this checks input-embedding parity)."""
+    from cogstream_tpu.models import cogreasoner
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    sess = StreamingSession(params, cfg, tok, max_len=2048,
+                            summary_forward=False)
+    rng = np.random.default_rng(5)
+    t, gh, gw, ms = 2, 4, 4, 2
+    merged = (gh // ms) * (gw // ms)
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+    sess.append_stream_segment(pv, (t, gh, gw), ms, [0.0, 1.0])
+
+    rows = t * gh * gw
+    pad_rows = -(-rows // 1024) * 1024    # same bucket as ingest
+    mm = cogreasoner.encode_images(
+        params, pv, np.array([[t, gh, gw]]), np.array([ms]), cfg,
+        pad_to=pad_rows)
+    pooled = jnp.mean(mm[: t * merged].reshape(t, merged, -1), axis=1)
+
+    shadow = [r for r in sess.ranges if r.kind == "shadow"][0]
+    assert shadow.end - shadow.start == t
+    layer0 = jax.tree.map(lambda x: x[0], params["text"]["layers"])
+    h = qwen2.rms_norm(pooled.astype(cfg.text.jnp_dtype)[None],
+                       layer0["input_norm"], cfg.text.rms_norm_eps)
+    v = qwen2.dense(h, layer0["attn"]["v_proj"])[0].reshape(
+        t, cfg.text.num_key_value_heads, cfg.text.head_dim)
+    got = np.asarray(sess.cache.v[0, 0, shadow.start:shadow.end],
+                     np.float32)
+    np.testing.assert_allclose(got, np.asarray(v, np.float32),
+                               rtol=2e-5, atol=2e-5)
+
+    # shadow positions follow the segment's, consecutively
+    pos = np.asarray(sess.cache.pos[0, shadow.start:shadow.end])
+    stream = [r for r in sess.ranges if r.kind == "stream"][0]
+    pos_stream_last = np.asarray(sess.cache.pos[0, stream.end - 1])
+    assert (pos == pos_stream_last + 1 + np.arange(t)).all()
 
 
 def test_session_compaction_and_eviction(session_setup):
