@@ -215,6 +215,7 @@ def qwen2_forward(
     kv_allowed: Optional[jax.Array] = None,   # [B, max_len] bool per-turn visibility
     write_slots: Optional[jax.Array] = None,  # [B, S] per-row cache slots (pooled mode)
     side_cache: Optional[KVCache] = None,     # lockstep decode side buffer
+    cache_rows: Optional[jax.Array] = None,   # [B] cache row per input row
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden [B, S, H], updated cache).
 
@@ -241,6 +242,13 @@ def qwen2_forward(
     dynamic-slice writes; attention reads main-cache ⊕ side; the caller
     merges side → main once per turn (runtime/generate.py). ``cache``
     is read-only in this mode and the updated SIDE cache is returned.
+
+    ``cache_rows`` maps input rows onto cache rows (B_in <= B_pool) —
+    the single-storage pool mode where a subset of sessions operate
+    directly on the shared [B_pool] cache tensor without row copies.
+    Requires ``write_slots`` (or ``side_cache``); reads gather the
+    addressed rows, writes scatter back, and the FULL pool cache is
+    returned. ``kv_allowed`` stays per-INPUT-row [B_in, max_len].
     """
     B, S, H = inputs_embeds.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -250,17 +258,25 @@ def qwen2_forward(
     ad_trees, gates = _adapter_layers(adapters)
 
     if cache is not None:
+        pos_out = None
         if side_cache is not None:
             side_pos = jax.lax.dynamic_update_slice(
                 side_cache.pos, positions, (0, side_cache.write_index))
-            kv_pos = jnp.concatenate([cache.pos, side_pos], axis=1)
+            main_pos = cache.pos if cache_rows is None \
+                else cache.pos[cache_rows]
+            kv_pos = jnp.concatenate([main_pos, side_pos], axis=1)
         elif write_slots is not None:
-            rows = jnp.arange(B)[:, None]
-            kv_pos = cache.pos.at[rows, write_slots].set(
+            rows = (cache_rows if cache_rows is not None
+                    else jnp.arange(B))[:, None]
+            pos_out = cache.pos.at[rows, write_slots].set(
                 positions, mode="drop")
+            kv_pos = pos_out if cache_rows is None \
+                else pos_out[cache_rows]
         else:
             kv_pos = jax.lax.dynamic_update_slice(
                 cache.pos, positions, (0, cache.write_index))
+        if pos_out is None:
+            pos_out = kv_pos
         kv_valid = kv_pos >= 0
         if kv_allowed is not None:
             # per-turn history retrieval: unselected turns' slots are
@@ -320,6 +336,8 @@ def qwen2_forward(
                 sk, k.astype(sk.dtype), (0, side_cache.write_index, 0, 0))
             sv = jax.lax.dynamic_update_slice(
                 sv, v.astype(sv.dtype), (0, side_cache.write_index, 0, 0))
+            if cache_rows is not None:
+                ck, cv = ck[cache_rows], cv[cache_rows]
             attn = causal_gqa_attention(
                 q,
                 jnp.concatenate([ck, sk], axis=1).astype(q.dtype),
@@ -340,7 +358,8 @@ def qwen2_forward(
         layer, ad, ck, cv = xs
         x, h, q, k, v = block(x, layer, ad)
         if write_slots is not None:
-            rows = jnp.arange(B)[:, None]
+            rows = (cache_rows if cache_rows is not None
+                    else jnp.arange(B))[:, None]
             ck = ck.at[rows, write_slots].set(k.astype(ck.dtype),
                                               mode="drop")
             cv = cv.at[rows, write_slots].set(v.astype(cv.dtype),
@@ -350,15 +369,17 @@ def qwen2_forward(
                 ck, k.astype(ck.dtype), (0, cache.write_index, 0, 0))
             cv = jax.lax.dynamic_update_slice(
                 cv, v.astype(cv.dtype), (0, cache.write_index, 0, 0))
+        ck_r = ck if cache_rows is None else ck[cache_rows]
+        cv_r = cv if cache_rows is None else cv[cache_rows]
         attn = causal_gqa_attention(
-            q, ck.astype(q.dtype), cv.astype(q.dtype),
+            q, ck_r.astype(q.dtype), cv_r.astype(q.dtype),
             q_positions=positions, kv_valid=kv_valid, kv_positions=kv_pos)
         return finish_block(x, attn, layer, ad), (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(
         body, x, (params["layers"], ad_trees, cache.k, cache.v))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    new_cache = KVCache(k=new_k, v=new_v, pos=kv_pos,
+    new_cache = KVCache(k=new_k, v=new_v, pos=pos_out,
                         write_index=cache.write_index + S)
     return x, new_cache
 

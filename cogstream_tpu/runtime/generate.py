@@ -63,12 +63,15 @@ def generate_tokens(
     kv_allowed: Optional[jax.Array] = None,   # [B, max_len] per-turn visibility
     write_slots: Optional[jax.Array] = None,  # [B, S] pooled-mode prompt slots
     active: Optional[jax.Array] = None,       # [B] bool — rows with a real request
+    cache_rows: Optional[jax.Array] = None,   # [B] cache row per input row
 ) -> GenerateResult:
     """One compiled prefill+decode. In pooled mode (``write_slots``)
     every batch row is an independent session at its own cache fill
     level: prompt K/V scatter to per-row slots, generated tokens extend
     each row contiguously after its prompt, and ``active=False`` rows
-    (no request this round) are treated as immediately done."""
+    (no request this round) are treated as immediately done.
+    ``cache_rows`` addresses a subset of a larger pool cache (B input
+    rows onto B_pool cache rows); the returned cache is the full pool."""
     B = inputs_embeds.shape[0]
     max_len = cache.max_len
 
@@ -76,7 +79,7 @@ def generate_tokens(
     hidden, cache = qwen2.qwen2_forward(
         params, inputs_embeds, positions, cfg, cache=cache,
         adapters=adapters, lora_scale=lora_scale, kv_allowed=kv_allowed,
-        write_slots=write_slots)
+        write_slots=write_slots, cache_rows=cache_rows)
     last_h = jnp.take_along_axis(
         hidden, last_index[:, None, None].astype(jnp.int32), axis=1)  # [B,1,H]
     logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
@@ -98,9 +101,9 @@ def generate_tokens(
         next_slot0 = jnp.max(
             jnp.where(positions >= 0, write_slots, -1), axis=1) + 1
         side0 = qwen2.KVCache(
-            k=jnp.zeros(cache.k.shape[:2] + (max_new_tokens,)
+            k=jnp.zeros((cache.k.shape[0], B, max_new_tokens)
                         + cache.k.shape[3:], cache.k.dtype),
-            v=jnp.zeros(cache.v.shape[:2] + (max_new_tokens,)
+            v=jnp.zeros((cache.v.shape[0], B, max_new_tokens)
                         + cache.v.shape[3:], cache.v.dtype),
             pos=jnp.full((B, max_new_tokens), -1, jnp.int32),
             write_index=jnp.zeros((), jnp.int32),
@@ -128,7 +131,8 @@ def generate_tokens(
             hidden, cache2 = qwen2.qwen2_forward(
                 params, emb, step_pos, cfg, cache=cache,  # main: read-only
                 adapters=adapters, lora_scale=lora_scale,
-                kv_allowed=kv_allowed, side_cache=c.cache)
+                kv_allowed=kv_allowed, side_cache=c.cache,
+                cache_rows=cache_rows)
         else:
             hidden, cache2 = qwen2.qwen2_forward(
                 params, emb, step_pos, cfg, cache=c.cache,
@@ -159,7 +163,8 @@ def generate_tokens(
         side = final.cache
         tgt = next_slot0[:, None] + jnp.arange(max_new_tokens)[None]
         tgt = jnp.where(side.pos >= 0, tgt, max_len)       # drop pads
-        rows = jnp.arange(B)[:, None]
+        rows = (cache_rows if cache_rows is not None
+                else jnp.arange(B))[:, None]
         merged = qwen2.KVCache(
             k=cache.k.at[:, rows, tgt].set(side.k, mode="drop"),
             v=cache.v.at[:, rows, tgt].set(side.v, mode="drop"),

@@ -4,16 +4,17 @@ The reference serves one conversation at a time (answer_generate.py's
 sequential loop). Production TPU serving wants the opposite: decode is
 weights-bound, so B concurrent sessions decoding together cost barely
 more than one — the weight reads amortize across the batch. This pool
-gives every session a ROW of one shared KV cache tensor; per-row
+gives every session a ROW of one shared KV cache tensor: per-row
 scatter writes (models/qwen2.py ``write_slots``) let each row sit at
 its own fill level, and one ``generate_tokens`` call answers many
 sessions' questions simultaneously (per-row ``kv_allowed`` retrieval
 masks, per-row eos).
 
-Ingest stays per-session (it's off the latency path): the row is
-sliced out of the pool, prefilled through the normal single-session
-path, and written back — two row-sized copies, trivial next to a
-segment's encode.
+SINGLE STORAGE: sessions bound to the pool own no cache tensors at all
+— every per-session op (ingest prefill, compaction, solo ask) addresses
+its row of the shared tensor via ``cache_rows`` (models/qwen2.py), so
+there is no session-side row copy and no store/load synchronization.
+Cache HBM is exactly one [B, max_len] tensor.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ import numpy as np
 
 from ..config import CogReasonerConfig
 from ..models import qwen2
-from ..models.qwen2 import KVCache, init_kv_cache
+from ..models.qwen2 import init_kv_cache
 from .generate import generate_tokens
 from .session import StreamingSession
 
@@ -46,10 +47,10 @@ class SessionPool:
         self.cache = init_kv_cache(cfg.text, n_rows, max_len,
                                    dtype=kv_dtype)
         self.sessions: Dict[int, StreamingSession] = {}
-        self._mk = lambda: StreamingSession(
+        self._mk = lambda row: StreamingSession(
             params, cfg, tokenizer, adapters=adapters, max_len=max_len,
             use_pallas=use_pallas, summary_forward=summary_forward,
-            kv_dtype=kv_dtype)
+            pool=self, row=row)
 
     # -- row plumbing --------------------------------------------------------
 
@@ -60,53 +61,24 @@ class SessionPool:
         raise RuntimeError("session pool full")
 
     def open(self) -> int:
-        """Create a session on a free row; returns the row id.
-
-        Sessions own single-row caches; the pool keeps a synchronized
-        copy of each row (synced after every per-session op) so the
-        batched decode sees a consistent [n_rows] tensor. The 2x row
-        memory is the v1 trade for keeping every single-session code
-        path unchanged.
-        """
+        """Create a session on a free row; returns the row id. The
+        session binds to the row (clearing any previous tenant's
+        positions) and prefills its system prompt straight into it."""
         b = self._free_row()
-        self.sessions[b] = self._mk()   # __init__ prefills the system prompt
-        self._store_row(b)
+        self.sessions[b] = self._mk(b)
         return b
 
     def close(self, row: int) -> None:
         self.sessions.pop(row, None)
 
-    def _load_row(self, b: int, write_index: int) -> None:
-        """Refresh session b's cache from the pool row (post-batch)."""
-        sess = self.sessions[b]
-        sess.cache = KVCache(
-            k=self.cache.k[:, b:b + 1],
-            v=self.cache.v[:, b:b + 1],
-            pos=self.cache.pos[b:b + 1],
-            write_index=jnp.asarray(write_index, jnp.int32),
-        )
-        sess._wi = int(write_index)
-
-    def _store_row(self, b: int) -> None:
-        sess = self.sessions[b]
-        self.cache = KVCache(
-            k=self.cache.k.at[:, b:b + 1].set(sess.cache.k),
-            v=self.cache.v.at[:, b:b + 1].set(sess.cache.v),
-            pos=self.cache.pos.at[b:b + 1].set(sess.cache.pos),
-            write_index=self.cache.write_index,
-        )
-
-    # -- per-session ops (row in/out) -----------------------------------------
+    # -- per-session ops (write the shared rows directly) ---------------------
 
     def ingest(self, row: int, *args, **kwargs) -> None:
         self.sessions[row].append_stream_segment(*args, **kwargs)
-        self._store_row(row)
 
     def ask(self, row: int, question: str, **kwargs) -> Dict:
-        """Solo ask (unbatched) — delegates to the session."""
-        out = self.sessions[row].ask(question, **kwargs)
-        self._store_row(row)
-        return out
+        """Solo ask (unbatched) — the session's pooled path."""
+        return self.sessions[row].ask(question, **kwargs)
 
     # -- the batched path ------------------------------------------------------
 
@@ -168,8 +140,7 @@ class SessionPool:
         for b, m in metas.items():
             sess = self.sessions[b]
             n = len(m["q_ids"])
-            if sess.evict_for(Sp + max_new_tokens):
-                self._store_row(b)   # eviction compacted the row
+            sess.evict_for(Sp + max_new_tokens)   # compacts the row in place
             start = sess.write_index
             if start + Sp + max_new_tokens > self.max_len:
                 raise RuntimeError(
@@ -198,7 +169,7 @@ class SessionPool:
             kv_allowed=jnp.asarray(allowed),
             write_slots=jnp.asarray(slots),
             active=jnp.asarray(active))
-        self.cache = result.cache
+        self.cache = result.cache     # sessions see it via their binding
 
         out: Dict[int, Dict] = {}
         toks = np.asarray(result.tokens)     # one transfer for the batch
@@ -223,7 +194,7 @@ class SessionPool:
             sess.next_pos += m["n"] + n_fed
             sess.hist_qs.append(m["q"])
             sess.hist_as.append(text)
-            self._load_row(b, end)   # refresh the session's row view
+            sess._wi = end
             out[b] = {"text": text, "selection": m["selection"],
                       "if_visual": m["if_visual"], "turn": turn,
                       "cache_tokens": end}

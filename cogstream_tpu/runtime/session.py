@@ -58,10 +58,25 @@ SYSTEM_PROMPT = (
     "answering the user's questions about it.")
 
 
+@functools.partial(jax.jit, static_argnames=("row",), donate_argnums=(0,))
+def _compact_row_device(cache, gidx, valid, row):
+    """Pooled-session compaction: move row ``row``'s surviving slots to
+    the front IN PLACE on the shared pool cache (donated — no full-pool
+    copy materializes)."""
+    k_row = jnp.take(cache.k[:, row], gidx, axis=1)
+    v_row = jnp.take(cache.v[:, row], gidx, axis=1)
+    pos_row = jnp.where(valid, jnp.take(cache.pos[row], gidx), -1)
+    return KVCache(cache.k.at[:, row].set(k_row),
+                   cache.v.at[:, row].set(v_row),
+                   cache.pos.at[row].set(pos_row.astype(jnp.int32)),
+                   cache.write_index)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "t", "merged"))
 def _ingest_device_step(text_params, adapters, cache, mm, ids_pad,
                         img_pad, rows_pad, shadow_idx, positions,
-                        kv_allowed, frame_rows_idx, cfg, t, merged):
+                        kv_allowed, frame_rows_idx, cfg, t, merged,
+                        write_slots=None, cache_rows=None):
     """One fused device program per segment ingest: embed the template
     ids, splice the kept visual rows (scratch-row scatter), scatter the
     per-frame pooled SHADOW embeddings (exact ``pool_minor_frames``
@@ -81,7 +96,8 @@ def _ingest_device_step(text_params, adapters, cache, mm, ids_pad,
     emb = emb[:-1]
     _, cache2 = qwen2.qwen2_forward(
         text_params, emb[None], positions[None], cfg, cache=cache,
-        adapters=adapters, kv_allowed=kv_allowed)
+        adapters=adapters, kv_allowed=kv_allowed,
+        write_slots=write_slots, cache_rows=cache_rows)
     frame_feats = pooled.astype(jnp.float32)
     frame_rows_all = mm[frame_rows_idx.reshape(-1)].reshape(
         t, merged, -1)
@@ -147,6 +163,8 @@ class StreamingSession:
         system_prompt: str = SYSTEM_PROMPT,
         summary_forward: bool = True,
         kv_dtype=None,
+        pool=None,
+        row: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -157,11 +175,23 @@ class StreamingSession:
         # per-event summary LM forward at ingest (True = C7-faithful
         # reps in hidden space; False = cheap feature-space centroids)
         self.summary_forward = summary_forward
-        # kv_dtype=jnp.float8_e4m3fn halves cache HBM traffic — the
-        # lever for many-session long-context serving where cache reads
-        # rival weight reads; every cast already rides the existing
-        # .astype plumbing in models/qwen2.py
-        self.cache = init_kv_cache(cfg.text, 1, max_len, dtype=kv_dtype)
+        # ``pool``/``row``: single-storage pool binding — the session
+        # owns NO cache tensors; every device op addresses row ``row``
+        # of the pool's shared cache via cache_rows/write_slots
+        # (runtime/pool.py). Solo sessions own a 1-row cache.
+        self._pool, self._row = pool, row
+        if pool is None:
+            # kv_dtype=jnp.float8_e4m3fn halves cache HBM traffic — the
+            # lever for many-session long-context serving where cache
+            # reads rival weight reads; every cast already rides the
+            # existing .astype plumbing in models/qwen2.py
+            self._own_cache = init_kv_cache(cfg.text, 1, max_len,
+                                            dtype=kv_dtype)
+        else:
+            assert row is not None and max_len == pool.max_len
+            # clear any previous tenant's slots on this row
+            pool.cache = pool.cache._replace(
+                pos=pool.cache.pos.at[row].set(-1))
         self._wi = 0
         from ..utils.cache import enable_compilation_cache
 
@@ -194,6 +224,32 @@ class StreamingSession:
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    @property
+    def cache(self) -> KVCache:
+        """Solo: the session-owned 1-row cache. Pooled: the SHARED pool
+        cache (assignments write it back — single storage, no mirrors)."""
+        return self._own_cache if self._pool is None else self._pool.cache
+
+    @cache.setter
+    def cache(self, c: KVCache) -> None:
+        if self._pool is None:
+            self._own_cache = c
+        else:
+            self._pool.cache = c
+
+    def _cache_rows(self):
+        return None if self._pool is None \
+            else jnp.asarray([self._row], jnp.int32)
+
+    def _row_slots(self, start: int, n_real: int, n_total: int):
+        """Pooled write_slots for a prefill at ``start``: real tokens
+        pack tightly, padding slots drop (never written)."""
+        if self._pool is None:
+            return None
+        slots = np.full((1, n_total), self.max_len, np.int64)
+        slots[0, :n_real] = start + np.arange(n_real)
+        return jnp.asarray(slots)
 
     @property
     def write_index(self) -> int:
@@ -237,9 +293,14 @@ class StreamingSession:
             jnp.full((Sp - S,), -1, jnp.int32)])[None]
         _, self.cache = qwen2.qwen2_forward(
             self.params["text"], embeds[None], positions, self.cfg.text,
-            cache=self.cache, adapters=self._full_adapters())
+            cache=self.cache, adapters=self._full_adapters(),
+            write_slots=self._row_slots(start, S, Sp),
+            cache_rows=self._cache_rows())
         self.next_pos += S
-        self._wi = start + Sp
+        # pooled rows pack tightly (pad slots are dropped, not written);
+        # solo keeps the bucketed stride so the device write_index slice
+        # path stays aligned
+        self._wi = start + (S if self._pool is not None else Sp)
         r = SlotRange(kind, start, start + S, turn)
         self.ranges.append(r)
         return r
@@ -350,10 +411,12 @@ class StreamingSession:
             jnp.asarray(positions),
             jnp.asarray(self._ingest_allowed())[None],
             jnp.asarray(frame_rows_idx), self.cfg.text, t,
-            merged_per_frame)
+            merged_per_frame,
+            write_slots=self._row_slots(start, n + t, Sp),
+            cache_rows=self._cache_rows())
         frame_feats = np.asarray(frame_feats_dev)
         self.next_pos += n + t
-        self._wi = start + Sp
+        self._wi = start + (n + t if self._pool is not None else Sp)
         r = SlotRange("stream", start, start + n)
         self.ranges.append(r)
         self.ranges.append(SlotRange("shadow", start + n, start + n + t))
@@ -490,7 +553,9 @@ class StreamingSession:
         produced = 0
         done = False
         wrote_any = False
-        wi = start + Sp
+        stride = S if self._pool is not None else Sp
+        wi = start + stride
+        write_slots = self._row_slots(start, S, Sp)
         next_pos = self.next_pos + S
         try:
             while produced < max_new_tokens and not done:
@@ -499,7 +564,9 @@ class StreamingSession:
                     self.params["text"], emb, positions, last_index,
                     self.cache, self._next_key(), self.cfg.text, n_chunk,
                     self.tok.eos_token_id, temperature=temperature,
-                    adapters=self._full_adapters(), kv_allowed=allowed)
+                    adapters=self._full_adapters(), kv_allowed=allowed,
+                    write_slots=write_slots,
+                    cache_rows=self._cache_rows())
                 self.cache = result.cache
                 wrote_any = True
                 toks = np.asarray(result.tokens)[0]
@@ -530,6 +597,7 @@ class StreamingSession:
                     last_index = jnp.asarray([0], jnp.int32)
                     # the continuation's 1-token prompt occupies the
                     # next slot (only counted when it actually runs)
+                    write_slots = self._row_slots(wi, 1, 1)
                     wi += 1
         finally:
             # commit bookkeeping even when the consumer abandons the
@@ -541,7 +609,7 @@ class StreamingSession:
                 self._wi = wi
                 self.ranges.append(SlotRange("question", start,
                                              start + S, turn))
-                self.ranges.append(SlotRange("answer", start + Sp,
+                self.ranges.append(SlotRange("answer", start + stride,
                                              self._wi, turn))
                 self.next_pos = next_pos + produced
                 self.hist_qs.append(question)
@@ -553,9 +621,13 @@ class StreamingSession:
     def reset(self) -> None:
         """Start a fresh dialogue stream reusing the allocated cache
         buffers (position row cleared; K/V bytes become unreachable)."""
-        self.cache = self.cache._replace(
-            pos=jnp.full_like(self.cache.pos, -1),
-            write_index=jnp.zeros((), jnp.int32))
+        if self._pool is None:
+            self.cache = self.cache._replace(
+                pos=jnp.full_like(self.cache.pos, -1),
+                write_index=jnp.zeros((), jnp.int32))
+        else:
+            self.cache = self.cache._replace(
+                pos=self.cache.pos.at[self._row].set(-1))
         self._wi = 0
         self.ranges = []
         self.events = []
@@ -590,12 +662,16 @@ class StreamingSession:
         idx[:n_new] = perm
         gidx = jnp.asarray(idx)
         valid = jnp.asarray(np.arange(self.max_len) < n_new)
-        k = jnp.take(self.cache.k, gidx, axis=2)
-        v = jnp.take(self.cache.v, gidx, axis=2)
-        pos = jnp.where(valid[None],
-                        jnp.take(self.cache.pos, gidx, axis=1), -1)
-        self.cache = KVCache(k, v, pos.astype(jnp.int32),
-                             jnp.asarray(n_new, jnp.int32))
+        if self._pool is None:
+            k = jnp.take(self.cache.k, gidx, axis=2)
+            v = jnp.take(self.cache.v, gidx, axis=2)
+            pos = jnp.where(valid[None],
+                            jnp.take(self.cache.pos, gidx, axis=1), -1)
+            self.cache = KVCache(k, v, pos.astype(jnp.int32),
+                                 jnp.asarray(n_new, jnp.int32))
+        else:
+            self.cache = _compact_row_device(self.cache, gidx, valid,
+                                             self._row)
         self._wi = n_new
 
         new_ranges: List[SlotRange] = []
@@ -761,18 +837,23 @@ class StreamingSession:
             jnp.asarray([S - 1], jnp.int32), self.cache, self._next_key(),
             self.cfg.text, max_new_tokens, self.tok.eos_token_id,
             temperature=temperature, adapters=self._full_adapters(),
-            kv_allowed=jnp.asarray(allowed)[None])
+            kv_allowed=jnp.asarray(allowed)[None],
+            write_slots=self._row_slots(start, S, Sp),
+            cache_rows=self._cache_rows())
         self.cache = result.cache
         n_fed = max(0, int(np.asarray(result.num_tokens)[0]) - 1)
         text = decode_new_tokens(result.tokens, result.num_tokens, self.tok)
 
         # answer slots = tokens actually fed back through the cache (the
-        # terminal eos never re-enters): prompt bucket + fed tokens
-        self._wi = start + Sp + n_fed
+        # terminal eos never re-enters). Solo: prompt bucket + fed
+        # tokens; pooled: tight packing, the answer follows the S real
+        # prompt tokens directly (generate_tokens merge convention).
+        ans_start = start + (S if self._pool is not None else Sp)
+        self._wi = ans_start + n_fed
         ans_end = self._wi
         self.ranges.append(SlotRange("question", start, start + S, turn))
-        self.ranges.append(SlotRange("answer", start + Sp, ans_end, turn))
-        self.next_pos += S + max(0, ans_end - start - Sp)
+        self.ranges.append(SlotRange("answer", ans_start, ans_end, turn))
+        self.next_pos += S + n_fed
         self.hist_qs.append(question)
         self.hist_as.append(text)
         return {"text": text, "selection": selection,

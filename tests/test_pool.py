@@ -114,6 +114,85 @@ def test_pooled_generate_matches_standard(setup):
         assert (pos_out[b, o + S:o + S + n] >= 0).all()
 
 
+def test_pool_single_storage_and_isolation(setup):
+    """Sessions bound to the pool share ONE cache tensor (no mirrors);
+    per-row traffic — ingest, solo ask, eviction/compaction — never
+    disturbs other rows."""
+    from cogstream_tpu.runtime.pool import SessionPool
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(3)
+    t, gh, gw = 2, 4, 4
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+
+    pool = SessionPool(params, cfg, tok, n_rows=2, max_len=512,
+                       summary_forward=False)
+    a, b = pool.open(), pool.open()
+    sa, sb = pool.sessions[a], pool.sessions[b]
+    assert sa.cache is pool.cache and sb.cache is pool.cache
+
+    pool.ingest(b, pv, (t, gh, gw), 2, [0.0, 1.0])
+    b_wi = sb.write_index
+    b_pos = np.asarray(pool.cache.pos[b]).copy()
+
+    # hammer row a: repeated ingest forces eviction + in-place row
+    # compaction on the shared tensor
+    for seg in range(8):
+        pool.ingest(a, pv, (t, gh, gw), 2,
+                    [2.0 * seg, 2.0 * seg + 1.0])
+    assert sa.write_index <= 512
+    # pooled rows pack tightly: fill level == live range size exactly
+    assert sa.write_index == sum(r.end - r.start for r in sa.ranges)
+    # row b untouched, bit for bit
+    np.testing.assert_array_equal(np.asarray(pool.cache.pos[b]), b_pos)
+    assert sb.write_index == b_wi
+
+    # row-b solo ask (cache_rows path) matches a standalone session
+    out_b = pool.ask(b, "what was shown?", mode="AC", max_new_tokens=8)
+    solo = StreamingSession(params, cfg, tok, max_len=512,
+                            summary_forward=False)
+    solo.append_stream_segment(pv, (t, gh, gw), 2, [0.0, 1.0])
+    want = solo.ask("what was shown?", mode="AC", max_new_tokens=8)
+    assert out_b["text"] == want["text"]
+
+    # row a still answers after heavy eviction
+    out_a = pool.ask(a, "and here?", mode="AC", max_new_tokens=4)
+    assert isinstance(out_a["text"], str)
+
+
+def test_pooled_ask_stream_matches_solo(setup):
+    """Chunked streaming decode on a pool row == solo session greedy."""
+    from cogstream_tpu.runtime.pool import SessionPool
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(4)
+    pv = rng.normal(size=(2 * 4 * 4, 3 * 14 * 14)).astype(np.float32)
+
+    solo = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False)
+    solo.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    want = solo.ask("what now?", mode="AC", max_new_tokens=24)
+
+    pool = SessionPool(params, cfg, tok, n_rows=2, max_len=1024,
+                       summary_forward=False)
+    r = pool.open()
+    pool.ingest(r, pv, (2, 4, 4), 2, [0.0, 1.0])
+    deltas, final = [], None
+    for item in pool.sessions[r].ask_stream("what now?", mode="AC",
+                                            max_new_tokens=24, chunk=8):
+        if isinstance(item, dict):
+            final = item
+        else:
+            deltas.append(item)
+    assert final is not None and "".join(deltas) == final["text"]
+    assert final["text"] == want["text"]
+    # follow-up batched turn on the same row still lines up
+    out = pool.ask_batch([(r, "again?")], mode="AC", max_new_tokens=4)
+    assert isinstance(out[r]["text"], str)
+
+
 def test_pool_with_fp8_kv(setup):
     """Pool + fp8 KV cache compose."""
     import jax.numpy as jnp
