@@ -26,10 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CogReasonerConfig
-from ..models import qwen2
+from ..models import cogreasoner, qwen2
 from ..models.qwen2 import init_kv_cache
 from .generate import generate_tokens
-from .session import StreamingSession
+from .session import StreamingSession, _ingest_batch_device_step
 
 
 class SessionPool:
@@ -44,6 +44,7 @@ class SessionPool:
         self.n_rows = n_rows
         self.max_len = max_len
         self.adapters = adapters or {}
+        self.use_pallas = use_pallas
         self.cache = init_kv_cache(cfg.text, n_rows, max_len,
                                    dtype=kv_dtype)
         self.sessions: Dict[int, StreamingSession] = {}
@@ -75,6 +76,93 @@ class SessionPool:
 
     def ingest(self, row: int, *args, **kwargs) -> None:
         self.sessions[row].append_stream_segment(*args, **kwargs)
+
+    def ingest_batch(
+        self,
+        requests: Sequence[Tuple],   # (row, pixel_values, grid_size,
+                                     #  merge_size, timestamps)
+    ) -> None:
+        """Ingest one segment into MANY rows with one batched vision
+        encode + ONE fused LM prefill dispatch — the steady-state
+        serving shape (N live streams ticking together). All segments
+        must share (t, gh, gw, merge_size): one camera format. Event
+        summary forwards (summary_forward=True) still run per sealed
+        event afterwards."""
+        if not requests:
+            return
+        rows_req = [int(r[0]) for r in requests]
+        assert len(set(rows_req)) == len(rows_req), "duplicate rows"
+        assert all(b in self.sessions for b in rows_req), "unknown row"
+        t, gh, gw = (int(x) for x in requests[0][2])
+        ms = int(requests[0][3])
+        for r in requests:
+            if tuple(int(x) for x in r[2]) != (t, gh, gw) \
+                    or int(r[3]) != ms:
+                raise ValueError(
+                    "ingest_batch requires a uniform segment shape; "
+                    "mixed shapes must go through ingest()")
+            assert t == len(r[4])
+        B = len(requests)
+        merged = (gh // ms) * (gw // ms)
+        cc = self.cfg.compression
+
+        pix = np.concatenate(
+            [np.asarray(r[1], np.float32) for r in requests], axis=0)
+        pad_rows = -(-pix.shape[0] // 1024) * 1024
+        mm = cogreasoner.encode_images(
+            self.params, pix, np.array([[t, gh, gw]] * B),
+            np.array([ms] * B), self.cfg, use_pallas=self.use_pallas,
+            pad_to=pad_rows)
+        # one dispatch for every row's pixel-diff keep mask
+        keep_all = np.asarray(jax.vmap(
+            lambda p: cogreasoner.pixel_diff_keep_mask(
+                p, t, merged, minor=jnp.zeros((t,), jnp.bool_),
+                threshold=cc.pixel_diff_threshold,
+                min_tokens=cc.min_tokens_per_frame))(
+            jnp.asarray(pix.reshape(B, t * gh * gw, -1))))
+
+        plans, starts = [], []
+        for i, (b, _, _, _, ts) in enumerate(requests):
+            sess = self.sessions[b]
+            plans.append(sess._segment_plan(keep_all[i], t, merged, ts))
+        Sp = StreamingSession._bucket(max(p["n"] for p in plans) + t)
+        n_img_p = StreamingSession._bucket(
+            max(max(len(p["flat_img"]) for p in plans), 1), 128)
+
+        packs = []
+        for i, (b, *_) in enumerate(requests):
+            sess = self.sessions[b]
+            sess.evict_for(Sp)
+            start = sess.write_index
+            if start + Sp > self.max_len:
+                raise RuntimeError(
+                    f"pool row {b} overflow: {start}+{Sp}"
+                    f" > {self.max_len}")
+            starts.append(start)
+            packs.append(sess._pack_plan(plans[i], Sp, n_img_p,
+                                         row_offset=i * t * merged))
+
+        slots = np.full((B, Sp), self.max_len, np.int64)
+        for i, (p, start) in enumerate(zip(plans, starts)):
+            slots[i, :p["n"] + t] = start + np.arange(p["n"] + t)
+        allowed = np.stack([self.sessions[b]._ingest_allowed()
+                            for b in rows_req])
+
+        def stack(key):
+            return jnp.asarray(np.stack([p[key] for p in packs]))
+
+        self.cache, frame_feats, frame_rows_all = _ingest_batch_device_step(
+            self.params["text"],
+            self.sessions[rows_req[0]]._full_adapters(), self.cache, mm,
+            stack("ids_pad"), stack("img_pad"), stack("rows_pad"),
+            stack("shadow_idx"), stack("positions"),
+            jnp.asarray(allowed), stack("frame_rows_idx"),
+            jnp.asarray(slots),
+            jnp.asarray(rows_req, jnp.int32), self.cfg.text, t, merged)
+        frame_feats = np.asarray(frame_feats)
+        for i, (b, start, plan) in enumerate(zip(rows_req, starts, plans)):
+            self.sessions[b]._commit_segment(
+                plan, start, Sp, frame_feats[i], frame_rows_all[i])
 
     def ask(self, row: int, question: str, **kwargs) -> Dict:
         """Solo ask (unbatched) — the session's pooled path."""

@@ -104,6 +104,34 @@ def _ingest_device_step(text_params, adapters, cache, mm, ids_pad,
     return cache2, frame_feats, frame_rows_all
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "t", "merged"))
+def _ingest_batch_device_step(text_params, adapters, cache, mm, ids_pad,
+                              img_pad, rows_pad, shadow_idx, positions,
+                              kv_allowed, frame_rows_idx, write_slots,
+                              cache_rows, cfg, t, merged):
+    """Batched variant of ``_ingest_device_step``: B pool rows ingest
+    one segment each in ONE device program (runtime/pool.ingest_batch).
+    ``mm`` is the shared feature table from one batched vision encode;
+    row i's features occupy rows [i*t*merged, (i+1)*t*merged)."""
+    B = ids_pad.shape[0]
+    emb = qwen2.embed(text_params, ids_pad)                      # [B,Sp,H]
+    emb = jnp.concatenate(
+        [emb, jnp.zeros((B, 1, emb.shape[-1]), emb.dtype)], axis=1)
+    rows = jnp.arange(B)[:, None]
+    emb = emb.at[rows, img_pad].set(mm[rows_pad].astype(emb.dtype))
+    pooled = jnp.mean(mm[: B * t * merged].reshape(B, t, merged, -1),
+                      axis=2)
+    emb = emb.at[rows, shadow_idx].set(pooled.astype(emb.dtype))
+    emb = emb[:, :-1]
+    _, cache2 = qwen2.qwen2_forward(
+        text_params, emb, positions, cfg, cache=cache,
+        adapters=adapters, kv_allowed=kv_allowed,
+        write_slots=write_slots, cache_rows=cache_rows)
+    frame_rows_all = mm[frame_rows_idx.reshape(-1)].reshape(
+        B, t, merged, -1)
+    return cache2, pooled.astype(jnp.float32), frame_rows_all
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _event_summary_device(text_params, ids_pad, img_pad, sel_pad, feats,
                           pos, cfg):
@@ -314,37 +342,16 @@ class StreamingSession:
     # ingest
     # ------------------------------------------------------------------
 
-    def append_stream_segment(
+    def _segment_plan(
         self,
-        pixel_values: np.ndarray,     # [t*gh*gw, C*ps*ps] patch rows
-        grid_size: Tuple[int, int, int],
-        merge_size: int,
+        keep_host: np.ndarray,        # [t, merged] pixel-diff keep mask
+        t: int,
+        merged: int,
         timestamps: Sequence[float],
-    ) -> None:
-        """Encode + compress + prefill one video segment (stream role)."""
-        t, gh, gw = (int(x) for x in grid_size)
-        assert t == len(timestamps)
-        cc = self.cfg.compression
-        merged_per_frame = (gh // merge_size) * (gw // merge_size)
-
-        rows = t * gh * gw
-        pad_rows = -(-rows // 1024) * 1024   # bucket the encode shape
-        mm = cogreasoner.encode_images(
-            self.params, pixel_values, np.array([[t, gh, gw]]),
-            np.array([merge_size]), self.cfg, use_pallas=self.use_pallas,
-            pad_to=pad_rows)
-        # pixel-diff keep mask — question-independent, applied at ingest
-        keep = cogreasoner.pixel_diff_keep_mask(
-            jnp.asarray(pixel_values), t, merged_per_frame,
-            minor=jnp.zeros((t,), jnp.bool_),
-            threshold=cc.pixel_diff_threshold,
-            min_tokens=cc.min_tokens_per_frame)
-        keep_host = np.asarray(keep)                    # [t, merged]
-
-        # ONE prefill per segment (per-frame prefills cost a fresh
-        # compile per unique kept-token count — ~1s each over the
-        # remote-compile tunnel): concat every frame's template ids,
-        # splice all kept visual rows in one gather, bucket, write.
+    ) -> Dict:
+        """Host half of segment ingest: template ids + scatter/gather
+        index plan (bucket-agnostic — packing happens in _pack_plan so
+        a batch of segments can share one bucket)."""
         img_id = self.tok.image_token_id
         all_ids: List[np.ndarray] = []
         frame_img_offsets: List[np.ndarray] = []   # img positions per frame
@@ -359,68 +366,64 @@ class StreamingSession:
             img_pos = np.nonzero(ids == img_id)[0]
             all_ids.append(ids)
             frame_img_offsets.append(offset + img_pos)
-            feat_rows.append(fi * merged_per_frame + kept)
+            feat_rows.append(fi * merged + kept)
             offset += len(ids)
 
         seg_ids = np.concatenate(all_ids)
-        flat_img = np.concatenate(frame_img_offsets) if frame_img_offsets \
-            else np.zeros((0,), np.int64)
-        flat_rows = np.concatenate(feat_rows) if feat_rows \
-            else np.zeros((0,), np.int64)
-
-        # bucket every device-op shape so repeated segments reuse
-        # compiled programs: ids → mult of 32 (+1 scratch row that
-        # absorbs the padded scatter indices), img scatter/gather →
-        # mult of 64. Layout: [segment (n)][shadow pooled tokens (t)]
-        # [pad] — one shadow token per frame, consecutive RoPE
-        # positions right after the segment.
-        n = len(seg_ids)
-        Sp = self._bucket(n + t)
-        ids_pad = np.zeros((Sp,), np.int32)
-        ids_pad[:n] = seg_ids
-        shadow_idx = n + np.arange(t)
-        n_img = len(flat_img)
-        n_img_p = self._bucket(max(n_img, 1), 128)
-        img_pad = np.full((n_img_p,), Sp, np.int64)     # scratch row
-        img_pad[:n_img] = flat_img
-        rows_pad = np.zeros((n_img_p,), np.int64)
-        rows_pad[:n_img] = flat_rows
-
-        self.evict_for(Sp)          # sliding-window room for the segment
-        start = self.write_index
-        if start + Sp > self.max_len:
-            raise RuntimeError(
-                f"session cache overflow: {start}+{Sp} > {self.max_len}")
-
         # fixed-shape per-frame feature gather ([merged, H] regardless of
         # kept count) so event summaries never see per-count shapes
-        frame_rows_idx = np.zeros((t, merged_per_frame), np.int64)
+        frame_rows_idx = np.zeros((t, merged), np.int64)
         kept_counts = np.zeros((t,), np.int32)
         for fi in range(t):
             k = feat_rows[fi]
             frame_rows_idx[fi, :len(k)] = k
             kept_counts[fi] = len(k)
+        return dict(
+            t=t, merged=merged, n=len(seg_ids), seg_ids=seg_ids,
+            frame_img_offsets=frame_img_offsets,
+            flat_img=(np.concatenate(frame_img_offsets)
+                      if frame_img_offsets else np.zeros((0,), np.int64)),
+            flat_rows=(np.concatenate(feat_rows)
+                       if feat_rows else np.zeros((0,), np.int64)),
+            frame_rows_idx=frame_rows_idx, kept_counts=kept_counts,
+            timestamps=[float(x) for x in timestamps])
 
+    def _pack_plan(self, plan: Dict, Sp: int, n_img_p: int,
+                   row_offset: int = 0) -> Dict:
+        """Pad a plan's arrays to the given buckets. Layout:
+        [segment (n)][shadow pooled tokens (t)][pad] — one shadow token
+        per frame, consecutive RoPE positions right after the segment.
+        ``row_offset`` shifts feature-row indices into a batch-global
+        mm table. Pads: ids → 0, scatter targets → scratch row Sp,
+        positions → -1."""
+        n, t = plan["n"], plan["t"]
+        ids_pad = np.zeros((Sp,), np.int32)
+        ids_pad[:n] = plan["seg_ids"]
+        shadow_idx = n + np.arange(t)
+        n_img = len(plan["flat_img"])
+        img_pad = np.full((n_img_p,), Sp, np.int64)     # scratch row
+        img_pad[:n_img] = plan["flat_img"]
+        rows_pad = np.full((n_img_p,), row_offset, np.int64)
+        rows_pad[:n_img] = plan["flat_rows"] + row_offset
         positions = np.concatenate([
-            np.arange(self.next_pos, self.next_pos + n + t, dtype=np.int32),
+            np.arange(self.next_pos, self.next_pos + n + t,
+                      dtype=np.int32),
             np.full((Sp - n - t,), -1, np.int32)])
-        self.cache, frame_feats_dev, frame_rows_all = _ingest_device_step(
-            self.params["text"], self._full_adapters(), self.cache, mm,
-            jnp.asarray(ids_pad), jnp.asarray(img_pad),
-            jnp.asarray(rows_pad), jnp.asarray(shadow_idx),
-            jnp.asarray(positions),
-            jnp.asarray(self._ingest_allowed())[None],
-            jnp.asarray(frame_rows_idx), self.cfg.text, t,
-            merged_per_frame,
-            write_slots=self._row_slots(start, n + t, Sp),
-            cache_rows=self._cache_rows())
-        frame_feats = np.asarray(frame_feats_dev)
+        return dict(ids_pad=ids_pad, img_pad=img_pad, rows_pad=rows_pad,
+                    shadow_idx=shadow_idx, positions=positions,
+                    frame_rows_idx=plan["frame_rows_idx"] + row_offset)
+
+    def _commit_segment(self, plan: Dict, start: int, Sp: int,
+                        frame_feats: np.ndarray,
+                        frame_rows_all: np.ndarray) -> None:
+        """Host bookkeeping after the device prefill: ranges, pending
+        frames, event sealing."""
+        n, t = plan["n"], plan["t"]
         self.next_pos += n + t
         self._wi = start + (n + t if self._pool is not None else Sp)
         r = SlotRange("stream", start, start + n)
         self.ranges.append(r)
         self.ranges.append(SlotRange("shadow", start + n, start + n + t))
-
         for fi in range(t):
             frame_id = self.total_frames
             self.total_frames += 1
@@ -428,12 +431,68 @@ class StreamingSession:
             # "Time X.Xs:" text stays visible (ref drops <image> ids
             # only, cogreasoner_chat.py:449-476)
             self._pending_frames.append(PendingFrame(
-                frame_id, float(timestamps[fi]), frame_feats[fi],
-                r.start + frame_img_offsets[fi],
+                frame_id, plan["timestamps"][fi], frame_feats[fi],
+                r.start + plan["frame_img_offsets"][fi],
                 start + n + fi,
-                frame_rows_all[fi], int(kept_counts[fi])))
-            if len(self._pending_frames) >= cc.frames_per_event:
+                frame_rows_all[fi], int(plan["kept_counts"][fi])))
+            if len(self._pending_frames) >= \
+                    self.cfg.compression.frames_per_event:
                 self._close_event()
+
+    def append_stream_segment(
+        self,
+        pixel_values: np.ndarray,     # [t*gh*gw, C*ps*ps] patch rows
+        grid_size: Tuple[int, int, int],
+        merge_size: int,
+        timestamps: Sequence[float],
+    ) -> None:
+        """Encode + compress + prefill one video segment (stream role).
+
+        ONE prefill per segment (per-frame prefills cost a fresh compile
+        per unique kept-token count — ~1s each over the remote-compile
+        tunnel): every frame's template ids concatenate, all kept visual
+        rows splice in one gather, shapes bucket, one device dispatch."""
+        t, gh, gw = (int(x) for x in grid_size)
+        assert t == len(timestamps)
+        cc = self.cfg.compression
+        merged = (gh // merge_size) * (gw // merge_size)
+
+        rows = t * gh * gw
+        pad_rows = -(-rows // 1024) * 1024   # bucket the encode shape
+        mm = cogreasoner.encode_images(
+            self.params, pixel_values, np.array([[t, gh, gw]]),
+            np.array([merge_size]), self.cfg, use_pallas=self.use_pallas,
+            pad_to=pad_rows)
+        # pixel-diff keep mask — question-independent, applied at ingest
+        keep = cogreasoner.pixel_diff_keep_mask(
+            jnp.asarray(pixel_values), t, merged,
+            minor=jnp.zeros((t,), jnp.bool_),
+            threshold=cc.pixel_diff_threshold,
+            min_tokens=cc.min_tokens_per_frame)
+        plan = self._segment_plan(np.asarray(keep), t, merged, timestamps)
+
+        Sp = self._bucket(plan["n"] + t)
+        n_img_p = self._bucket(max(len(plan["flat_img"]), 1), 128)
+        self.evict_for(Sp)          # sliding-window room for the segment
+        start = self.write_index
+        if start + Sp > self.max_len:
+            raise RuntimeError(
+                f"session cache overflow: {start}+{Sp} > {self.max_len}")
+
+        packed = self._pack_plan(plan, Sp, n_img_p)
+        self.cache, frame_feats_dev, frame_rows_all = _ingest_device_step(
+            self.params["text"], self._full_adapters(), self.cache, mm,
+            jnp.asarray(packed["ids_pad"]), jnp.asarray(packed["img_pad"]),
+            jnp.asarray(packed["rows_pad"]),
+            jnp.asarray(packed["shadow_idx"]),
+            jnp.asarray(packed["positions"]),
+            jnp.asarray(self._ingest_allowed())[None],
+            jnp.asarray(packed["frame_rows_idx"]), self.cfg.text, t,
+            merged,
+            write_slots=self._row_slots(start, plan["n"] + t, Sp),
+            cache_rows=self._cache_rows())
+        self._commit_segment(plan, start, Sp, np.asarray(frame_feats_dev),
+                             frame_rows_all)
 
     def _ingest_allowed(self) -> np.ndarray:
         """Visibility for ingest prefills: everything except shadow

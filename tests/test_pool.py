@@ -193,6 +193,58 @@ def test_pooled_ask_stream_matches_solo(setup):
     assert isinstance(out[r]["text"], str)
 
 
+def test_ingest_batch_matches_sequential(setup):
+    """One fused batched ingest dispatch == per-row ingests: identical
+    host state (ranges, events, fill levels) and identical greedy
+    answers afterwards."""
+    from cogstream_tpu.runtime.pool import SessionPool
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(7)
+    t, gh, gw = 2, 4, 4
+    pv = {r: rng.normal(size=(t * gh * gw, 3 * 14 * 14))
+          .astype(np.float32) for r in (0, 1)}
+
+    def mk():
+        p = SessionPool(params, cfg, tok, n_rows=2, max_len=1024,
+                        summary_forward=False)
+        return p, p.open(), p.open()
+
+    seq, a1, b1 = mk()
+    seq.ingest(a1, pv[0], (t, gh, gw), 2, [0.0, 1.0])
+    seq.ingest(b1, pv[1], (t, gh, gw), 2, [0.0, 1.0])
+
+    bat, a2, b2 = mk()
+    bat.ingest_batch([(a2, pv[0], (t, gh, gw), 2, [0.0, 1.0]),
+                      (b2, pv[1], (t, gh, gw), 2, [0.0, 1.0])])
+
+    for x, y in ((a1, a2), (b1, b2)):
+        sx, sy = seq.sessions[x], bat.sessions[y]
+        assert sx.write_index == sy.write_index
+        assert [(r.kind, r.start, r.end) for r in sx.ranges] == \
+            [(r.kind, r.start, r.end) for r in sy.ranges]
+        assert len(sx.events) == len(sy.events)
+        for ex, ey in zip(sx.events, sy.events):
+            assert ex.shadow_slots == ey.shadow_slots
+            assert ex.keyframe_mask == ey.keyframe_mask
+            np.testing.assert_allclose(np.asarray(ex.rep),
+                                       np.asarray(ey.rep),
+                                       rtol=1e-4, atol=1e-5)
+
+    qs = {0: "what is happening?", 1: "who is there?"}
+    out_seq = seq.ask_batch([(a1, qs[0]), (b1, qs[1])], mode="AC",
+                            max_new_tokens=8)
+    out_bat = bat.ask_batch([(a2, qs[0]), (b2, qs[1])], mode="AC",
+                            max_new_tokens=8)
+    assert out_seq[a1]["text"] == out_bat[a2]["text"]
+    assert out_seq[b1]["text"] == out_bat[b2]["text"]
+
+    # mixed segment shapes are rejected (fall back to ingest())
+    with pytest.raises(ValueError):
+        bat.ingest_batch([(a2, pv[0], (t, gh, gw), 2, [2.0, 3.0]),
+                          (b2, pv[1][: gh * gw], (1, gh, gw), 2, [2.0])])
+
+
 def test_pool_with_fp8_kv(setup):
     """Pool + fp8 KV cache compose."""
     import jax.numpy as jnp
