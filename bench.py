@@ -133,10 +133,13 @@ def bench_session(full: bool, use_pallas: bool):
 
     rng = np.random.default_rng(0)
     # 16-frame segments: ingest cost is dispatch-dominated on the
-    # tunnel, so throughput scales with the micro-batch size
+    # tunnel, so throughput scales with the micro-batch size. RAW uint8
+    # rows (the production processor path, raw_uint8=True) cost 4x less
+    # host->device bandwidth than normalized float32.
     T, gh, gw = 16, 16, 16
-    pv = rng.normal(size=(T * gh * gw,
-                          3 * cfg.vision.patch_size ** 2)).astype(np.float32)
+    pv = rng.integers(0, 255, size=(T * gh * gw,
+                                    3 * cfg.vision.patch_size ** 2),
+                      dtype=np.uint8)
     # first two segments pay residual jit compiles; the third measures
     # steady state (all shapes bucketed → cache hits)
     for seg in range(2):
@@ -255,8 +258,9 @@ def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
     # ingests every live stream's segment (steady-state serving tick)
     rng = np.random.default_rng(0)
     T, gh, gw = 8, 16, 16
-    pv = rng.normal(size=(T * gh * gw,
-                          3 * cfg.vision.patch_size ** 2)).astype(np.float32)
+    pv = rng.integers(0, 255, size=(T * gh * gw,
+                                    3 * cfg.vision.patch_size ** 2),
+                      dtype=np.uint8)
 
     def seg_reqs(k):
         return [(r, pv, (T, gh, gw), 2,

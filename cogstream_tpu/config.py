@@ -40,6 +40,13 @@ class VisionEncoderConfig:
     patch_size: int = 14
     layer_norm_eps: float = 1e-6
     hidden_act: str = "gelu_pytorch_tanh"
+    # device-side normalization of RAW uint8 patch rows: shipping uint8
+    # instead of normalized float32 quarters host->device pixel traffic
+    # (the streaming-ingest bottleneck); values mirror the host
+    # preprocessor (preprocessor_config.json:10-20)
+    image_mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    image_std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    rescale_factor: float = 1.0 / 255.0
     attention_dropout: float = 0.0
     initializer_range: float = 0.02
     dtype: str = "bfloat16"

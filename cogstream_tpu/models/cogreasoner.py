@@ -262,7 +262,14 @@ def pixel_diff_keep_mask(
     (``_get_compression_mask``, ref :383-432). Frame 0 keeps all tokens;
     frames whose diff mask is empty keep the first ``min_tokens``;
     minor frames keep exactly token 0."""
-    x = pixel_values.reshape(t, merged_per_frame, -1).astype(jnp.float32)
+    x = pixel_values.reshape(t, merged_per_frame, -1)
+    if x.dtype == jnp.uint8:
+        # raw uint8 rows: rescale to the normalized span (mean/std 0.5,
+        # preprocessor_config.json:10-20) so thresholds match the
+        # normalized-float path
+        x = x.astype(jnp.float32) * jnp.float32(2.0 / 255.0)
+    else:
+        x = x.astype(jnp.float32)
     diff = jnp.abs(x[1:] - x[:-1]).mean(axis=-1) * 255.0
     diff = jnp.concatenate(
         [jnp.full((1, merged_per_frame), threshold + 1.0), diff], axis=0)

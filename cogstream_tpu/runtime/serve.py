@@ -35,17 +35,21 @@ class UnknownSession(Exception):
 
 
 class BatchingFrontend:
-    """Opportunistic request batching over a SessionPool: /ask calls
-    enqueue and block; a collector thread flushes every ``flush_ms``,
-    answering all pending questions (one per row, grouped by decode
-    params) in a single pooled prefill+decode. Under concurrent load
-    the weights are read once per decode step for the whole batch."""
+    """Opportunistic request batching over a SessionPool: /ask and
+    /ingest calls enqueue and block; a collector thread flushes every
+    ``flush_ms``. Pending ingests flush first (grouped by segment shape
+    into ONE pool.ingest_batch dispatch), then pending questions (one
+    per row, grouped by decode params) run in a single pooled
+    prefill+decode. Under concurrent load the weights are read once per
+    decode step for the whole batch and N streams' segments encode in
+    one program."""
 
     def __init__(self, pool, flush_ms: float = 15.0, lock=None):
         self.pool = pool
         self.lock = lock or threading.Lock()   # serializes vs ingest
         self.flush_ms = flush_ms
         self._queue: list = []
+        self._ingest_queue: list = []
         self._cv = threading.Condition()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -63,16 +67,65 @@ class BatchingFrontend:
             raise item["error"]
         return item["result"]
 
+    def ingest(self, row: int, pixel_values, grid_size, merge_size,
+               timestamps) -> None:
+        item = {"row": row, "args": (pixel_values, tuple(grid_size),
+                                     int(merge_size), list(timestamps)),
+                "event": threading.Event(), "error": None}
+        with self._cv:
+            self._ingest_queue.append(item)
+            self._cv.notify()
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+
+    def _flush_ingests(self, pending: list) -> None:
+        # group by segment shape; same-shape groups take the fused
+        # batched path, one request per row per flush
+        by_shape: Dict = {}
+        leftover = []
+        seen_rows = set()
+        for it in pending:
+            pv, grid, ms, ts = it["args"]
+            if it["row"] in seen_rows:
+                leftover.append(it)
+                continue
+            seen_rows.add(it["row"])
+            by_shape.setdefault((grid, ms), []).append(it)
+        for (grid, ms), items in by_shape.items():
+            try:
+                with self.lock:
+                    if len(items) == 1:
+                        it = items[0]
+                        self.pool.ingest(it["row"], it["args"][0], grid,
+                                         ms, it["args"][3])
+                    else:
+                        self.pool.ingest_batch(
+                            [(it["row"], it["args"][0], grid, ms,
+                              it["args"][3]) for it in items])
+            except Exception as e:  # noqa: BLE001
+                for it in items:
+                    it["error"] = e
+            for it in items:
+                it["event"].set()
+        if leftover:
+            with self._cv:
+                self._ingest_queue = leftover + self._ingest_queue
+                self._cv.notify()
+
     def _loop(self):
         import time as _t
 
         while True:
             with self._cv:
-                while not self._queue:
+                while not self._queue and not self._ingest_queue:
                     self._cv.wait()
             _t.sleep(self.flush_ms / 1000.0)   # let a batch accumulate
             with self._cv:
                 pending, self._queue = self._queue, []
+                pending_ing, self._ingest_queue = self._ingest_queue, []
+            if pending_ing:
+                self._flush_ingests(pending_ing)
             # one request per row per batch; group by decode params
             by_params: Dict = {}
             leftover = []
@@ -150,24 +203,35 @@ class SessionServer:
         from ..processor.image_processor import ImageProcessor
         from ..processor.video_loader import load_video
 
-        with self.lock:
+        with self.timer.stage("ingest"):
+            # video decode + preprocess run OUTSIDE the model lock —
+            # only the device dispatch serializes. RAW uint8 rows cost
+            # 4x less host->device bandwidth (device-side normalize).
             sess = self._get(session_id)
-            with self.timer.stage("ingest"):
-                frames, timestamps, _ = load_video(
-                    video_path, start_time=start, end_time=end, fps=fps,
-                    max_frames=self.cfg.processor.max_frames)
-                proc = ImageProcessor(self.cfg.processor)
-                batch = proc([np.stack(frames)], modals=["video"])
-                t, gh, gw = batch.grid_sizes[0]
-                if self.pool is not None:
-                    self.pool.ingest(
-                        self._row_of[session_id], batch.pixel_values,
-                        (int(t), int(gh), int(gw)),
-                        int(batch.merge_sizes[0]), timestamps)
-                else:
+            frames, timestamps, _ = load_video(
+                video_path, start_time=start, end_time=end, fps=fps,
+                max_frames=self.cfg.processor.max_frames)
+            proc = ImageProcessor(self.cfg.processor)
+            batch = proc([np.stack(frames)], modals=["video"],
+                         raw_uint8=True)
+            t, gh, gw = batch.grid_sizes[0]
+            grid = (int(t), int(gh), int(gw))
+            ms = int(batch.merge_sizes[0])
+            if self.frontend is not None:
+                # concurrent streams' segments coalesce into ONE fused
+                # batched ingest dispatch
+                self.frontend.ingest(self._row_of[session_id],
+                                     batch.pixel_values, grid, ms,
+                                     timestamps)
+            elif self.pool is not None:
+                with self.lock:
+                    self.pool.ingest(self._row_of[session_id],
+                                     batch.pixel_values, grid, ms,
+                                     timestamps)
+            else:
+                with self.lock:
                     sess.append_stream_segment(
-                        batch.pixel_values, (int(t), int(gh), int(gw)),
-                        int(batch.merge_sizes[0]), timestamps)
+                        batch.pixel_values, grid, ms, timestamps)
         return {"frames": len(frames), "cache_tokens": sess.write_index}
 
     def ask(self, session_id: str, question: str, mode: str = "FCC",
@@ -190,14 +254,12 @@ class SessionServer:
 
     def ask_stream(self, session_id: str, question: str,
                    mode: str = "FCC", max_new_tokens: int = 512):
-        """Generator of text deltas, ending with the result dict."""
-        if self.frontend is not None:
-            # pooled mode: no incremental path yet — emit once
-            out = self.ask(session_id, question, mode=mode,
-                           max_new_tokens=max_new_tokens)
-            yield out["text"]
-            yield out
-            return
+        """Generator of text deltas, ending with the result dict.
+
+        Pooled sessions stream too (single-storage rows make
+        session.ask_stream row-safe); the model lock is held for the
+        stream's duration, so concurrent batched asks queue behind it —
+        the latency/throughput trade a streaming client opts into."""
         with self.lock:
             sess = self._get(session_id)
             with self.timer.stage("ask"):

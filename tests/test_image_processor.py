@@ -118,3 +118,24 @@ def test_empty_batch():
     out = ImageProcessor()([], modals=[])
     assert out.pixel_values.shape[0] == 0
     assert out.grid_sizes.shape == (0, 3)
+
+
+def test_raw_uint8_output_matches_normalized():
+    """raw_uint8=True emits uint8 patch rows whose device normalization
+    reproduces the float pipeline exactly."""
+    import numpy as np
+
+    from cogstream_tpu.config import ProcessorConfig
+    from cogstream_tpu.processor.image_processor import ImageProcessor
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (2, 3, 56, 84), np.uint8)
+    proc = ImageProcessor(ProcessorConfig())
+    ref = proc([frames], modals=["video"])
+    raw = proc([frames], modals=["video"], raw_uint8=True)
+    assert raw.pixel_values.dtype == np.uint8
+    np.testing.assert_array_equal(raw.grid_sizes, ref.grid_sizes)
+    x = raw.pixel_values.reshape(raw.pixel_values.shape[0], 3, -1)
+    x = (x.astype(np.float32) * np.float32(1.0 / 255.0) - 0.5) / 0.5
+    np.testing.assert_allclose(x.reshape(ref.pixel_values.shape),
+                               ref.pixel_values, rtol=1e-6, atol=1e-6)

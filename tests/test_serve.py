@@ -132,3 +132,51 @@ def test_ask_stream_endpoint(server_port):
     meta = json.loads(meta)
     assert meta["text"] == text.decode()
     assert meta["turn"] == 0
+
+
+def test_pooled_server_concurrent_ingest_and_stream():
+    """Concurrent ingests coalesce through the frontend into the fused
+    batched path; pooled sessions stream incrementally."""
+    import dataclasses
+    import threading as th
+
+    import jax
+
+    from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.serve import SessionServer
+
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    server = SessionServer(params, cfg, tok, max_len=1024,
+                           use_pallas=False, pool_rows=2)
+    server.create("a")
+    server.create("b")
+    rng = np.random.default_rng(0)
+    pv = rng.integers(0, 255, (2 * 4 * 4, 3 * 14 * 14), dtype=np.uint8)
+
+    def ingest(sid):
+        server.frontend.ingest(server._row_of[sid], pv, (2, 4, 4), 2,
+                               [0.0, 1.0])
+
+    t1 = th.Thread(target=ingest, args=("a",))
+    t2 = th.Thread(target=ingest, args=("b",))
+    t1.start(); t2.start()
+    t1.join(timeout=300); t2.join(timeout=300)
+    assert server.sessions["a"].total_frames == 2
+    assert server.sessions["b"].total_frames == 2
+
+    # pooled streaming: incremental deltas, then the result dict
+    items = list(server.ask_stream("a", "what is happening?", mode="AC",
+                                   max_new_tokens=12))
+    final = items[-1]
+    assert isinstance(final, dict)
+    assert "".join(items[:-1]) == final["text"]
+    # batched ask on the other row still consistent afterwards
+    r = server.ask("b", "and here?", mode="AC", max_new_tokens=4)
+    assert r["turn"] == 0

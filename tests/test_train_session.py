@@ -338,3 +338,29 @@ def test_ask_stream_truncated_keeps_wi_in_sync(session_setup):
     # next turn slots line up exactly
     r = sess.ask("next?", mode="AC", max_new_tokens=4)
     assert sess._wi == int(np.asarray(sess.cache.write_index))
+
+
+def test_session_ingest_raw_uint8(session_setup):
+    """End-to-end ingest with RAW uint8 pixel rows (device-side
+    normalization): same slot layout as the float path and a working
+    turn after."""
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 255, (2 * 4 * 4, 3 * 14 * 14), dtype=np.uint8)
+    x = raw.reshape(raw.shape[0], 3, -1).astype(np.float32)
+    normed = ((x * np.float32(1.0 / 255.0) - 0.5) / 0.5).reshape(
+        raw.shape)
+
+    s_u8 = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False)
+    s_u8.append_stream_segment(raw, (2, 4, 4), 2, [0.0, 1.0])
+    s_f = StreamingSession(params, cfg, tok, max_len=1024,
+                           summary_forward=False)
+    s_f.append_stream_segment(normed, (2, 4, 4), 2, [0.0, 1.0])
+    assert [(r.kind, r.start, r.end) for r in s_u8.ranges] == \
+        [(r.kind, r.start, r.end) for r in s_f.ranges]
+    a = s_u8.ask("what?", mode="AC", max_new_tokens=8)
+    b = s_f.ask("what?", mode="AC", max_new_tokens=8)
+    assert a["text"] == b["text"]

@@ -141,3 +141,41 @@ def test_merge_group_mean_downsamples():
     meta = build_vision_metadata(np.array([[1, 2, 2]]), np.array([2]))
     assert meta.num_out_tokens == 1
     np.testing.assert_array_equal(meta.merge_group_ids, [0, 0, 0, 0])
+
+
+def test_uint8_pixels_device_normalize_parity():
+    """RAW uint8 patch rows (4x less host->device traffic) must encode
+    to the same features as host-normalized float32 rows."""
+    from cogstream_tpu.models.vision_encoder import init_vision_params
+
+    rng = np.random.default_rng(11)
+    params = init_vision_params(jax.random.PRNGKey(3), TINY)
+    raw = rng.integers(0, 255, (16, 3 * 14 * 14), dtype=np.uint8)
+    # host normalization with the exact processor op order
+    x = raw.reshape(16, 3, -1).astype(np.float32)
+    x = (x * np.float32(1.0 / 255.0) - 0.5) / 0.5
+    normed = x.reshape(16, -1)
+    grids, merges = np.array([[4, 2, 2]]), np.array([1])
+    out_u8 = np.asarray(vision_encoder_forward(
+        params, raw, grids, merges, TINY))
+    out_f32 = np.asarray(vision_encoder_forward(
+        params, normed, grids, merges, TINY))
+    np.testing.assert_allclose(out_u8, out_f32, rtol=1e-6, atol=1e-6)
+
+
+def test_uint8_pixel_diff_mask_matches_float():
+    import jax.numpy as jnp
+
+    from cogstream_tpu.models.cogreasoner import pixel_diff_keep_mask
+
+    rng = np.random.default_rng(12)
+    t, merged = 4, 8
+    raw = rng.integers(0, 255, (t * merged, 12), dtype=np.uint8)
+    x = raw.astype(np.float32)
+    normed = (x * np.float32(1.0 / 255.0) - 0.5) / 0.5
+    minor = jnp.zeros((t,), jnp.bool_)
+    m_u8 = np.asarray(pixel_diff_keep_mask(jnp.asarray(raw), t, merged,
+                                           minor))
+    m_f = np.asarray(pixel_diff_keep_mask(jnp.asarray(normed), t, merged,
+                                          minor))
+    np.testing.assert_array_equal(m_u8, m_f)
