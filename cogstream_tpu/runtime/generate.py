@@ -44,6 +44,8 @@ class GenerateResult(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
                      "eos_id", "lora_scale"),
+    donate_argnums=(4,),   # cache: update in place, never copy the
+                           # whole KV tensor (callers always rebind)
 )
 def generate_tokens(
     params,

@@ -164,6 +164,10 @@ class SessionPool:
         for i, (b, start, plan) in enumerate(zip(rows_req, starts, plans)):
             self.sessions[b]._commit_segment(
                 plan, start, Sp, frame_feats[i], frame_rows_all[i])
+        # every event sealed this tick summarizes in ONE batched forward
+        from .session import flush_event_reps
+
+        flush_event_reps([self.sessions[b] for b in rows_req])
 
     def ask(self, row: int, question: str, **kwargs) -> Dict:
         """Solo ask (unbatched) — the session's pooled path."""

@@ -72,7 +72,8 @@ def _compact_row_device(cache, gidx, valid, row):
                    cache.write_index)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "t", "merged"))
+@functools.partial(jax.jit, static_argnames=("cfg", "t", "merged"),
+                   donate_argnums=(2,))   # cache updates in place
 def _ingest_device_step(text_params, adapters, cache, mm, ids_pad,
                         img_pad, rows_pad, shadow_idx, positions,
                         kv_allowed, frame_rows_idx, cfg, t, merged,
@@ -104,7 +105,8 @@ def _ingest_device_step(text_params, adapters, cache, mm, ids_pad,
     return cache2, frame_feats, frame_rows_all
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "t", "merged"))
+@functools.partial(jax.jit, static_argnames=("cfg", "t", "merged"),
+                   donate_argnums=(2,))   # cache updates in place
 def _ingest_batch_device_step(text_params, adapters, cache, mm, ids_pad,
                               img_pad, rows_pad, shadow_idx, positions,
                               kv_allowed, frame_rows_idx, write_slots,
@@ -133,18 +135,69 @@ def _ingest_batch_device_step(text_params, adapters, cache, mm, ids_pad,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _event_summary_device(text_params, ids_pad, img_pad, sel_pad, feats,
-                          pos, cfg):
-    """Jitted half of the per-event summary forward: embed + splice +
-    decoder forward + masked mean — one dispatch per event."""
-    emb = qwen2.embed(text_params, ids_pad)
-    emb = jnp.concatenate([emb, jnp.zeros((1, emb.shape[1]), emb.dtype)])
-    emb = emb.at[img_pad].set(feats[sel_pad].astype(emb.dtype))
-    emb = emb[:-1]
-    hidden, _ = qwen2.qwen2_forward(text_params, emb[None], pos, cfg)
-    valid = (pos[0] >= 0)[:, None].astype(jnp.float32)
-    return (jnp.sum(hidden[0].astype(jnp.float32) * valid, axis=0)
-            / jnp.maximum(valid.sum(), 1.0))
+def _event_summary_batch_device(text_params, ids_pad, img_pad, sel_pad,
+                                feats, pos, cfg):
+    """Jitted batched event-summary forward: K events' prompts embed +
+    splice + decode + masked-mean in ONE dispatch (the reference runs K
+    sequential forwards, cogreasoner_chat.py:303-316). ``feats`` is
+    [K, F, H] per-event feature rows; ``sel_pad`` indexes into each
+    event's own rows; ``img_pad`` pads point at the scratch row L."""
+    K = ids_pad.shape[0]
+    emb = qwen2.embed(text_params, ids_pad)                  # [K, L, H]
+    emb = jnp.concatenate(
+        [emb, jnp.zeros((K, 1, emb.shape[-1]), emb.dtype)], axis=1)
+    rows = jnp.arange(K)[:, None]
+    emb = emb.at[rows, img_pad].set(
+        feats[rows, sel_pad].astype(emb.dtype))
+    emb = emb[:, :-1]
+    hidden, _ = qwen2.qwen2_forward(text_params, emb, pos, cfg)
+    valid = (pos >= 0)[..., None].astype(jnp.float32)
+    return (jnp.sum(hidden.astype(jnp.float32) * valid, axis=1)
+            / jnp.maximum(valid.sum(axis=1), 1.0))
+
+
+def flush_event_reps(sessions) -> None:
+    """Compute deferred event-summary representations for every pending
+    event across ``sessions`` in ONE batched forward per feature shape
+    (events from one pool tick share shapes in steady state). All
+    sessions must share params/config/tokenizer (true inside a pool)."""
+    work = []   # (session, event, pack)
+    for sess in sessions:
+        for ev, frames in sess._rep_pending:
+            work.append((sess, ev, sess._event_summary_pack(frames)))
+        sess._rep_pending = []
+    if not work:
+        return
+    groups: Dict[Tuple[int, int], List] = {}
+    for item in work:
+        rows = item[2]["rows"]
+        key = (len(rows), rows[0].shape[0])
+        groups.setdefault(key, []).append(item)
+    for items in groups.values():
+        sess0 = items[0][0]
+        K = len(items)
+        L = StreamingSession._bucket(
+            max(len(it[2]["ids"]) for it in items), 256)
+        n_img_p = StreamingSession._bucket(
+            max(max(len(it[2]["img"]) for it in items), 1), 128)
+        ids_pad = np.zeros((K, L), np.int32)
+        pos = np.full((K, L), -1, np.int32)
+        img_pad = np.full((K, n_img_p), L, np.int64)   # scratch row
+        sel_pad = np.zeros((K, n_img_p), np.int64)
+        feats = []
+        for i, (_, _, p) in enumerate(items):
+            n = len(p["ids"])
+            ids_pad[i, :n] = p["ids"]
+            pos[i, :n] = np.arange(n)
+            img_pad[i, :len(p["img"])] = p["img"]
+            sel_pad[i, :len(p["sel"])] = p["sel"]
+            feats.append(jnp.concatenate(p["rows"], axis=0))
+        reps = _event_summary_batch_device(
+            sess0.params["text"], jnp.asarray(ids_pad),
+            jnp.asarray(img_pad), jnp.asarray(sel_pad),
+            jnp.stack(feats), jnp.asarray(pos), sess0.cfg.text)
+        for i, (_, ev, _) in enumerate(items):
+            ev.rep = reps[i]
 
 
 @dataclass
@@ -233,6 +286,7 @@ class StreamingSession:
         self.next_pos = 0          # absolute RoPE position counter
         self.total_frames = 0
         self._pending_frames: List[PendingFrame] = []
+        self._rep_pending: List[Tuple[EventRecord, List[PendingFrame]]] = []
 
         lang = self.adapters.get("language_module")
         self.selector = Selector(
@@ -493,6 +547,7 @@ class StreamingSession:
             cache_rows=self._cache_rows())
         self._commit_segment(plan, start, Sp, np.asarray(frame_feats_dev),
                              frame_rows_all)
+        self._flush_event_reps()
 
     def _ingest_allowed(self) -> np.ndarray:
         """Visibility for ingest prefills: everything except shadow
@@ -521,14 +576,19 @@ class StreamingSession:
         ev.frame_slots = [f.img_slots for f in frames]
         ev.shadow_slots = [f.shadow_slot for f in frames]
         ev.keyframe_mask = [i in kf for i in range(len(frames))]
-        ev.rep = self._event_summary_rep(frames) if self.summary_forward \
-            else jnp.asarray(center)
+        if self.summary_forward:
+            # rep deferred: flush_event_reps batches every event sealed
+            # by this ingest (and, for pool.ingest_batch, the whole
+            # tick) into ONE summary forward
+            self._rep_pending.append((ev, frames))
+        else:
+            ev.rep = jnp.asarray(center)
         self.events.append(ev)
 
-    def _event_summary_rep(self, frames) -> jax.Array:
-        """Mean-pooled hidden state of the event-summary prompt forward
-        over this event's kept visual rows (splice semantics as
-        models/cogreasoner.event_relevance, single event)."""
+    def _event_summary_pack(self, frames) -> Dict:
+        """Host half of one event's summary prompt: ids + splice plan
+        over the event's kept visual rows (splice semantics as
+        models/cogreasoner.event_relevance)."""
         from ..models.cogreasoner import (
             SUMMARY_INSTRUCTION, SUMMARY_SYSTEM)
 
@@ -544,27 +604,12 @@ class StreamingSession:
         parts.append("\n" + SUMMARY_INSTRUCTION + "<|im_end|>\n"
                      "<|im_start|>assistant")
         ids = np.asarray(self.tok.encode("".join(parts)), np.int32)
-        n = len(ids)
-        np_pad = self._bucket(n, 256)   # coarse bucket → stable jit shapes
-        ids_pad = np.zeros((np_pad,), np.int32)
-        ids_pad[:n] = ids
-        feats = jnp.concatenate(rows, axis=0)
         img_positions = np.nonzero(ids == self.tok.image_token_id)[0]
         sel = np.concatenate(sel_idx) if sel_idx else np.zeros(0, np.int64)
-        # bucket scatter/gather counts; pads land on a scratch row
-        n_img = len(img_positions)
-        n_img_p = self._bucket(max(n_img, 1), 128)
-        img_pad = np.full((n_img_p,), np_pad, np.int64)
-        img_pad[:n_img] = img_positions
-        sel_pad = np.zeros((n_img_p,), np.int64)
-        sel_pad[:n_img] = sel
-        pos = np.concatenate([
-            np.arange(n, dtype=np.int32),
-            np.full((np_pad - n,), -1, np.int32)])[None]
-        return _event_summary_device(
-            self.params["text"], jnp.asarray(ids_pad),
-            jnp.asarray(img_pad), jnp.asarray(sel_pad), feats,
-            jnp.asarray(pos), self.cfg.text)
+        return dict(ids=ids, img=img_positions, sel=sel, rows=rows)
+
+    def _flush_event_reps(self) -> None:
+        flush_event_reps([self])
 
     def ask_stream(self, question: str, mode: str = "FCC",
                    max_new_tokens: int = 512, chunk: int = 16,
@@ -694,6 +739,7 @@ class StreamingSession:
         self.next_pos = 0
         self.total_frames = 0
         self._pending_frames = []
+        self._rep_pending = []
         ids = self.tok.encode(
             f"<|im_start|>system\n{self._system_prompt}<|im_end|>\n")
         self._prefill_text(np.asarray(ids, np.int32), kind="system")
