@@ -72,6 +72,13 @@ class SessionPool:
     def close(self, row: int) -> None:
         self.sessions.pop(row, None)
 
+    def open_restored(self, path: str) -> int:
+        """Open a session on a free row and restore a ``session.save``
+        snapshot into it — serving restart without re-ingesting."""
+        b = self.open()
+        self.sessions[b].load_state(path)
+        return b
+
     # -- per-session ops (write the shared rows directly) ---------------------
 
     def ingest(self, row: int, *args, **kwargs) -> None:

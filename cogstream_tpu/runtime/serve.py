@@ -9,8 +9,9 @@ JSON-over-HTTP (stdlib only — no server deps in the TPU image):
                                                         → answer + latency
     POST /ask_stream         same body → chunked text deltas, then a
                              0x1e record separator + final JSON meta
-                             (solo sessions; pooled servers fall back
-                             to the blocking batched path)
+    POST /save               {"session_id", "path"}     → snapshot to disk
+    POST /restore            {"session_id", "path"}     → recreate from
+                             a snapshot (restart recovery, no re-ingest)
     GET  /stats                                         → per-stage timers
 
 One TPU process serves many sessions; requests are serialized through a
@@ -266,6 +267,29 @@ class SessionServer:
                 yield from sess.ask_stream(
                     question, mode=mode, max_new_tokens=max_new_tokens)
 
+    def save_session(self, session_id: str, path: str) -> Dict:
+        """Snapshot a live session to disk (atomic npz)."""
+        with self.lock:
+            sess = self._get(session_id)
+            sess.save(path)
+        return {"session_id": session_id, "path": path,
+                "cache_tokens": sess.write_index}
+
+    def restore_session(self, session_id: str, path: str) -> Dict:
+        """Recreate a session from a snapshot (restart recovery)."""
+        with self.lock:
+            if self.pool is not None:
+                row = self.pool.open_restored(path)
+                self._row_of[session_id] = row
+                self.sessions[session_id] = self.pool.sessions[row]
+            else:
+                sess = self._mk()
+                sess.load_state(path)
+                self.sessions[session_id] = sess
+        return {"session_id": session_id,
+                "cache_tokens": self.sessions[session_id].write_index,
+                "turns": len(self.sessions[session_id].hist_qs)}
+
     def stats(self) -> Dict:
         return self.timer.summary()
 
@@ -305,6 +329,12 @@ def make_handler(server: SessionServer):
                         req["session_id"], req["question"],
                         req.get("mode", "FCC"),
                         req.get("max_new_tokens", 512)))
+                if self.path == "/save":
+                    return self._json(200, server.save_session(
+                        req["session_id"], req["path"]))
+                if self.path == "/restore":
+                    return self._json(200, server.restore_session(
+                        req["session_id"], req["path"]))
                 if self.path == "/ask_stream":
                     # resolve the session BEFORE sending headers so
                     # 404/400 stay clean status codes

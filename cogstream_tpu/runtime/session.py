@@ -39,6 +39,7 @@ model rather than the reference's rewrite-and-reprefill.
 from __future__ import annotations
 
 import functools
+import json
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -964,3 +965,125 @@ class StreamingSession:
         return {"text": text, "selection": selection,
                 "if_visual": if_visual, "turn": turn,
                 "cache_tokens": self.write_index}
+
+    # ------------------------------------------------------------------
+    # persistence — serving restarts without losing live streams
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Snapshot this session — cache row (trimmed to the fill
+        level) + all host bookkeeping — into one atomic ``.npz``. A
+        restarted serving process reconstructs the stream with
+        ``load_state`` instead of re-decoding and re-ingesting the
+        video. Model weights are NOT included (they live in the model
+        checkpoint). The reference has no serving persistence at all
+        (its per-turn re-prefill IS its recovery story)."""
+        from ..utils.io import atomic_write_npz, pack_array
+
+        assert not self._rep_pending, "ingest left unflushed event reps"
+        row = self._row if self._pool is not None else 0
+        wi = self._wi
+        meta = {
+            "version": 1,
+            "max_len": self.max_len,
+            "wi": wi,
+            "next_pos": self.next_pos,
+            "total_frames": self.total_frames,
+            "hist_qs": self.hist_qs,
+            "hist_as": self.hist_as,
+            "system_prompt": self._system_prompt,
+            "ranges": [[r.kind, r.start, r.end, r.turn]
+                       for r in self.ranges],
+            "events": [{
+                "frame_ids": ev.frame_ids,
+                "frame_slots": [np.asarray(s).tolist()
+                                for s in ev.frame_slots],
+                "shadow_slots": list(ev.shadow_slots),
+                "keyframe_mask": list(ev.keyframe_mask),
+            } for ev in self.events],
+            "pending": [{
+                "frame_id": f.frame_id,
+                "timestamp": f.timestamp,
+                "img_slots": np.asarray(f.img_slots).tolist(),
+                "shadow_slot": int(f.shadow_slot),
+                "n_kept": int(f.n_kept),
+            } for f in self._pending_frames],
+        }
+        arrays: Dict[str, np.ndarray] = {}
+        dtypes: Dict[str, str] = {}
+
+        def put(name, a):
+            arrays[name], dtypes[name] = pack_array(a)
+
+        put("k", self.cache.k[:, row, :wi])
+        put("v", self.cache.v[:, row, :wi])
+        put("pos", self.cache.pos[row, :wi])
+        put("rng_key", jax.random.key_data(self._key)
+            if jnp.issubdtype(self._key.dtype, jax.dtypes.prng_key)
+            else self._key)
+        if self.events:
+            put("event_reps", np.stack(
+                [np.asarray(ev.rep, np.float32) for ev in self.events]))
+        for i, f in enumerate(self._pending_frames):
+            put(f"pend_feat_{i}", np.asarray(f.feat, np.float32))
+            put(f"pend_rows_{i}", f.frame_rows)
+        meta["dtypes"] = dtypes
+        atomic_write_npz(path, meta=np.asarray(json.dumps(meta)),
+                         **arrays)
+
+    def load_state(self, path: str) -> None:
+        """Restore a ``save`` snapshot into this session (solo or a
+        pool row). Must be constructed with the same
+        params/config/tokenizer; ``max_len`` must fit the snapshot."""
+        from ..utils.io import unpack_array
+
+        d = np.load(path)
+        meta = json.loads(str(d["meta"]))
+        wi = int(meta["wi"])
+        if wi > self.max_len:
+            raise ValueError(
+                f"snapshot needs {wi} slots, session has {self.max_len}")
+        dt = meta["dtypes"]
+
+        def get(name):
+            return unpack_array(d[name], dt[name])
+
+        row = self._row if self._pool is not None else 0
+        pos_row = np.full((self.max_len,), -1, np.int32)
+        pos_row[:wi] = get("pos")
+        new_wi = (self.cache.write_index if self._pool is not None
+                  else jnp.asarray(wi, jnp.int32))
+        self.cache = KVCache(
+            self.cache.k.at[:, row, :wi].set(
+                jnp.asarray(get("k")).astype(self.cache.k.dtype)),
+            self.cache.v.at[:, row, :wi].set(
+                jnp.asarray(get("v")).astype(self.cache.v.dtype)),
+            self.cache.pos.at[row].set(jnp.asarray(pos_row)),
+            new_wi)
+        self._wi = wi
+        self.next_pos = int(meta["next_pos"])
+        self.total_frames = int(meta["total_frames"])
+        self.hist_qs = list(meta["hist_qs"])
+        self.hist_as = list(meta["hist_as"])
+        self._system_prompt = meta["system_prompt"]
+        self._key = jnp.asarray(get("rng_key"))
+        self.ranges = [SlotRange(k, s, e, t)
+                       for k, s, e, t in meta["ranges"]]
+        reps = get("event_reps") if meta["events"] else None
+        self.events = []
+        for i, ev in enumerate(meta["events"]):
+            self.events.append(EventRecord(
+                frame_ids=list(ev["frame_ids"]),
+                rep=jnp.asarray(reps[i]),
+                frame_slots=[np.asarray(s, np.int64)
+                             for s in ev["frame_slots"]],
+                shadow_slots=list(ev["shadow_slots"]),
+                keyframe_mask=list(ev["keyframe_mask"])))
+        self._pending_frames = [
+            PendingFrame(p["frame_id"], p["timestamp"],
+                         get(f"pend_feat_{i}"),
+                         np.asarray(p["img_slots"], np.int64),
+                         p["shadow_slot"],
+                         get(f"pend_rows_{i}"), p["n_kept"])
+            for i, p in enumerate(meta["pending"])]
+        self._rep_pending = []

@@ -32,3 +32,44 @@ def atomic_write_text(path: str, text: str) -> None:
 
 def atomic_write_json(path: str, obj: Any, indent: int = 1) -> None:
     atomic_write_text(path, json.dumps(obj, indent=indent))
+
+
+def atomic_write_npz(path: str, **arrays: Any) -> None:
+    """np.savez via tmp-file + rename (atomic on POSIX)."""
+    import numpy as np
+
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp_", suffix=".npz")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def pack_array(a) -> tuple:
+    """(uint8 byte view, dtype name) — lets np.savez carry extension
+    dtypes (bfloat16, float8) that its header format can't express."""
+    import numpy as np
+
+    a = np.ascontiguousarray(np.asarray(a))
+    if a.ndim == 0:
+        a = a[None]
+    return a.view(np.uint8), a.dtype.name
+
+
+def unpack_array(b, dtype_name: str):
+    """Inverse of pack_array."""
+    import ml_dtypes  # jax dependency, always present
+    import numpy as np
+
+    try:
+        dt = np.dtype(dtype_name)
+    except TypeError:
+        dt = np.dtype(getattr(ml_dtypes, dtype_name))
+    return np.asarray(b).view(dt)

@@ -262,3 +262,29 @@ def test_pool_with_fp8_kv(setup):
                          max_new_tokens=4)
     assert set(out) == {a, b}
     assert all(isinstance(r["text"], str) for r in out.values())
+
+
+def test_pool_open_restored_row(setup, tmp_path):
+    """A solo-session snapshot restores into a pool row and continues
+    with the same greedy answer as the solo continuation."""
+    from cogstream_tpu.runtime.pool import SessionPool
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(21)
+    pv = rng.integers(0, 255, (2 * 4 * 4, 3 * 14 * 14), dtype=np.uint8)
+    solo = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False)
+    solo.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    path = str(tmp_path / "row.npz")
+    solo.save(path)
+    want = solo.ask("what now?", mode="AC", max_new_tokens=8)
+
+    pool = SessionPool(params, cfg, tok, n_rows=2, max_len=1024,
+                       summary_forward=False)
+    r = pool.open_restored(path)
+    got = pool.ask(r, "what now?", mode="AC", max_new_tokens=8)
+    assert got["text"] == want["text"]
+    # batched turn on the restored row afterwards
+    out = pool.ask_batch([(r, "more?")], mode="AC", max_new_tokens=4)
+    assert out[r]["turn"] == 1

@@ -364,3 +364,56 @@ def test_session_ingest_raw_uint8(session_setup):
     a = s_u8.ask("what?", mode="AC", max_new_tokens=8)
     b = s_f.ask("what?", mode="AC", max_new_tokens=8)
     assert a["text"] == b["text"]
+
+
+def test_session_save_restore_continuity(session_setup, tmp_path):
+    """A restored snapshot continues the conversation EXACTLY: same
+    greedy answer, same slot bookkeeping, same RNG stream — serving
+    restarts don't lose live streams."""
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    rng = np.random.default_rng(13)
+    pv = rng.integers(0, 255, (2 * 4 * 4, 3 * 14 * 14), dtype=np.uint8)
+
+    a = StreamingSession(params, cfg, tok, max_len=1024)
+    a.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    a.ask("what happened?", mode="AC", max_new_tokens=8)
+    path = str(tmp_path / "sess.npz")
+    a.save(path)
+    want = a.ask("and then?", mode="AC", max_new_tokens=8)
+
+    b = StreamingSession(params, cfg, tok, max_len=1024)
+    b.load_state(path)
+    assert b.write_index == int(np.asarray(b.cache.write_index))
+    assert b.hist_qs == ["what happened?"]
+    assert len(b.events) == 1 and b.events[0].rep is not None
+    got = b.ask("and then?", mode="AC", max_new_tokens=8)
+    assert got["text"] == want["text"]
+    assert got["cache_tokens"] == want["cache_tokens"]
+    # a second segment after restore still ingests cleanly
+    b.append_stream_segment(pv, (2, 4, 4), 2, [2.0, 3.0])
+    assert b.total_frames == 4
+
+
+def test_session_save_restore_fp8(session_setup, tmp_path):
+    """Snapshot roundtrip with an extension-dtype (fp8) cache."""
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    s = StreamingSession(params, cfg, tok, max_len=512,
+                         summary_forward=False,
+                         kv_dtype=jnp.float8_e4m3fn)
+    s.ask("hello?", mode="AC", max_new_tokens=4)
+    path = str(tmp_path / "fp8.npz")
+    s.save(path)
+    r = StreamingSession(params, cfg, tok, max_len=512,
+                         summary_forward=False,
+                         kv_dtype=jnp.float8_e4m3fn)
+    r.load_state(path)
+    assert r.cache.k.dtype == jnp.float8_e4m3fn
+    np.testing.assert_array_equal(
+        np.asarray(r.cache.k[:, 0, :r.write_index], np.float32),
+        np.asarray(s.cache.k[:, 0, :s.write_index], np.float32))
+    out = r.ask("again?", mode="AC", max_new_tokens=4)
+    assert out["turn"] == 1
