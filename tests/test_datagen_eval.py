@@ -154,3 +154,37 @@ def test_nlp_metrics_sanity():
     m_corpus = nlp_metrics.compute_all(preds, refs)
     m_swapped = nlp_metrics.compute_all([preds[1], preds[0]], refs)
     assert m_corpus["CIDEr"] > m_swapped["CIDEr"]
+
+
+def test_segmentation_cv2_fallback(tmp_path):
+    """C18 split+keyframe pipeline runs without ffmpeg (cv2 fallback):
+    segments cover the timestamp bounds, keyframes land under the px
+    cap, the spec is resumable."""
+    import numpy as np
+    cv2 = pytest.importorskip("cv2")
+
+    from cogstream_tpu.datagen import segmentation as seg
+
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(60):   # 6 s at 10 fps
+        w.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    w.release()
+
+    dur = seg.probe_duration(path)
+    assert 5.0 < dur < 7.0
+    spec = seg.split_and_sample(path, str(tmp_path / "out"), [3.0],
+                                log=lambda *a: None)
+    assert len(spec["segments"]) == 2
+    for s in spec["segments"]:
+        assert os.path.exists(s["path"])
+        assert seg.probe_duration(s["path"]) > 1.0
+        assert s["keyframes"], "no keyframes sampled"
+        img = cv2.imread(s["keyframes"][0])
+        assert img is not None and max(img.shape[:2]) <= 512
+    # resumable: second call reloads the spec without rework
+    again = seg.split_and_sample(path, str(tmp_path / "out"), [3.0],
+                                 log=lambda *a: None)
+    assert again == spec
