@@ -44,9 +44,14 @@ def _cv2_duration(path: str) -> float:
 
 
 def _cv2_segment(path: str, seg_path: str, s: float, e: float) -> None:
+    """Raises (and removes the partial file) when nothing decodes or
+    the writer can't open — the cv2 analogue of the ffmpeg path's
+    returncode + size check; a silent empty segment would be recorded
+    in the spec and never regenerated (resume skips existing files)."""
     import cv2
 
     cap = cv2.VideoCapture(path)
+    written = 0
     try:
         fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
         w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
@@ -54,21 +59,32 @@ def _cv2_segment(path: str, seg_path: str, s: float, e: float) -> None:
         out = cv2.VideoWriter(seg_path,
                               cv2.VideoWriter_fourcc(*"mp4v"), fps,
                               (w, h))
+        if not out.isOpened():
+            raise RuntimeError(f"cv2 VideoWriter failed for {seg_path!r}")
         cap.set(cv2.CAP_PROP_POS_FRAMES, int(round(s * fps)))
         for _ in range(max(int(round((e - s) * fps)), 1)):
             ok, frame = cap.read()
             if not ok:
                 break
             out.write(frame)
+            written += 1
         out.release()
     finally:
         cap.release()
+    if written == 0 or not os.path.getsize(seg_path):
+        try:
+            os.unlink(seg_path)
+        except OSError:
+            pass
+        raise RuntimeError(
+            f"cv2 decoded 0 frames for segment [{s}, {e}) of {path!r}")
 
 
 def _cv2_keyframe(path: str, fp: str, t: float, max_px: int) -> bool:
     import cv2
 
     cap = cv2.VideoCapture(path)
+    ok = False
     try:
         fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
         cap.set(cv2.CAP_PROP_POS_FRAMES, int(t * fps))

@@ -249,7 +249,9 @@ def pool_minor_frames(
 
 
 @functools.partial(jax.jit, static_argnames=("t", "merged_per_frame",
-                                             "threshold", "min_tokens"))
+                                             "threshold", "min_tokens",
+                                             "image_std",
+                                             "rescale_factor"))
 def pixel_diff_keep_mask(
     pixel_values: jax.Array,    # [t*gh*gw, C*ps*ps] one video item's rows
     t: int,
@@ -257,6 +259,8 @@ def pixel_diff_keep_mask(
     minor: jax.Array,           # [t] bool
     threshold: float = 0.1,
     min_tokens: int = 1,
+    image_std: Tuple[float, ...] = (0.5, 0.5, 0.5),
+    rescale_factor: float = 1.0 / 255.0,
 ) -> jax.Array:
     """[t, merged_per_frame] bool keep-mask from inter-frame pixel diff
     (``_get_compression_mask``, ref :383-432). Frame 0 keeps all tokens;
@@ -264,10 +268,16 @@ def pixel_diff_keep_mask(
     minor frames keep exactly token 0."""
     x = pixel_values.reshape(t, merged_per_frame, -1)
     if x.dtype == jnp.uint8:
-        # raw uint8 rows: rescale to the normalized span (mean/std 0.5,
-        # preprocessor_config.json:10-20) so thresholds match the
-        # normalized-float path
-        x = x.astype(jnp.float32) * jnp.float32(2.0 / 255.0)
+        # raw uint8 rows: per-channel rescale to the normalized span
+        # (rows are channel-major [C, ps*ps]) so diffs — and therefore
+        # keep masks — match the normalized-float path for ANY
+        # preprocessor mean/std, not just the reference's 0.5/0.5
+        C = len(image_std)
+        scale = jnp.asarray(
+            [rescale_factor / s for s in image_std],
+            jnp.float32)[None, None, :, None]
+        x = (x.reshape(t, merged_per_frame, C, -1).astype(jnp.float32)
+             * scale).reshape(t, merged_per_frame, -1)
     else:
         x = x.astype(jnp.float32)
     diff = jnp.abs(x[1:] - x[:-1]).mean(axis=-1) * 255.0
@@ -430,7 +440,9 @@ def run_visual_compression(
             mask = pixel_diff_keep_mask(
                 item_pv, t, merged, item_minor,
                 threshold=cc.pixel_diff_threshold,
-                min_tokens=cc.min_tokens_per_frame)
+                min_tokens=cc.min_tokens_per_frame,
+                image_std=tuple(cfg.vision.image_std),
+                rescale_factor=cfg.vision.rescale_factor)
             keeps.append(mask.reshape(-1))
             frame_offset += t
         else:

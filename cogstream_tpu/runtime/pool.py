@@ -114,8 +114,16 @@ class SessionPool:
         cc = self.cfg.compression
 
         # preserve dtype: raw uint8 rows normalize on device and cost
-        # 4x less host->device bandwidth than normalized float32
-        pix = np.concatenate([np.asarray(r[1]) for r in requests], axis=0)
+        # 4x less host->device bandwidth than normalized float32.
+        # Mixed dtypes must NOT silently concat: promotion would feed
+        # raw 0-255 rows through the float path unnormalized.
+        pix_items = [np.asarray(r[1]) for r in requests]
+        if len({a.dtype for a in pix_items}) > 1:
+            raise ValueError(
+                "ingest_batch requires a uniform pixel dtype "
+                f"(got {sorted({str(a.dtype) for a in pix_items})}); "
+                "mix raw-uint8 and float callers via ingest()")
+        pix = np.concatenate(pix_items, axis=0)
         pad_rows = -(-pix.shape[0] // 1024) * 1024
         mm = cogreasoner.encode_images(
             self.params, pix, np.array([[t, gh, gw]] * B),
@@ -126,7 +134,9 @@ class SessionPool:
             lambda p: cogreasoner.pixel_diff_keep_mask(
                 p, t, merged, minor=jnp.zeros((t,), jnp.bool_),
                 threshold=cc.pixel_diff_threshold,
-                min_tokens=cc.min_tokens_per_frame))(
+                min_tokens=cc.min_tokens_per_frame,
+                image_std=tuple(self.cfg.vision.image_std),
+                rescale_factor=self.cfg.vision.rescale_factor))(
             jnp.asarray(pix.reshape(B, t * gh * gw, -1))))
 
         plans, starts = [], []

@@ -276,9 +276,14 @@ class SessionServer:
                 "cache_tokens": sess.write_index}
 
     def restore_session(self, session_id: str, path: str) -> Dict:
-        """Recreate a session from a snapshot (restart recovery)."""
+        """Recreate a session from a snapshot (restart recovery).
+        Restoring over an existing id replaces it (its pool row is
+        released first — a retried /restore must not leak rows)."""
         with self.lock:
             if self.pool is not None:
+                old = self._row_of.pop(session_id, None)
+                if old is not None:
+                    self.pool.close(old)
                 row = self.pool.open_restored(path)
                 self._row_of[session_id] = row
                 self.sessions[session_id] = self.pool.sessions[row]

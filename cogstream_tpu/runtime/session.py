@@ -169,20 +169,28 @@ def flush_event_reps(sessions) -> None:
         sess._rep_pending = []
     if not work:
         return
-    groups: Dict[Tuple[int, int], List] = {}
+    groups: Dict[Tuple[int, ...], List] = {}
     for item in work:
-        rows = item[2]["rows"]
-        key = (len(rows), rows[0].shape[0])
+        # key on the FULL per-frame row-count tuple: an event spanning a
+        # grid change has mixed per-frame shapes, and two events with
+        # equal frame counts but different totals must not stack
+        key = tuple(r.shape[0] for r in item[2]["rows"])
         groups.setdefault(key, []).append(item)
     for items in groups.values():
         sess0 = items[0][0]
-        K = len(items)
+        K_real = len(items)
+        # pow-2 bucket on the batch dim: a pool flushes 1..n_rows events
+        # per tick, and every distinct K would otherwise be a fresh
+        # remote compile. Pad rows carry one real token (pos 0) so the
+        # forward stays NaN-free; their reps are discarded.
+        K = 1 << (K_real - 1).bit_length()
         L = StreamingSession._bucket(
             max(len(it[2]["ids"]) for it in items), 256)
         n_img_p = StreamingSession._bucket(
             max(max(len(it[2]["img"]) for it in items), 1), 128)
         ids_pad = np.zeros((K, L), np.int32)
         pos = np.full((K, L), -1, np.int32)
+        pos[K_real:, 0] = 0
         img_pad = np.full((K, n_img_p), L, np.int64)   # scratch row
         sel_pad = np.zeros((K, n_img_p), np.int64)
         feats = []
@@ -193,6 +201,8 @@ def flush_event_reps(sessions) -> None:
             img_pad[i, :len(p["img"])] = p["img"]
             sel_pad[i, :len(p["sel"])] = p["sel"]
             feats.append(jnp.concatenate(p["rows"], axis=0))
+        for _ in range(K - K_real):
+            feats.append(jnp.zeros_like(feats[0]))
         reps = _event_summary_batch_device(
             sess0.params["text"], jnp.asarray(ids_pad),
             jnp.asarray(img_pad), jnp.asarray(sel_pad),
@@ -523,7 +533,9 @@ class StreamingSession:
             jnp.asarray(pixel_values), t, merged,
             minor=jnp.zeros((t,), jnp.bool_),
             threshold=cc.pixel_diff_threshold,
-            min_tokens=cc.min_tokens_per_frame)
+            min_tokens=cc.min_tokens_per_frame,
+            image_std=tuple(self.cfg.vision.image_std),
+            rescale_factor=self.cfg.vision.rescale_factor)
         plan = self._segment_plan(np.asarray(keep), t, merged, timestamps)
 
         Sp = self._bucket(plan["n"] + t)

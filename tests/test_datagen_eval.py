@@ -188,3 +188,22 @@ def test_segmentation_cv2_fallback(tmp_path):
     again = seg.split_and_sample(path, str(tmp_path / "out"), [3.0],
                                  log=lambda *a: None)
     assert again == spec
+
+
+def test_cv2_segment_failure_raises(tmp_path):
+    """Decoding zero frames must raise, not record an empty segment."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from cogstream_tpu.datagen.segmentation import _cv2_segment
+
+    path = str(tmp_path / "c.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (32, 32))
+    for _ in range(10):
+        w.write(np.zeros((32, 32, 3), np.uint8))
+    w.release()
+    out = str(tmp_path / "seg.mp4")
+    with pytest.raises(RuntimeError, match="0 frames"):
+        _cv2_segment(path, out, 50.0, 51.0)   # beyond the content
+    assert not os.path.exists(out)

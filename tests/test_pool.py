@@ -288,3 +288,52 @@ def test_pool_open_restored_row(setup, tmp_path):
     # batched turn on the restored row afterwards
     out = pool.ask_batch([(r, "more?")], mode="AC", max_new_tokens=4)
     assert out[r]["turn"] == 1
+
+
+def test_ingest_batch_rejects_mixed_dtypes(setup):
+    from cogstream_tpu.runtime.pool import SessionPool
+
+    cfg, params, tok = setup
+    pool = SessionPool(params, cfg, tok, n_rows=2, max_len=1024,
+                       summary_forward=False)
+    a, b = pool.open(), pool.open()
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 255, (2 * 4 * 4, 3 * 14 * 14), dtype=np.uint8)
+    f32 = rng.normal(size=(2 * 4 * 4, 3 * 14 * 14)).astype(np.float32)
+    with pytest.raises(ValueError, match="uniform pixel dtype"):
+        pool.ingest_batch([(a, u8, (2, 4, 4), 2, [0.0, 1.0]),
+                           (b, f32, (2, 4, 4), 2, [0.0, 1.0])])
+
+
+def test_flush_event_reps_mixed_shapes_and_k_bucket(setup):
+    """Events whose per-frame row counts differ must not stack into one
+    batch (grid change mid-window); odd event counts pad to a pow-2
+    batch with discarded rows."""
+    import jax.numpy as jnp
+
+    from cogstream_tpu.runtime.session import (
+        EventRecord, PendingFrame, StreamingSession, flush_event_reps)
+
+    cfg, params, tok = setup
+    s = StreamingSession(params, cfg, tok, max_len=512)
+    H = cfg.text.hidden_size
+    rng = np.random.default_rng(1)
+
+    def pend(fid, merged, n_kept):
+        return PendingFrame(
+            fid, float(fid), rng.normal(size=(H,)).astype(np.float32),
+            np.arange(n_kept, dtype=np.int64), 10 + fid,
+            rng.normal(size=(merged, H)).astype(np.float32), n_kept)
+
+    evs = []
+    # same frame count + same FIRST frame rows, different totals
+    for shapes in ((4, 4), (4, 16), (4, 4)):   # 3 events → K buckets to 4
+        ev = EventRecord(frame_ids=[0, 1])
+        frames = [pend(i, m, min(2, m)) for i, m in enumerate(shapes)]
+        s._rep_pending.append((ev, frames))
+        evs.append(ev)
+    flush_event_reps([s])
+    assert not s._rep_pending
+    for ev in evs:
+        assert ev.rep is not None and ev.rep.shape == (H,)
+        assert np.isfinite(np.asarray(ev.rep)).all()

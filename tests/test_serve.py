@@ -180,3 +180,32 @@ def test_pooled_server_concurrent_ingest_and_stream():
     # batched ask on the other row still consistent afterwards
     r = server.ask("b", "and here?", mode="AC", max_new_tokens=4)
     assert r["turn"] == 0
+
+
+def test_restore_twice_does_not_leak_rows(tmp_path):
+    import dataclasses
+
+    import jax
+
+    from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.serve import SessionServer
+
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    server = SessionServer(params, cfg, tok, max_len=512,
+                           use_pallas=False, pool_rows=2)
+    server.create("a")
+    path = str(tmp_path / "a.npz")
+    server.save_session("a", path)
+    # retried restores over the same id must release the old row
+    for _ in range(3):
+        server.restore_session("a", path)
+    assert len(server.pool.sessions) == 1
+    server.create("b")     # a free row still exists
+    assert len(server.pool.sessions) == 2

@@ -179,3 +179,27 @@ def test_uint8_pixel_diff_mask_matches_float():
     m_f = np.asarray(pixel_diff_keep_mask(jnp.asarray(normed), t, merged,
                                           minor))
     np.testing.assert_array_equal(m_u8, m_f)
+
+
+def test_uint8_pixel_diff_mask_nonstandard_std():
+    """uint8 keep-mask parity holds for CLIP-style per-channel std, not
+    just the reference's 0.5."""
+    import jax.numpy as jnp
+
+    from cogstream_tpu.models.cogreasoner import pixel_diff_keep_mask
+
+    rng = np.random.default_rng(17)
+    t, merged, ps2 = 4, 8, 12
+    std = (0.26862954, 0.26130258, 0.27577711)
+    raw = rng.integers(0, 255, (t * merged, 3 * ps2), dtype=np.uint8)
+    x = raw.reshape(-1, 3, ps2).astype(np.float32)
+    mean = np.asarray((0.48145466, 0.4578275, 0.40821073),
+                      np.float32)[None, :, None]
+    normed = ((x / 255.0 - mean) / np.asarray(std)[None, :, None]) \
+        .reshape(raw.shape)
+    minor = jnp.zeros((t,), jnp.bool_)
+    m_u8 = np.asarray(pixel_diff_keep_mask(
+        jnp.asarray(raw), t, merged, minor, image_std=std))
+    m_f = np.asarray(pixel_diff_keep_mask(jnp.asarray(normed), t, merged,
+                                          minor))
+    np.testing.assert_array_equal(m_u8, m_f)
