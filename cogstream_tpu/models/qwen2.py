@@ -216,6 +216,7 @@ def qwen2_forward(
     write_slots: Optional[jax.Array] = None,  # [B, S] per-row cache slots (pooled mode)
     side_cache: Optional[KVCache] = None,     # lockstep decode side buffer
     cache_rows: Optional[jax.Array] = None,   # [B] cache row per input row
+    attn_override=None,   # cache-free attention impl: f(q, k, v, positions)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden [B, S, H], updated cache).
 
@@ -317,9 +318,13 @@ def qwen2_forward(
         def body(x, xs):
             layer, ad = xs
             x, h, q, k, v = block(x, layer, ad)
-            attn = causal_gqa_attention(
-                q, k, v, q_positions=positions,
-                kv_valid=positions >= 0, kv_positions=positions)
+            if attn_override is not None:
+                # e.g. the sequence-parallel ring (qwen2_forward_sp)
+                attn = attn_override(q, k, v, positions)
+            else:
+                attn = causal_gqa_attention(
+                    q, k, v, q_positions=positions,
+                    kv_valid=positions >= 0, kv_positions=positions)
             return finish_block(x, attn, layer, ad), None
 
         if remat:
@@ -382,6 +387,58 @@ def qwen2_forward(
     new_cache = KVCache(k=new_k, v=new_v, pos=pos_out,
                         write_index=cache.write_index + S)
     return x, new_cache
+
+
+def qwen2_forward_sp(
+    params: Params,
+    inputs_embeds: jax.Array,      # [B, S, H]; S divisible by axis size
+    positions: jax.Array,          # [B, S]; -1 = padding
+    cfg: Qwen2Config,
+    mesh,
+    axis: str = "model",
+    adapters: Optional[List[Tuple[Dict, jax.Array]]] = None,
+    lora_scale: float = 2.0,
+    remat: bool = False,
+) -> jax.Array:
+    """SEQUENCE-PARALLEL decoder forward (cache-free): activations shard
+    [B, S/P, H] along mesh axis ``axis`` and attention runs the ICI
+    ring (ops/ring_attention) — no device materializes the full
+    sequence, so trainable/scoreable context scales linearly with the
+    axis size. The reference caps context at 32k on one device and has
+    no sequence parallelism at all (SURVEY.md §5). MLP/norms are
+    token-local, so only K/V shards travel (P-1 ppermute hops).
+
+    Weights (and LoRA adapters) are replicated along ``axis``; combine
+    with tensor parallelism on a second axis for weight sharding.
+    Returns hidden states [B, S, H] (same contract as qwen2_forward
+    without a cache)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.ring_attention import ring_causal_gqa_attention
+
+    n = int(mesh.shape[axis])
+    assert inputs_embeds.shape[1] % n == 0, \
+        f"S={inputs_embeds.shape[1]} must divide the {axis}={n} axis"
+
+    def fwd(p, ad, emb, pos):
+        def ring(q, k, v, q_positions):
+            return ring_causal_gqa_attention(
+                q, k, v, q_positions, q_positions, axis, n)
+
+        hidden, _ = qwen2_forward(
+            p, emb, pos, cfg, adapters=ad, lora_scale=lora_scale,
+            remat=remat, attn_override=ring)
+        return hidden
+
+    return shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis, None), P(None, axis)),
+        out_specs=P(None, axis, None),
+    )(params, adapters, inputs_embeds, positions)
 
 
 def lm_logits(params: Params, hidden: jax.Array,

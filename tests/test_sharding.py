@@ -114,3 +114,69 @@ def test_session_on_tp_mesh_matches_unsharded(tiny_config):
         sess.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
         got = sess.ask("what is this?", mode="AC", max_new_tokens=6)
     assert got["text"] == want["text"]
+
+
+def test_ring_attention_matches_dense(tiny_config):
+    """Ring (context-parallel) attention over an 8-device sequence
+    shard reproduces dense causal GQA, including -1 padding queries."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+
+    from cogstream_tpu.ops.attention import causal_gqa_attention
+    from cogstream_tpu.ops.ring_attention import ring_causal_gqa_attention
+
+    rng = np.random.default_rng(0)
+    B, S, Hq, Hkv, D = 2, 64, 4, 2, 8
+    q = rng.normal(size=(B, S, Hq, D)).astype(np.float32)
+    k = rng.normal(size=(B, S, Hkv, D)).astype(np.float32)
+    v = rng.normal(size=(B, S, Hkv, D)).astype(np.float32)
+    pos = np.tile(np.arange(S, dtype=np.int32), (B, 1))
+    pos[:, -5:] = -1        # bucket padding
+
+    want = np.asarray(causal_gqa_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        q_positions=jnp.asarray(pos), kv_valid=jnp.asarray(pos >= 0),
+        kv_positions=jnp.asarray(pos)))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    fn = shard_map(
+        lambda *a: ring_causal_gqa_attention(*a, axis_name="sp",
+                                             axis_size=8),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"),
+                  P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"))
+    got = np.asarray(fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        jnp.asarray(pos), jnp.asarray(pos)))
+    valid = pos >= 0
+    np.testing.assert_allclose(got[valid], want[valid],
+                               rtol=2e-5, atol=2e-5)
+    # fully-masked (padding) queries are exact zeros on the ring path
+    assert np.abs(got[~valid]).max() == 0.0
+
+
+def test_qwen2_forward_sp_matches_dense(tiny_config):
+    """Full sequence-parallel decoder forward == single-device forward
+    at every valid position."""
+    from jax.sharding import Mesh
+
+    cfg = tiny_config.text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    B, S = 2, 64
+    ids = rng.integers(3, 200, size=(B, S)).astype(np.int32)
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    pos = np.tile(np.arange(S, dtype=np.int32), (B, 1))
+    pos[1, -9:] = -1
+    want, _ = qwen2.qwen2_forward(params, emb, jnp.asarray(pos), cfg)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    got = qwen2.qwen2_forward_sp(params, emb, jnp.asarray(pos), cfg,
+                                 mesh, axis="sp")
+    valid = pos >= 0
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(want)[valid],
+                               rtol=2e-4, atol=2e-4)
