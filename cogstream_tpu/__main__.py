@@ -12,6 +12,8 @@ of the reference) plus the serving front-end this framework adds:
   segment-videos   split raw videos + sample keyframes (C18)
   datagen          full C19-C24 pipeline over segment specs
   serve            HTTP streaming-session server (no reference analogue)
+  export-hf        merge LoRA adapters + write an HF-layout checkpoint
+                   (PEFT merge_and_unload + save_pretrained parity)
 """
 
 from __future__ import annotations
@@ -131,6 +133,34 @@ def main(argv=None):
             threshold=args.coi_threshold, seed=args.seed)
         stats = formatting.format_dataset(path_dir, remix_dir, final_dir)
         print(_json.dumps(stats))
+        return 0
+    elif cmd == "export-hf":
+        import argparse
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--model-dir", required=True,
+                        help="base HF checkpoint directory")
+        ap.add_argument("--out", required=True)
+        ap.add_argument("--adapter", action="append", default=[],
+                        help="LoRA .npz to merge (repeatable)")
+        ap.add_argument("--lora-scale", type=float, default=2.0)
+        args = ap.parse_args(rest)
+
+        from .config import load_hf_config
+        from .models.checkpoint import (
+            load_cogreasoner_from_hf, merge_lora, save_cogreasoner_to_hf)
+        from .train.checkpoint import load_lora_adapter
+
+        cfg = load_hf_config(f"{args.model_dir}/config.json")
+        params = load_cogreasoner_from_hf(args.model_dir, cfg)
+        for path in args.adapter:
+            tree = load_lora_adapter(path)
+            if "text" not in tree:      # bare decoder adapter (stage-1)
+                tree = {"text": tree}
+            params = merge_lora(params, tree,
+                                lora_scale=args.lora_scale)
+        out = save_cogreasoner_to_hf(params, cfg, args.out)
+        print(f"exported {out}")
         return 0
     elif cmd == "nlp-metrics":
         import argparse

@@ -267,6 +267,40 @@ def load_processor_config(model_dir: str) -> ProcessorConfig:
     return ProcessorConfig(**knobs)
 
 
+def save_hf_config(cfg: CogReasonerConfig, path: str) -> None:
+    """Inverse of ``load_hf_config``: write a reference-layout
+    config.json so exported checkpoints are self-describing."""
+    from .utils.io import atomic_write_json
+
+    t, v = cfg.text, cfg.vision
+    atomic_write_json(path, {
+        "architectures": ["Videollama3Qwen2ForCausalLM"],
+        "model_type": "videollama3_qwen2",
+        "vocab_size": t.vocab_size,
+        "hidden_size": t.hidden_size,
+        "intermediate_size": t.intermediate_size,
+        "num_hidden_layers": t.num_hidden_layers,
+        "num_attention_heads": t.num_attention_heads,
+        "num_key_value_heads": t.num_key_value_heads,
+        "max_position_embeddings": t.max_position_embeddings,
+        "rms_norm_eps": t.rms_norm_eps,
+        "rope_theta": t.rope_theta,
+        "tie_word_embeddings": t.tie_word_embeddings,
+        "bos_token_id": t.bos_token_id,
+        "eos_token_id": t.eos_token_id,
+        "vision_encoder_config": {
+            "hidden_size": v.hidden_size,
+            "intermediate_size": v.intermediate_size,
+            "num_hidden_layers": v.num_hidden_layers,
+            "num_attention_heads": v.num_attention_heads,
+            "patch_size": v.patch_size,
+        },
+        "mm_projector_type": cfg.mm_projector_type,
+        "image_token_index": cfg.image_token_index,
+        "use_token_compression": cfg.use_token_compression,
+    })
+
+
 def load_hf_config(path: str) -> CogReasonerConfig:
     """Build a CogReasonerConfig from a HuggingFace-style config.json
     (the reference checkpoint layout, config.json:1-44)."""

@@ -145,6 +145,123 @@ def projector_params_from_state_dict(sd: Dict,
     return {"layers": layers}
 
 
+def _unstack(tree) -> list:
+    """Stacked [L, ...] layer tree → list of per-layer trees (host)."""
+    L = jax.tree.leaves(tree)[0].shape[0]
+    host = jax.tree.map(np.asarray, tree)
+    return [jax.tree.map(lambda x: x[i], host) for i in range(L)]
+
+
+def merge_lora(params: Dict, lora: Dict, lora_scale: float = 2.0) -> Dict:
+    """Fold LoRA deltas into the base kernels: kernel' = kernel +
+    a @ b * lora_scale — the PEFT ``merge_and_unload`` equivalent
+    (gate 1.0 inference, models/qwen2.dense). Works on stacked [L]
+    decoder trees and the projector's per-layer list alike; leaves
+    without an adapter pass through untouched."""
+    def fold(p, l):
+        if isinstance(p, list):
+            ls = l if isinstance(l, list) else [None] * len(p)
+            return [fold(pi, li) for pi, li in zip(p, ls)]
+        if not isinstance(p, dict):
+            return p
+        if ("kernel" in p and isinstance(l, dict)
+                and "a" in l and "b" in l):
+            a = jnp.asarray(l["a"]).astype(jnp.float32)
+            b = jnp.asarray(l["b"]).astype(jnp.float32)
+            delta = jnp.einsum("...ir,...ro->...io", a, b) * lora_scale
+            kern = p["kernel"]
+            return dict(p, kernel=(
+                kern.astype(jnp.float32) + delta).astype(kern.dtype))
+        return {k: fold(v, l.get(k) if isinstance(l, dict) else None)
+                for k, v in p.items()}
+
+    return fold(params, lora or {})
+
+
+def save_cogreasoner_to_hf(params: Dict, cfg: CogReasonerConfig,
+                           out_dir: str, dtype=None) -> str:
+    """Write the pytree back as a reference-layout HF checkpoint
+    (model.safetensors + index + config.json) — the exact inverse of
+    ``load_cogreasoner_from_hf``, so weights trained in this framework
+    deploy straight into the torch/HF stack (the reference's
+    ``save_pretrained`` parity, second_stage_training.py:182-202).
+    int8-quantized kernels (ops/quant.py) dequantize on export."""
+    from safetensors.numpy import save_file
+
+    from ..config import save_hf_config
+
+    dtype = dtype or cfg.text.jnp_dtype
+    os.makedirs(out_dir, exist_ok=True)
+    sd: Dict[str, np.ndarray] = {}
+
+    def kern_host(kernel):
+        if isinstance(kernel, dict):    # int8: dequantize
+            return (np.asarray(kernel["q"], np.float32)
+                    * np.asarray(kernel["scale"], np.float32)[None, :])
+        return np.asarray(kernel)
+
+    def W(name, lin, dt=None):
+        sd[name] = np.asarray(jnp.asarray(
+            kern_host(lin["kernel"]).T).astype(dt or dtype))
+        if "bias" in lin:
+            sd[name.replace(".weight", ".bias")] = np.asarray(
+                jnp.asarray(lin["bias"]).astype(dt or dtype))
+
+    def A(name, arr, dt=None):
+        sd[name] = np.asarray(jnp.asarray(arr).astype(dt or dtype))
+
+    text = params["text"]
+    A("model.embed_tokens.weight", text["embed_tokens"])
+    A("model.norm.weight", text["final_norm"]["scale"])
+    W("lm_head.weight", text["lm_head"])
+    for i, layer in enumerate(_unstack(text["layers"])):
+        lp = f"model.layers.{i}."
+        A(lp + "input_layernorm.weight", layer["input_norm"]["scale"])
+        A(lp + "post_attention_layernorm.weight",
+          layer["post_attn_norm"]["scale"])
+        for pj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            W(lp + f"self_attn.{pj}.weight", layer["attn"][pj])
+        for pj in ("gate_proj", "up_proj", "down_proj"):
+            W(lp + f"mlp.{pj}.weight", layer["mlp"][pj])
+
+    vis = params["vision"]
+    vp = "model.vision_encoder."
+    pe = vis["patch_embed"]
+    ps, C = cfg.vision.patch_size, cfg.vision.num_channels
+    sd[vp + "embeddings.patch_embedding.weight"] = np.asarray(
+        jnp.asarray(kern_host(pe["kernel"]).T
+                    .reshape(-1, C, ps, ps)).astype(dtype))
+    sd[vp + "embeddings.patch_embedding.bias"] = np.asarray(
+        jnp.asarray(pe["bias"]).astype(dtype))
+    A(vp + "post_layernorm.weight", vis["post_ln"]["scale"])
+    A(vp + "post_layernorm.bias", vis["post_ln"]["bias"])
+    for i, layer in enumerate(vis["layers"]):
+        lp = f"{vp}encoder.layers.{i}."
+        for ln in ("1", "2"):
+            A(lp + f"layer_norm{ln}.weight", layer[f"ln{ln}"]["scale"])
+            A(lp + f"layer_norm{ln}.bias", layer[f"ln{ln}"]["bias"])
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"),
+                             ("v", "v_proj"), ("o", "out_proj")):
+            W(lp + f"self_attn.{theirs}.weight", layer["attn"][ours])
+        W(lp + "mlp.fc1.weight", layer["mlp"]["fc1"])
+        W(lp + "mlp.fc2.weight", layer["mlp"]["fc2"])
+
+    for j, lin in enumerate(params["projector"]["layers"]):
+        W(f"model.mm_projector.readout.{2 * j}.weight", lin)
+
+    shard = "model.safetensors"
+    save_file(sd, os.path.join(out_dir, shard))
+    total = sum(int(a.nbytes) for a in sd.values())
+    from ..utils.io import atomic_write_json
+
+    atomic_write_json(
+        os.path.join(out_dir, "model.safetensors.index.json"),
+        {"metadata": {"total_size": total},
+         "weight_map": {name: shard for name in sd}})
+    save_hf_config(cfg, os.path.join(out_dir, "config.json"))
+    return out_dir
+
+
 def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
                              dtype=None, mesh=None) -> Dict:
     """Load the full CogReasoner pytree from a HF checkpoint directory

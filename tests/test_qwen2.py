@@ -195,3 +195,85 @@ def test_chunked_attention_gradients_match():
     for a, b in zip(gd, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_hf_export_roundtrip(tmp_path):
+    """save_cogreasoner_to_hf is the exact inverse of
+    load_cogreasoner_from_hf: weights trained here deploy back into the
+    reference/HF layout with identical forwards."""
+    import jax.numpy as jnp
+
+    import os
+
+    from cogstream_tpu.config import CogReasonerConfig, load_hf_config
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.checkpoint import (
+        load_cogreasoner_from_hf, save_cogreasoner_to_hf)
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    out = save_cogreasoner_to_hf(params, cfg, str(tmp_path / "ckpt"),
+                                 dtype=jnp.float32)
+    cfg2 = load_hf_config(os.path.join(out, "config.json"))
+    assert cfg2.text.num_hidden_layers == cfg.text.num_hidden_layers
+    assert cfg2.vision.hidden_size == cfg.vision.hidden_size
+
+    params2 = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=0, atol=0)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 200, size=(1, 16)), jnp.int32)
+    pos = jnp.arange(16, dtype=jnp.int32)[None]
+    h1, _ = qwen2.qwen2_forward(params["text"], qwen2.embed(
+        params["text"], ids), pos, cfg.text)
+    h2, _ = qwen2.qwen2_forward(params2["text"], qwen2.embed(
+        params2["text"], ids), pos, cfg.text)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_merge_lora_matches_adapter_forward():
+    """Folding LoRA into the base == running with the resident adapter
+    (PEFT merge_and_unload parity), decoder and projector both."""
+    import jax.numpy as jnp
+
+    from cogstream_tpu.config import CogReasonerConfig, LoRAConfig
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.checkpoint import merge_lora
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.models.lora import init_cogreasoner_lora
+    from cogstream_tpu.models.projector import projector_forward
+
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    lora = init_cogreasoner_lora(jax.random.PRNGKey(1), cfg,
+                                 LoRAConfig(rank=2,
+                                            include_projector=True))
+    # b is zero-init (delta 0); randomize so the merge is non-trivial
+    lora = jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(2), x.shape, x.dtype), lora)
+
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(3, 200, size=(1, 16)), jnp.int32)
+    pos = jnp.arange(16, dtype=jnp.int32)[None]
+    want, _ = qwen2.qwen2_forward(
+        params["text"], qwen2.embed(params["text"], ids), pos, cfg.text,
+        adapters=[(lora["text"], jnp.float32(1.0))], lora_scale=2.0)
+
+    merged = merge_lora(params, lora, lora_scale=2.0)
+    got, _ = qwen2.qwen2_forward(
+        merged["text"], qwen2.embed(merged["text"], ids), pos, cfg.text)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # projector LoRA folds too (multimodal_loss_fn applies it as a
+    # per-linear delta on the same inputs → kernel' = kernel + a@b*s)
+    x = jnp.asarray(rng.normal(size=(4, cfg.vision.hidden_size)),
+                    jnp.float32)
+    base = projector_forward(params["projector"], x)
+    got_p = projector_forward(merged["projector"], x)
+    assert np.abs(np.asarray(got_p) - np.asarray(base)).max() > 0
