@@ -106,7 +106,23 @@ def bench_decoder(full: bool):
 
     dt_p = _median_time(lambda: pf(params, emb, positions),
                         iters=3, warmup=1)
-    return decode_tok_s, S / dt_p
+
+    # long-context prefill: 16k tokens through the chunked
+    # online-softmax attention path (no O(S^2) logits materialize)
+    LS = 16384
+    emb_l = qwen2.embed(params, jnp.zeros((1, LS), jnp.int32))
+    pos_l = jnp.asarray(np.arange(LS, dtype=np.int32)[None])
+
+    @jax.jit
+    def pf_long(params, emb, positions):
+        cache = init_kv_cache(cfg, 1, LS)
+        hidden, _ = qwen2.qwen2_forward(params, emb, positions, cfg,
+                                        cache=cache)
+        return hidden[:, -1]
+
+    dt_l = _median_time(lambda: pf_long(params, emb_l, pos_l),
+                        iters=2, warmup=1)
+    return decode_tok_s, S / dt_p, LS / dt_l
 
 
 def bench_session(full: bool, use_pallas: bool):
@@ -336,10 +352,11 @@ def main():
 
     extras = {}
     try:
-        decode_tok_s, prefill_tok_s = bench_decoder(full)
+        decode_tok_s, prefill_tok_s, long_tok_s = bench_decoder(full)
         extras = {
             "decode_tokens_per_sec": round(decode_tok_s, 2),
             "prefill_tokens_per_sec": round(prefill_tok_s, 1),
+            "prefill_16k_tokens_per_sec": round(long_tok_s, 1),
             "decoder_size": "7B" if full else "0.5B-demo",
         }
     except Exception as e:  # decoder bench is best-effort

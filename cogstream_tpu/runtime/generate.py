@@ -43,7 +43,7 @@ class GenerateResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
-                     "eos_id", "lora_scale"),
+                     "eos_id", "lora_scale", "kv_window"),
     donate_argnums=(4,),   # cache: update in place, never copy the
                            # whole KV tensor (callers always rebind)
 )
@@ -66,6 +66,7 @@ def generate_tokens(
     write_slots: Optional[jax.Array] = None,  # [B, S] pooled-mode prompt slots
     active: Optional[jax.Array] = None,       # [B] bool — rows with a real request
     cache_rows: Optional[jax.Array] = None,   # [B] cache row per input row
+    kv_window: Optional[int] = None,          # static read window (pooled)
 ) -> GenerateResult:
     """One compiled prefill+decode. In pooled mode (``write_slots``)
     every batch row is an independent session at its own cache fill
@@ -73,9 +74,31 @@ def generate_tokens(
     each row contiguously after its prompt, and ``active=False`` rows
     (no request this round) are treated as immediately done.
     ``cache_rows`` addresses a subset of a larger pool cache (B input
-    rows onto B_pool cache rows); the returned cache is the full pool."""
+    rows onto B_pool cache rows); the returned cache is the full pool.
+
+    ``kv_window`` (pooled decode only) bounds the per-step cache READ
+    to the first ``kv_window`` slots — every step otherwise streams the
+    full [B, max_len] K/V through HBM even when rows are nearly empty.
+    The caller guarantees all live slots (incl. this turn's prompt) sit
+    below the window; generated tokens live in the side buffer during
+    the loop, so they are always visible regardless of the window."""
     B = inputs_embeds.shape[0]
     max_len = cache.max_len
+
+    # solo windowed mode: the decode loop WRITES to its carried cache,
+    # so slice the window up front (prompt + generation land inside it)
+    # and write it back after the loop — one window-sized copy instead
+    # of max_len-sized reads on every step
+    full_cache = None
+    if (write_slots is None and kv_window is not None
+            and kv_window < max_len):
+        full_cache = cache
+        cache = KVCache(
+            jax.lax.slice_in_dim(cache.k, 0, kv_window, axis=2),
+            jax.lax.slice_in_dim(cache.v, 0, kv_window, axis=2),
+            cache.pos[:, :kv_window], cache.write_index)
+        if kv_allowed is not None:
+            kv_allowed = kv_allowed[:, :kv_window]
 
     # ---- prefill -----------------------------------------------------------
     hidden, cache = qwen2.qwen2_forward(
@@ -114,6 +137,19 @@ def generate_tokens(
         next_slot0 = jnp.zeros((B,), jnp.int32)  # unused
         side0 = None
 
+    # bounded decode reads: slice the read-only main cache (and its
+    # visibility mask) to the static window
+    if pooled and kv_window is not None and kv_window < max_len:
+        read_cache = KVCache(
+            jax.lax.slice_in_dim(cache.k, 0, kv_window, axis=2),
+            jax.lax.slice_in_dim(cache.v, 0, kv_window, axis=2),
+            cache.pos[:, :kv_window], cache.write_index)
+        kv_allowed_dec = (None if kv_allowed is None
+                          else kv_allowed[:, :kv_window])
+    else:
+        read_cache = cache
+        kv_allowed_dec = kv_allowed
+
     class Carry(NamedTuple):
         i: jax.Array
         cache: KVCache       # pooled mode: the (small) side buffer
@@ -131,9 +167,10 @@ def generate_tokens(
         step_pos = jnp.where(c.done, -1, c.pos)[:, None]
         if pooled:
             hidden, cache2 = qwen2.qwen2_forward(
-                params, emb, step_pos, cfg, cache=cache,  # main: read-only
+                params, emb, step_pos, cfg,
+                cache=read_cache,  # main: read-only, window-sliced
                 adapters=adapters, lora_scale=lora_scale,
-                kv_allowed=kv_allowed, side_cache=c.cache,
+                kv_allowed=kv_allowed_dec, side_cache=c.cache,
                 cache_rows=cache_rows)
         else:
             hidden, cache2 = qwen2.qwen2_forward(
@@ -174,6 +211,18 @@ def generate_tokens(
             write_index=cache.write_index,
         )
         return GenerateResult(final.tokens, num.astype(jnp.int32), merged)
+
+    if full_cache is not None:   # write the solo window back
+        fc = final.cache
+        restored = KVCache(
+            jax.lax.dynamic_update_slice(full_cache.k, fc.k,
+                                         (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(full_cache.v, fc.v,
+                                         (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(full_cache.pos, fc.pos, (0, 0)),
+            fc.write_index)
+        return GenerateResult(final.tokens, num.astype(jnp.int32),
+                              restored)
 
     return GenerateResult(final.tokens, num.astype(jnp.int32), final.cache)
 

@@ -270,6 +270,11 @@ class SessionPool:
         full = self.adapters.get("full_module")
         adapters = [( (full.get("text", full)), jnp.float32(1.0))] \
             if full else None
+        # decode-read window: bound per-step K/V reads to the deepest
+        # row's live extent (bucketed) instead of the full max_len
+        needed = max(m["start"] + Sp for m in metas.values()) \
+            + max_new_tokens
+        W = StreamingSession._bucket(needed, 1024)
         result = generate_tokens(
             self.params["text"], emb, jnp.asarray(positions),
             jnp.asarray(last_index), self.cache,
@@ -278,7 +283,8 @@ class SessionPool:
             temperature=temperature, adapters=adapters,
             kv_allowed=jnp.asarray(allowed),
             write_slots=jnp.asarray(slots),
-            active=jnp.asarray(active))
+            active=jnp.asarray(active),
+            kv_window=W if 2 * W <= self.max_len else None)
         self.cache = result.cache     # sessions see it via their binding
 
         out: Dict[int, Dict] = {}

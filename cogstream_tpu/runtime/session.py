@@ -362,6 +362,14 @@ class StreamingSession:
     def _bucket(n: int, step: int = 32) -> int:
         return max(step, -(-n // step) * step)
 
+    def _kv_window(self, needed: int) -> Optional[int]:
+        """Static decode-read window (generate_tokens kv_window): every
+        decode step otherwise streams the full [max_len] K/V through
+        HBM even when the cache is nearly empty. Bucketed to 1024 so
+        windows hit the jit cache; only applied when it halves reads."""
+        W = self._bucket(needed, 1024)
+        return W if 2 * W <= self.max_len else None
+
     def _prefill_embeds(self, embeds: jax.Array, kind: str,
                         turn: int = -1,
                         real_len: Optional[int] = None) -> SlotRange:
@@ -673,6 +681,7 @@ class StreamingSession:
         stride = S if self._pool is not None else Sp
         wi = start + stride
         write_slots = self._row_slots(start, S, Sp)
+        kv_window = self._kv_window(start + Sp + max_new_tokens)
         next_pos = self.next_pos + S
         try:
             while produced < max_new_tokens and not done:
@@ -683,7 +692,8 @@ class StreamingSession:
                     self.tok.eos_token_id, temperature=temperature,
                     adapters=self._full_adapters(), kv_allowed=allowed,
                     write_slots=write_slots,
-                    cache_rows=self._cache_rows())
+                    cache_rows=self._cache_rows(),
+                    kv_window=kv_window)
                 self.cache = result.cache
                 wrote_any = True
                 toks = np.asarray(result.tokens)[0]
@@ -957,7 +967,8 @@ class StreamingSession:
             temperature=temperature, adapters=self._full_adapters(),
             kv_allowed=jnp.asarray(allowed)[None],
             write_slots=self._row_slots(start, S, Sp),
-            cache_rows=self._cache_rows())
+            cache_rows=self._cache_rows(),
+            kv_window=self._kv_window(start + Sp + max_new_tokens))
         self.cache = result.cache
         n_fed = max(0, int(np.asarray(result.num_tokens)[0]) - 1)
         text = decode_new_tokens(result.tokens, result.num_tokens, self.tok)

@@ -337,3 +337,80 @@ def test_flush_event_reps_mixed_shapes_and_k_bucket(setup):
     for ev in evs:
         assert ev.rep is not None and ev.rep.shape == (H,)
         assert np.isfinite(np.asarray(ev.rep)).all()
+
+
+def test_kv_window_matches_unwindowed(setup):
+    """kv_window bounds decode READS only: tokens and cache contents
+    match the unwindowed run exactly, solo and pooled."""
+    import jax.numpy as jnp
+
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens
+
+    cfg, params, tok = setup
+    text, tcfg = params["text"], cfg.text
+    B, S, NEW, ML, W = 2, 16, 8, 4096, 1024
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 200, size=(B, S)).astype(np.int32)
+    emb = qwen2.embed(text, jnp.asarray(ids))
+    positions = jnp.asarray(np.tile(np.arange(S, dtype=np.int32), (B, 1)))
+    last = jnp.asarray([S - 1] * B, jnp.int32)
+
+    # solo path
+    ref = generate_tokens(text, emb, positions, last,
+                          init_kv_cache(tcfg, B, ML),
+                          jax.random.PRNGKey(0), tcfg, NEW, eos_id=-1)
+    win = generate_tokens(text, emb, positions, last,
+                          init_kv_cache(tcfg, B, ML),
+                          jax.random.PRNGKey(0), tcfg, NEW, eos_id=-1,
+                          kv_window=W)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(win.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.cache.pos),
+                                  np.asarray(win.cache.pos))
+    np.testing.assert_allclose(
+        np.asarray(ref.cache.k[:, :, :S + NEW], np.float32),
+        np.asarray(win.cache.k[:, :, :S + NEW], np.float32))
+
+    # pooled path (per-row offsets + side-buffer merge)
+    slots = np.stack([np.arange(o, o + S)
+                      for o in (0, 37)]).astype(np.int64)
+    ref_p = generate_tokens(text, emb, positions, last,
+                            init_kv_cache(tcfg, B, ML),
+                            jax.random.PRNGKey(0), tcfg, NEW, eos_id=-1,
+                            write_slots=jnp.asarray(slots),
+                            active=jnp.asarray([True] * B))
+    win_p = generate_tokens(text, emb, positions, last,
+                            init_kv_cache(tcfg, B, ML),
+                            jax.random.PRNGKey(0), tcfg, NEW, eos_id=-1,
+                            write_slots=jnp.asarray(slots),
+                            active=jnp.asarray([True] * B),
+                            kv_window=W)
+    np.testing.assert_array_equal(np.asarray(ref_p.tokens),
+                                  np.asarray(win_p.tokens))
+    np.testing.assert_array_equal(np.asarray(ref_p.cache.pos),
+                                  np.asarray(win_p.cache.pos))
+
+
+def test_session_ask_with_active_window(setup):
+    """A large-cache session (window engaged) answers identically to a
+    small-cache session (window off) over the same content."""
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(5)
+    pv = rng.integers(0, 255, (2 * 4 * 4, 3 * 14 * 14), dtype=np.uint8)
+
+    big = StreamingSession(params, cfg, tok, max_len=8192,
+                           summary_forward=False)
+    assert big._kv_window(300) == 1024     # window active
+    big.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    a = big.ask("what?", mode="AC", max_new_tokens=8)
+
+    small = StreamingSession(params, cfg, tok, max_len=1024,
+                             summary_forward=False)
+    assert small._kv_window(300) is None   # window off
+    small.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    b = small.ask("what?", mode="AC", max_new_tokens=8)
+    assert a["text"] == b["text"]
