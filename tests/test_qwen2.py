@@ -277,3 +277,47 @@ def test_merge_lora_matches_adapter_forward():
     base = projector_forward(params["projector"], x)
     got_p = projector_forward(merged["projector"], x)
     assert np.abs(np.asarray(got_p) - np.asarray(base)).max() > 0
+
+
+def test_export_loads_into_torch_hf():
+    """The exported safetensors load straight into torch transformers'
+    Qwen2ForCausalLM and reproduce our logits — round-trip proof that
+    training here deploys to the reference/HF stack."""
+    import os
+    import tempfile
+
+    from safetensors import safe_open
+
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.models.checkpoint import save_cogreasoner_to_hf
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+
+    model, torch = _hf_model()
+    # build a full CogReasoner tree whose text half mirrors TINY
+    cfg = CogReasonerConfig.tiny()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, text=TINY)
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+
+    with tempfile.TemporaryDirectory() as td:
+        out = save_cogreasoner_to_hf(params, cfg, td, dtype=jnp.float32)
+        sd = {}
+        with safe_open(os.path.join(out, "model.safetensors"),
+                       framework="pt") as fh:
+            for name in fh.keys():
+                if name.startswith(("model.layers.", "model.embed_",
+                                    "model.norm.", "lm_head.")):
+                    sd[name] = fh.get_tensor(name)
+        missing, unexpected = model.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected
+        assert not [m for m in missing if "rotary" not in m], missing
+
+    ids = np.array([[3, 17, 254, 9, 88, 151, 2]], np.int64)
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(ids)).logits.numpy()
+    positions = jnp.arange(ids.shape[1], dtype=jnp.int32)[None]
+    hidden, _ = qwen2_forward(
+        params["text"], embed(params["text"], jnp.asarray(ids)),
+        positions, TINY)
+    ours = np.asarray(lm_logits(params["text"], hidden))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
