@@ -156,18 +156,23 @@ def bench_session(full: bool, use_pallas: bool):
     pv = rng.integers(0, 255, size=(T * gh * gw,
                                     3 * cfg.vision.patch_size ** 2),
                       dtype=np.uint8)
-    # first two segments pay residual jit compiles; the third measures
-    # steady state (all shapes bucketed → cache hits)
+    # first two segments pay residual jit compiles; segments 3-5
+    # measure steady state (median — single-shot timings swing 2-3x
+    # with tunnel/host load)
     for seg in range(2):
         sess.append_stream_segment(
             pv, (T, gh, gw), 2,
             timestamps=list(np.arange(seg * T, (seg + 1) * T,
                                       dtype=float)))
-    t0 = time.perf_counter()
-    sess.append_stream_segment(
-        pv, (T, gh, gw), 2,
-        timestamps=list(np.arange(2 * T, 3 * T, dtype=float)))
-    ingest_s = time.perf_counter() - t0
+    ing = []
+    for seg in range(2, 5):
+        t0 = time.perf_counter()
+        sess.append_stream_segment(
+            pv, (T, gh, gw), 2,
+            timestamps=list(np.arange(seg * T, (seg + 1) * T,
+                                      dtype=float)))
+        ing.append(time.perf_counter() - t0)
+    ingest_s = float(np.median(ing))
 
     q = "what is happening in the video right now?"
     lat = []
@@ -284,18 +289,23 @@ def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
                 for r in rows]
 
     pool.ingest_batch(seg_reqs(0))       # warm (compiles)
-    t0 = time.perf_counter()
-    pool.ingest_batch(seg_reqs(1))
-    ingest_agg_fps = n_rows * T / (time.perf_counter() - t0)
+    ing = []
+    for k in range(1, 4):                # median of 3 steady ticks
+        t0 = time.perf_counter()
+        pool.ingest_batch(seg_reqs(k))
+        ing.append(time.perf_counter() - t0)
+    ingest_agg_fps = n_rows * T / float(np.median(ing))
 
     NEW = 32
     reqs = [(r, "what is happening in the video right now?")
             for r in rows]
     pool.ask_batch(reqs, mode="AC", max_new_tokens=NEW)   # warm
-    t0 = time.perf_counter()
-    pool.ask_batch(reqs, mode="AC", max_new_tokens=NEW)
-    dt = time.perf_counter() - t0
-    return n_rows * NEW / dt, ingest_agg_fps
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pool.ask_batch(reqs, mode="AC", max_new_tokens=NEW)
+        dts.append(time.perf_counter() - t0)
+    return n_rows * NEW / float(np.median(dts)), ingest_agg_fps
 
 
 def bench_preprocess():
