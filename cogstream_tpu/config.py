@@ -276,6 +276,7 @@ def save_hf_config(cfg: CogReasonerConfig, path: str) -> None:
     atomic_write_json(path, {
         "architectures": ["Videollama3Qwen2ForCausalLM"],
         "model_type": "videollama3_qwen2",
+        "torch_dtype": t.dtype,
         "vocab_size": t.vocab_size,
         "hidden_size": t.hidden_size,
         "intermediate_size": t.intermediate_size,
@@ -307,8 +308,10 @@ def load_hf_config(path: str) -> CogReasonerConfig:
     with open(path) as f:
         d = json.load(f)
     v = d.get("vision_encoder_config") or {}
+    dtype = d.get("torch_dtype", "bfloat16")
     return CogReasonerConfig(
         text=Qwen2Config(
+            dtype=dtype,
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
             intermediate_size=d["intermediate_size"],
@@ -323,6 +326,7 @@ def load_hf_config(path: str) -> CogReasonerConfig:
             eos_token_id=d.get("eos_token_id", 151645),
         ),
         vision=VisionEncoderConfig(
+            dtype=dtype,
             hidden_size=v.get("hidden_size", 1152),
             intermediate_size=v.get("intermediate_size", 4304),
             num_hidden_layers=v.get("num_hidden_layers", 27),

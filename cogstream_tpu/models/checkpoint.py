@@ -170,6 +170,12 @@ def merge_lora(params: Dict, lora: Dict, lora_scale: float = 2.0) -> Dict:
             b = jnp.asarray(l["b"]).astype(jnp.float32)
             delta = jnp.einsum("...ir,...ro->...io", a, b) * lora_scale
             kern = p["kernel"]
+            if isinstance(kern, dict):
+                # int8-quantized base (ops/quant.py): merging forces a
+                # dequantize — the delta is dense; result is bf16
+                w = (kern["q"].astype(jnp.float32)
+                     * kern["scale"][..., None, :])
+                return dict(p, kernel=(w + delta).astype(jnp.bfloat16))
             return dict(p, kernel=(
                 kern.astype(jnp.float32) + delta).astype(kern.dtype))
         return {k: fold(v, l.get(k) if isinstance(l, dict) else None)

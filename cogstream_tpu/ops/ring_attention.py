@@ -8,10 +8,12 @@ axis, keep every device's K/V shard resident, and rotate the shards
 around the ICI ring with ``ppermute`` while folding each arrival into a
 flash-style online-softmax carry (m, l, acc) — the same accumulation as
 ops/attention.chunked_causal_gqa_attention, with "next chunk" replaced
-by "neighbor's shard". No device ever materializes the full [S, S]
-score matrix or the gathered K/V, so max context scales linearly with
-the number of chips, and the P permute steps overlap compute with ICI
-transfers.
+by "neighbor's shard". Each fold is itself chunked (``kv_chunk``), so
+live memory is O(S_local * kv_chunk) — never the S_local^2 score block
+— and shards travel in their native dtype (bf16 K/V ride the ICI at
+half the bytes of f32; the fold upcasts per chunk). The local shard
+folds first and the scan runs axis_size-1 rotations, so no transferred
+shard is ever discarded.
 
 Causality is the framework's absolute-position rule (q_pos >= kv_pos,
 kv_pos >= 0), so the fold is order-independent and shard boundaries
@@ -29,6 +31,17 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _mark_varying(x, axis_name: str):
+    """Mark a constant as varying over the ring axis (newer shard_map
+    tracks varying-manual-axes types; the scan carry must match the
+    fold outputs, which vary through q). pcast is pvary's replacement."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_name, to="varying")
+    if hasattr(jax.lax, "pvary"):
+        return jax.lax.pvary(x, (axis_name,))
+    return x
+
+
 def ring_causal_gqa_attention(
     q: jax.Array,               # [B, S_local, Hq, D] this device's shard
     k: jax.Array,               # [B, S_local, Hkv, D]
@@ -38,11 +51,11 @@ def ring_causal_gqa_attention(
     axis_name: str,
     axis_size: int,             # static ring length (mesh.shape[axis])
     scale: Optional[float] = None,
+    kv_chunk: int = 1024,       # static inner fold chunk
 ) -> jax.Array:
-    """One ring pass: fold the local KV shard, then axis_size-1
-    ppermute rotations, each folded into the online-softmax carry.
-    Returns [B, S_local, Hq, D]; fully-masked (padding) queries yield
-    zeros."""
+    """Fold the local KV shard, then axis_size-1 ppermute rotations,
+    each folded into the online-softmax carry. Returns
+    [B, S_local, Hq, D]; fully-masked (padding) queries yield zeros."""
     B, S, Hq, D = q.shape
     Hkv = k.shape[2]
     G = Hq // Hkv
@@ -51,44 +64,73 @@ def ring_causal_gqa_attention(
 
     qf = q.astype(jnp.float32).reshape(B, S, Hkv, G, D) * scale
 
+    # pad shards once so every fold splits evenly into kv_chunk pieces
+    # (padding travels the ring too — a few percent of bytes, and pos
+    # -1 masks it everywhere)
+    C = min(kv_chunk, S)
+    pad = (-S) % C
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kv_positions = jnp.pad(kv_positions, ((0, 0), (0, pad)),
+                               constant_values=-1)
+    n_chunks = (S + pad) // C
+
+    q_valid = (q_positions >= 0)[:, :, None]
+
     def fold(m, l, acc, kb, vb, pb):
-        s = jnp.einsum("bshgd,bchd->bhgsc", qf, kb)      # [B,Hkv,G,S,C]
-        mask = (q_positions[:, :, None] >= pb[:, None, :]) \
-            & (pb[:, None, :] >= 0) \
-            & (q_positions[:, :, None] >= 0)
-        s = jnp.where(mask[:, None, None], s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        safe_m = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
-        p = jnp.exp(s - safe_m[..., None])
-        p = jnp.where(mask[:, None, None], p, 0.0)
-        alpha = jnp.exp(jnp.where(m <= NEG_INF / 2, NEG_INF, m - m_new))
-        l = l * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum(
-            "bhgsc,bchd->bhgsd", p, vb)
-        return m_new, l, acc
+        kc = kb.reshape(B, n_chunks, C, Hkv, D)
+        vc = vb.reshape(B, n_chunks, C, Hkv, D)
+        pc = pb.reshape(B, n_chunks, C)
+
+        def step(carry, xs):
+            m, l, acc = carry
+            kx, vx, px = xs                 # [B,C,Hkv,D], ", [B,C]
+            s = jnp.einsum("bshgd,bchd->bhgsc", qf,
+                           kx.astype(jnp.float32))
+            mask = (q_positions[:, :, None] >= px[:, None, :]) \
+                & (px[:, None, :] >= 0) & q_valid
+            s = jnp.where(mask[:, None, None], s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            safe_m = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+            p = jnp.exp(s - safe_m[..., None])
+            p = jnp.where(mask[:, None, None], p, 0.0)
+            alpha = jnp.exp(jnp.where(m <= NEG_INF / 2, NEG_INF,
+                                      m - m_new))
+            l = l * alpha + jnp.sum(p, axis=-1)
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bhgsc,bchd->bhgsd", p, vx.astype(jnp.float32))
+            return (m_new, l, acc), None
+
+        (m, l, acc), _ = jax.lax.scan(
+            step, (m, l, acc),
+            (kc.transpose(1, 0, 2, 3, 4), vc.transpose(1, 0, 2, 3, 4),
+             pc.transpose(1, 0, 2)))
+        return m, l, acc
+
+    m0 = _mark_varying(jnp.full((B, Hkv, G, S), NEG_INF, jnp.float32),
+                       axis_name)
+    l0 = _mark_varying(jnp.zeros((B, Hkv, G, S), jnp.float32),
+                       axis_name)
+    a0 = _mark_varying(jnp.zeros((B, Hkv, G, S, D), jnp.float32),
+                       axis_name)
+    # local shard first, then axis_size-1 rotations
+    m, l, acc = fold(m0, l0, a0, k, v, kv_positions)
 
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
     def body(carry, _):
         m, l, acc, kb, vb, pb = carry
-        m, l, acc = fold(m, l, acc, kb, vb, pb)
-        kb = jax.lax.ppermute(kb, axis_name, perm)
+        kb = jax.lax.ppermute(kb, axis_name, perm)   # native dtype
         vb = jax.lax.ppermute(vb, axis_name, perm)
         pb = jax.lax.ppermute(pb, axis_name, perm)
+        m, l, acc = fold(m, l, acc, kb, vb, pb)
         return (m, l, acc, kb, vb, pb), None
 
-    m0 = jnp.full((B, Hkv, G, S), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((B, Hkv, G, S), jnp.float32)
-    a0 = jnp.zeros((B, Hkv, G, S, D), jnp.float32)
-    if hasattr(jax.lax, "pvary"):
-        # newer shard_map tracks varying-manual-axes types: constants
-        # must be marked as varying over the ring axis to join the carry
-        m0, l0, a0 = (jax.lax.pvary(x, (axis_name,))
-                      for x in (m0, l0, a0))
-    kb = k.astype(jnp.float32)
-    vb = v.astype(jnp.float32)
-    (m, l, acc, *_), _ = jax.lax.scan(
-        body, (m0, l0, a0, kb, vb, kv_positions), None, length=axis_size)
+    if axis_size > 1:
+        (m, l, acc, *_), _ = jax.lax.scan(
+            body, (m, l, acc, k, v, kv_positions), None,
+            length=axis_size - 1)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     return out.transpose(0, 3, 1, 2, 4).reshape(B, S, Hq, D).astype(
         q.dtype)

@@ -207,6 +207,8 @@ class SessionPool:
         """
         B = self.n_rows
         reqs = dict(requests)
+        if not reqs:
+            return {}
         assert all(r in self.sessions for r in reqs), "unknown row"
 
         from .history import parse_selection
@@ -274,7 +276,6 @@ class SessionPool:
         # row's live extent (bucketed) instead of the full max_len
         needed = max(m["start"] + Sp for m in metas.values()) \
             + max_new_tokens
-        W = StreamingSession._bucket(needed, 1024)
         result = generate_tokens(
             self.params["text"], emb, jnp.asarray(positions),
             jnp.asarray(last_index), self.cache,
@@ -284,7 +285,8 @@ class SessionPool:
             kv_allowed=jnp.asarray(allowed),
             write_slots=jnp.asarray(slots),
             active=jnp.asarray(active),
-            kv_window=W if 2 * W <= self.max_len else None)
+            kv_window=StreamingSession.kv_window_for(needed,
+                                                     self.max_len))
         self.cache = result.cache     # sessions see it via their binding
 
         out: Dict[int, Dict] = {}

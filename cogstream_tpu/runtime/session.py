@@ -362,13 +362,17 @@ class StreamingSession:
     def _bucket(n: int, step: int = 32) -> int:
         return max(step, -(-n // step) * step)
 
-    def _kv_window(self, needed: int) -> Optional[int]:
+    @staticmethod
+    def kv_window_for(needed: int, max_len: int) -> Optional[int]:
         """Static decode-read window (generate_tokens kv_window): every
         decode step otherwise streams the full [max_len] K/V through
         HBM even when the cache is nearly empty. Bucketed to 1024 so
         windows hit the jit cache; only applied when it halves reads."""
-        W = self._bucket(needed, 1024)
-        return W if 2 * W <= self.max_len else None
+        W = StreamingSession._bucket(needed, 1024)
+        return W if 2 * W <= max_len else None
+
+    def _kv_window(self, needed: int) -> Optional[int]:
+        return self.kv_window_for(needed, self.max_len)
 
     def _prefill_embeds(self, embeds: jax.Array, kind: str,
                         turn: int = -1,

@@ -94,6 +94,7 @@ def test_cli_export_hf_with_adapter(tmp_path, capsys):
         adapters=[(lora["text"], jnp.float32(1.0))])
     got, _ = qwen2.qwen2_forward(
         merged["text"], qwen2.embed(merged["text"], ids), pos, cfg.text)
-    # bf16 export quantizes the merged kernels; parity is close not exact
+    # config.json records torch_dtype, so the f32 base round-trips at
+    # f32 through export-hf — no silent bf16 truncation
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=0.05, atol=0.05)
+                               rtol=2e-5, atol=2e-5)

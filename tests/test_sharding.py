@@ -157,6 +157,20 @@ def test_ring_attention_matches_dense(tiny_config):
     # fully-masked (padding) queries are exact zeros on the ring path
     assert np.abs(got[~valid]).max() == 0.0
 
+    # inner fold chunking (incl. a non-divisible shard) is value-exact
+    fn_c = shard_map(
+        lambda *a: ring_causal_gqa_attention(*a, axis_name="sp",
+                                             axis_size=8, kv_chunk=3),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"),
+                  P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"))
+    got_c = np.asarray(fn_c(jnp.asarray(q), jnp.asarray(k),
+                            jnp.asarray(v), jnp.asarray(pos),
+                            jnp.asarray(pos)))
+    np.testing.assert_allclose(got_c[valid], want[valid],
+                               rtol=2e-5, atol=2e-5)
+
 
 def test_qwen2_forward_sp_matches_dense(tiny_config):
     """Full sequence-parallel decoder forward == single-device forward
