@@ -34,63 +34,127 @@ def _t(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def _lin(w, b=None, dtype=jnp.bfloat16):
-    p = {"kernel": jnp.asarray(_t(w).T, dtype)}
-    if b is not None:
-        p["bias"] = jnp.asarray(_t(b), dtype)
+class _Lazy:
+    """Deferred parameter leaf.
+
+    ``fn()`` produces the host numpy array already in our layout
+    (transposed / stacked / reshaped); ``dtype`` is the on-device target.
+    A leaf is realized exactly once — either locally (``jnp.asarray``)
+    or straight onto a ``NamedSharding`` via ``device_put``, which splits
+    on host so no device ever allocates the unsharded array. The host
+    copy is a local temporary freed as soon as the transfer returns.
+    """
+
+    __slots__ = ("fn", "dtype")
+
+    def __init__(self, fn, dtype):
+        self.fn, self.dtype = fn, dtype
+
+    def realize(self, sharding=None):
+        host = self.fn()
+        if host.dtype != np.dtype(self.dtype):
+            host = host.astype(self.dtype)
+        if sharding is None:
+            return jnp.asarray(host)
+        return jax.device_put(host, sharding)
+
+
+def _is_lazy(x) -> bool:
+    return isinstance(x, _Lazy)
+
+
+def _realize_tree(tree, shardings=None):
+    """Realize a _Lazy tree leaf-by-leaf (streaming: one host leaf at a
+    time). With ``shardings`` (same structure, NamedSharding leaves)
+    every array lands directly in its mesh layout."""
+    if shardings is None:
+        return jax.tree.map(lambda l: l.realize(), tree, is_leaf=_is_lazy)
+    return jax.tree.map(lambda l, s: l.realize(s), tree, shardings,
+                        is_leaf=_is_lazy)
+
+
+def _one(sd, name: str, dtype, transpose: bool = False) -> _Lazy:
+    if transpose:
+        return _Lazy(lambda: _t(sd[name]).T, dtype)
+    return _Lazy(lambda: _t(sd[name]), dtype)
+
+
+def _lazy_lin(sd, base: str, bias: bool, dtype) -> Dict:
+    p = {"kernel": _one(sd, base + ".weight", dtype, transpose=True)}
+    if bias:
+        p["bias"] = _one(sd, base + ".bias", dtype)
     return p
 
 
-def _ln(w, b, dtype=jnp.float32):
-    return {"scale": jnp.asarray(_t(w), dtype),
-            "bias": jnp.asarray(_t(b), dtype)}
+def _lazy_ln(sd, base: str, dtype=jnp.float32) -> Dict:
+    return {"scale": _one(sd, base + ".weight", dtype),
+            "bias": _one(sd, base + ".bias", dtype)}
 
 
 def qwen2_params_from_state_dict(sd: Dict, cfg, prefix: str = "model.",
-                                 dtype=None) -> Dict:
+                                 dtype=None, lazy: bool = False) -> Dict:
     """HF Qwen2 state dict → our decoder pytree.
 
     ``sd`` maps names like ``model.layers.0.self_attn.q_proj.weight``
-    (the reference checkpoint layout) to tensors.
+    (the reference checkpoint layout) to tensors; any Mapping works,
+    including the on-demand safetensors view used by
+    ``load_cogreasoner_from_hf``, so a tensor is only read when its leaf
+    is realized. With ``lazy=True`` the returned tree holds _Lazy
+    thunks; each stacked [L, ...] decoder leaf reads its L per-layer
+    tensors straight into one preallocated stack (no 2x copy).
     """
     dtype = dtype or cfg.jnp_dtype
+    L = cfg.num_hidden_layers
+
+    def stacked(suffix: str, dt, transpose: bool = False) -> _Lazy:
+        def read():
+            first = _t(sd[f"{prefix}layers.0.{suffix}"])
+            if transpose:
+                first = first.T
+            out = np.empty((L,) + first.shape, first.dtype)
+            out[0] = first
+            for i in range(1, L):
+                m = _t(sd[f"{prefix}layers.{i}.{suffix}"])
+                out[i] = m.T if transpose else m
+            return out
+        return _Lazy(read, dt)
+
+    def slin(base: str, bias: bool) -> Dict:
+        p = {"kernel": stacked(base + ".weight", dtype, transpose=True)}
+        if bias:
+            p["bias"] = stacked(base + ".bias", dtype)
+        return p
+
     params = {
-        "embed_tokens": jnp.asarray(_t(sd[f"{prefix}embed_tokens.weight"]), dtype),
-        "final_norm": {"scale": jnp.asarray(_t(sd[f"{prefix}norm.weight"]), jnp.float32)},
-        "lm_head": _lin(sd["lm_head.weight"], dtype=dtype),
-    }
-    layers = []
-    for i in range(cfg.num_hidden_layers):
-        lp = f"{prefix}layers.{i}."
-        layers.append({
-            "input_norm": {"scale": jnp.asarray(
-                _t(sd[lp + "input_layernorm.weight"]), jnp.float32)},
-            "post_attn_norm": {"scale": jnp.asarray(
-                _t(sd[lp + "post_attention_layernorm.weight"]), jnp.float32)},
+        "embed_tokens": _one(sd, f"{prefix}embed_tokens.weight", dtype),
+        "final_norm": {"scale": _one(sd, f"{prefix}norm.weight", jnp.float32)},
+        "lm_head": {"kernel": _one(sd, "lm_head.weight", dtype,
+                                   transpose=True)},
+        # stacked [L, ...] leaves for the lax.scan (models/qwen2)
+        "layers": {
+            "input_norm": {"scale": stacked("input_layernorm.weight",
+                                            jnp.float32)},
+            "post_attn_norm": {"scale": stacked(
+                "post_attention_layernorm.weight", jnp.float32)},
             "attn": {
-                "q_proj": _lin(sd[lp + "self_attn.q_proj.weight"],
-                               sd[lp + "self_attn.q_proj.bias"], dtype),
-                "k_proj": _lin(sd[lp + "self_attn.k_proj.weight"],
-                               sd[lp + "self_attn.k_proj.bias"], dtype),
-                "v_proj": _lin(sd[lp + "self_attn.v_proj.weight"],
-                               sd[lp + "self_attn.v_proj.bias"], dtype),
-                "o_proj": _lin(sd[lp + "self_attn.o_proj.weight"], dtype=dtype),
+                "q_proj": slin("self_attn.q_proj", True),
+                "k_proj": slin("self_attn.k_proj", True),
+                "v_proj": slin("self_attn.v_proj", True),
+                "o_proj": slin("self_attn.o_proj", False),
             },
             "mlp": {
-                "gate_proj": _lin(sd[lp + "mlp.gate_proj.weight"], dtype=dtype),
-                "up_proj": _lin(sd[lp + "mlp.up_proj.weight"], dtype=dtype),
-                "down_proj": _lin(sd[lp + "mlp.down_proj.weight"], dtype=dtype),
+                "gate_proj": slin("mlp.gate_proj", False),
+                "up_proj": slin("mlp.up_proj", False),
+                "down_proj": slin("mlp.down_proj", False),
             },
-        })
-    from .qwen2 import stack_layer_list
-
-    params["layers"] = stack_layer_list(layers)  # [L, ...] for the scan
-    return params
+        },
+    }
+    return params if lazy else _realize_tree(params)
 
 
 def vision_params_from_state_dict(sd: Dict, cfg,
                                   prefix: str = "model.vision_encoder.",
-                                  dtype=None) -> Dict:
+                                  dtype=None, lazy: bool = False) -> Dict:
     """Reference vision tower state dict → our encoder pytree.
 
     The conv patch embedding [hidden, C, ps, ps] flattens to our
@@ -98,51 +162,52 @@ def vision_params_from_state_dict(sd: Dict, cfg,
     image processor serializes patches in).
     """
     dtype = dtype or cfg.jnp_dtype
-    conv_w = _t(sd[prefix + "embeddings.patch_embedding.weight"])
+
+    def conv_kernel():
+        w = _t(sd[prefix + "embeddings.patch_embedding.weight"])
+        return w.reshape(w.shape[0], -1).T
+
     params = {
         "patch_embed": {
-            "kernel": jnp.asarray(conv_w.reshape(conv_w.shape[0], -1).T, dtype),
-            "bias": jnp.asarray(_t(sd[prefix + "embeddings.patch_embedding.bias"]), dtype),
+            "kernel": _Lazy(conv_kernel, dtype),
+            "bias": _one(sd, prefix + "embeddings.patch_embedding.bias",
+                         dtype),
         },
-        "post_ln": _ln(sd[prefix + "post_layernorm.weight"],
-                       sd[prefix + "post_layernorm.bias"]),
+        "post_ln": _lazy_ln(sd, prefix + "post_layernorm"),
     }
     layers = []
     for i in range(cfg.num_hidden_layers):
         lp = f"{prefix}encoder.layers.{i}."
         layers.append({
-            "ln1": _ln(sd[lp + "layer_norm1.weight"], sd[lp + "layer_norm1.bias"]),
-            "ln2": _ln(sd[lp + "layer_norm2.weight"], sd[lp + "layer_norm2.bias"]),
+            "ln1": _lazy_ln(sd, lp + "layer_norm1"),
+            "ln2": _lazy_ln(sd, lp + "layer_norm2"),
             "attn": {
-                "q": _lin(sd[lp + "self_attn.q_proj.weight"],
-                          sd[lp + "self_attn.q_proj.bias"], dtype),
-                "k": _lin(sd[lp + "self_attn.k_proj.weight"],
-                          sd[lp + "self_attn.k_proj.bias"], dtype),
-                "v": _lin(sd[lp + "self_attn.v_proj.weight"],
-                          sd[lp + "self_attn.v_proj.bias"], dtype),
-                "o": _lin(sd[lp + "self_attn.out_proj.weight"],
-                          sd[lp + "self_attn.out_proj.bias"], dtype),
+                "q": _lazy_lin(sd, lp + "self_attn.q_proj", True, dtype),
+                "k": _lazy_lin(sd, lp + "self_attn.k_proj", True, dtype),
+                "v": _lazy_lin(sd, lp + "self_attn.v_proj", True, dtype),
+                "o": _lazy_lin(sd, lp + "self_attn.out_proj", True, dtype),
             },
             "mlp": {
-                "fc1": _lin(sd[lp + "mlp.fc1.weight"], sd[lp + "mlp.fc1.bias"], dtype),
-                "fc2": _lin(sd[lp + "mlp.fc2.weight"], sd[lp + "mlp.fc2.bias"], dtype),
+                "fc1": _lazy_lin(sd, lp + "mlp.fc1", True, dtype),
+                "fc2": _lazy_lin(sd, lp + "mlp.fc2", True, dtype),
             },
         })
     # vision keeps a per-layer list (see models/vision_encoder.py)
     params["layers"] = layers
-    return params
+    return params if lazy else _realize_tree(params)
 
 
 def projector_params_from_state_dict(sd: Dict,
                                      prefix: str = "model.mm_projector.readout.",
-                                     dtype=jnp.bfloat16) -> Dict:
+                                     dtype=jnp.bfloat16,
+                                     lazy: bool = False) -> Dict:
     layers = []
     idx = 0
     while f"{prefix}{idx}.weight" in sd:
-        layers.append(_lin(sd[f"{prefix}{idx}.weight"],
-                           sd[f"{prefix}{idx}.bias"], dtype))
+        layers.append(_lazy_lin(sd, f"{prefix}{idx}", True, dtype))
         idx += 2  # GELU between linears has no params
-    return {"layers": layers}
+    tree = {"layers": layers}
+    return tree if lazy else _realize_tree(tree)
 
 
 def _unstack(tree) -> list:
@@ -268,43 +333,75 @@ def save_cogreasoner_to_hf(params: Dict, cfg: CogReasonerConfig,
     return out_dir
 
 
+class _LazyStateDict:
+    """name → tensor view over a safetensors checkpoint directory.
+
+    Each ``__getitem__`` reads exactly one tensor from its (mmap'd)
+    shard file, so nothing caches and peak host RAM during a load is a
+    single stacked leaf — never the whole reference state dict (16 GB
+    for the 7B, ``model.safetensors.index.json`` with 779 tensors).
+    """
+
+    def __init__(self, model_dir: str):
+        self._dir = model_dir
+        self._handles: Dict[str, object] = {}
+        index_path = os.path.join(model_dir, "model.safetensors.index.json")
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                self._map = json.load(f)["weight_map"]
+        else:
+            shard = "model.safetensors"
+            self._map = {name: shard for name in self._handle(shard).keys()}
+
+    def _handle(self, shard: str):
+        if shard not in self._handles:
+            from safetensors import safe_open  # lazy import
+
+            self._handles[shard] = safe_open(
+                os.path.join(self._dir, shard), framework="np")
+        return self._handles[shard]
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self._handle(self._map[name]).get_tensor(name)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._map
+
+    def __iter__(self):
+        return iter(self._map)
+
+    def __len__(self) -> int:
+        return len(self._map)
+
+
 def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
                              dtype=None, mesh=None) -> Dict:
-    """Load the full CogReasoner pytree from a HF checkpoint directory
-    with safetensors shards (streaming shard by shard to bound host RAM).
+    """Load the full CogReasoner pytree from a HF checkpoint directory.
 
-    With ``mesh`` the assembled tree is placed leaf-by-leaf onto the
-    GSPMD specs (parallel/sharding.py) — a 7B load lands directly in
-    its tensor-parallel layout; no chip ever holds the unsharded 16 GB
-    (SURVEY.md §7 "hard parts": 7B fits v5e-8 only sharded).
+    Streaming: the state dict is an on-demand safetensors view
+    (_LazyStateDict) and the converters emit _Lazy thunks, so each leaf
+    is read from disk, assembled on host, transferred, and freed before
+    the next one — host RAM peaks at one stacked [L, ...] decoder leaf,
+    not the full 16 GB checkpoint. With ``mesh`` every leaf is placed
+    by ``device_put`` directly under its GSPMD NamedSharding
+    (parallel/sharding.cogreasoner_param_specs): a 7B load lands in its
+    tensor-parallel layout without any device ever allocating an
+    unsharded leaf (SURVEY.md §7 "hard parts": 7B fits v5e-8 only
+    sharded). Reference layout: model.safetensors(.index.json) with LM
+    + ``model.vision_encoder.*`` + ``model.mm_projector.readout.*``.
     """
-    from safetensors import safe_open  # lazy: only needed on this path
-
-    index_path = os.path.join(model_dir, "model.safetensors.index.json")
-    sd: Dict[str, np.ndarray] = {}
-    if os.path.exists(index_path):
-        with open(index_path) as f:
-            weight_map = json.load(f)["weight_map"]
-        shards = sorted(set(weight_map.values()))
-        for shard in shards:
-            with safe_open(os.path.join(model_dir, shard), framework="np") as fh:
-                for name in fh.keys():
-                    sd[name] = fh.get_tensor(name)
-    else:
-        with safe_open(os.path.join(model_dir, "model.safetensors"),
-                       framework="np") as fh:
-            for name in fh.keys():
-                sd[name] = fh.get_tensor(name)
-
-    params = {
-        "text": qwen2_params_from_state_dict(sd, cfg.text, dtype=dtype),
-        "vision": vision_params_from_state_dict(sd, cfg.vision, dtype=dtype),
+    sd = _LazyStateDict(model_dir)
+    lazy = {
+        "text": qwen2_params_from_state_dict(sd, cfg.text, dtype=dtype,
+                                             lazy=True),
+        "vision": vision_params_from_state_dict(sd, cfg.vision, dtype=dtype,
+                                                lazy=True),
         "projector": projector_params_from_state_dict(
-            sd, dtype=dtype or cfg.text.jnp_dtype),
+            sd, dtype=dtype or cfg.text.jnp_dtype, lazy=True),
     }
-    if mesh is not None:
-        from ..parallel.sharding import cogreasoner_param_specs, shard_params
+    if mesh is None:
+        return _realize_tree(lazy)
+    from ..parallel.sharding import cogreasoner_param_specs, specs_to_shardings
 
-        params = shard_params(params,
-                              cogreasoner_param_specs(cfg, mesh), mesh)
-    return params
+    shardings = specs_to_shardings(cogreasoner_param_specs(cfg, mesh), mesh)
+    return _realize_tree(lazy, shardings)

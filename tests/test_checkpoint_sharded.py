@@ -1,0 +1,75 @@
+"""Sharded HF checkpoint load lands every leaf directly under its GSPMD
+spec, with no unsharded device intermediates left behind.
+
+The reference ships one flat 16 GB safetensors checkpoint; on a 16 GB
+v5e chip the load only works if no device ever materializes an
+unsharded leaf (SURVEY.md §7). These tests exercise
+``load_cogreasoner_from_hf(mesh=...)`` on the 8-virtual-device mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cogstream_tpu.config import CogReasonerConfig
+from cogstream_tpu.models.checkpoint import (load_cogreasoner_from_hf,
+                                             save_cogreasoner_to_hf)
+from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+from cogstream_tpu.parallel.sharding import (cogreasoner_param_specs,
+                                             specs_to_shardings)
+
+
+@pytest.fixture(scope="module")
+def hf_dir(tmp_path_factory):
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    out = str(tmp_path_factory.mktemp("ckpt") / "hf")
+    save_cogreasoner_to_hf(params, cfg, out, dtype=jnp.float32)
+    return out, cfg
+
+
+def test_sharded_load_matches_specs(hf_dir, mesh8):
+    out, cfg = hf_dir
+    before = {id(a) for a in jax.live_arrays()}
+    loaded = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32,
+                                      mesh=mesh8)
+    shardings = specs_to_shardings(cogreasoner_param_specs(cfg, mesh8),
+                                   mesh8)
+    leaves, treedef = jax.tree.flatten(loaded)
+    shard_leaves = jax.tree.flatten(shardings)[0]
+    assert len(leaves) == len(shard_leaves)
+    for leaf, want in zip(leaves, shard_leaves):
+        assert leaf.sharding.is_equivalent_to(want, leaf.ndim), (
+            leaf.shape, leaf.sharding, want)
+
+    # Nothing unsharded survived the load: every array the load created
+    # is one of the returned (spec-sharded) leaves.
+    leaf_ids = {id(l) for l in leaves}
+    new = [a for a in jax.live_arrays() if id(a) not in before]
+    strays = [a for a in new if id(a) not in leaf_ids]
+    assert not strays, [(a.shape, a.sharding) for a in strays]
+
+
+def test_sharded_load_values_match_local(hf_dir, mesh8):
+    out, cfg = hf_dir
+    local = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32)
+    sharded = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32,
+                                       mesh=mesh8)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        local, sharded)
+
+
+def test_lazy_state_dict_reads_on_demand(hf_dir):
+    from cogstream_tpu.models.checkpoint import _LazyStateDict
+
+    out, _ = hf_dir
+    sd = _LazyStateDict(out)
+    assert len(sd) > 0
+    name = next(iter(sd))
+    assert name in sd
+    first = sd[name]
+    assert isinstance(first, np.ndarray)
+    assert "definitely.not.a.weight" not in sd
