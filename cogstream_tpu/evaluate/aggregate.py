@@ -19,13 +19,52 @@ from ..utils.io import atomic_write_json
 
 METRICS = ("IA", "DC", "CA", "TP", "LC")
 
-# label → group (step1b's category mapping; the class names follow the
-# published results table, BASELINE.md)
+# The published dataset tags each QA with a fine-grained "Group/Class"
+# label. Aggregation first collapses the seven reasoning-family variants
+# into one class (the reference's `levels` alias merge,
+# analysis/step1b_statistic_score.py:22-26), then buckets classes into
+# the three groups of its `LEVELS` table (:27-34) — the Basic/Streaming/
+# Global columns plus per-class columns of the published results table.
+LABEL_ALIASES = {alias: "Streaming/Reasoning" for alias in (
+    "Streaming/Analysis",
+    "Streaming/Causality",
+    "Streaming/Causal Discovery",
+    "Streaming/Causal discovery",
+    "Streaming/Ingredients Analysis",
+    "Streaming/Intention",
+    "Streaming/Prediction",
+)}
+
 LABEL_GROUPS = {
-    "Basic": "Basic",
-    "Streaming": "Streaming",
-    "Global": "Global",
+    "Basic": ("Basic/Attributes", "Basic/Items", "Basic/Co-reference",
+              "Basic/Actions"),
+    "Streaming": ("Streaming/Reasoning", "Streaming/Sequence Perception",
+                  "Streaming/Dialogue Recalling", "Streaming/Dynamic Updating",
+                  "Streaming/Object Tracking"),
+    "Global": ("Global/Overall Summary", "Global/Global Analysis"),
 }
+_CLASS_TO_GROUP = {c: g for g, cs in LABEL_GROUPS.items() for c in cs}
+
+
+def canonical_label(label: str) -> str:
+    """Alias-merged class name for a per-QA label."""
+    return LABEL_ALIASES.get(label, label)
+
+
+def label_group(label) -> Optional[str]:
+    """Group for a per-QA label: a known class maps via the LEVELS
+    table; a literal group name maps to itself (internal datasets); an
+    unknown 'Group/Class' label falls back to its prefix so novel
+    classes still aggregate (the reference raises instead)."""
+    if not label:
+        return None
+    c = canonical_label(str(label))
+    if c in _CLASS_TO_GROUP:
+        return _CLASS_TO_GROUP[c]
+    if c in LABEL_GROUPS:
+        return c
+    head = c.split("/", 1)[0]
+    return head if head in LABEL_GROUPS else None
 
 
 # ---------------------------------------------------------------------------
@@ -104,10 +143,15 @@ def aggregate_scores(videos: Iterable[Dict]) -> Dict:
             for m, s in (qa.get("scores") or {}).items():
                 if s is not None:
                     per_metric[m].append(s)
-            group = LABEL_GROUPS.get(qa.get("label", ""), None)
+            label = qa.get("label", "")
+            group = label_group(label)
             if group:
                 per_group[group].append(mean_s)
-            cls = qa.get("class") or qa.get("type")
+            # per-class column: the alias-merged fine-grained label when
+            # present (ref qa_class keying, step1b:144), else any
+            # explicit class/type annotation
+            cls = (canonical_label(str(label)) if label and "/" in str(label)
+                   else qa.get("class") or qa.get("type"))
             if cls:
                 per_class[str(cls)].append(mean_s)
 
@@ -230,6 +274,8 @@ def format_table(report: Dict, latex: bool = False) -> str:
     rows = [("Avg.", s["average"])]
     rows += list((s.get("metrics") or {}).items())
     rows += list((s.get("groups") or {}).items())
+    # per-class columns of the published results table (Att./Obj./…)
+    rows += list((s.get("classes") or {}).items())
     c = report.get("coherence") or {}
     rows.append(("coherence inter/exter",
                  f"{c.get('inter')}/{c.get('exter')}"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -35,6 +36,108 @@ def shard_items(items: Sequence, index: int, count: int) -> List:
     return [x for i, x in enumerate(items) if i % count == index]
 
 
+# ---------------------------------------------------------------------------
+# published test-set ("query chain") adapter
+# ---------------------------------------------------------------------------
+
+_SEGMENT_NUM = re.compile(r"segment_(\d+)")
+
+
+def natural_segment_order(folder: str) -> List[str]:
+    """Segment files of one video dir sorted by their numeric suffix
+    (``segment_2`` before ``segment_10``) — the reference's
+    natural_sort_segments (evaluate/answer_generate.py:15-28); files
+    without a segment number sort last."""
+    def key(name: str) -> int:
+        m = _SEGMENT_NUM.search(name)
+        return int(m.group(1)) if m else 999999
+
+    return sorted(os.listdir(folder), key=key)
+
+
+def _first(x):
+    """Published QA fields are lists of alternatives; take alternative 0
+    (ref answer_generate.py:121,143: ``qa["Q"][0]``)."""
+    return x[0] if isinstance(x, (list, tuple)) and x else x
+
+
+def _normalize_chain_qa(qa: Dict) -> Dict:
+    info = qa.get("info", {}) or {}
+    rel = info.get("relevance", qa.get("relevance"))
+    if isinstance(rel, (list, tuple)) and rel and isinstance(
+            rel[0], (list, tuple)):
+        rel = rel[0]
+    return {
+        "QA_pairs": {"Q": _first(qa.get("Q", "")),
+                     "A": _first(qa.get("A", ""))},
+        "relevance": list(rel) if rel is not None else None,
+        "is_visual": bool(info.get("if_visual", qa.get("if_visual", True))),
+        "label": info.get("label", qa.get("label", "")),
+        "class": info.get("class", info.get("type")),
+    }
+
+
+def load_eval_spec(json_path: str, video_dir: str) -> Dict:
+    """Read one per-video eval JSON in either layout.
+
+    * **internal spec**: ``{"video": ..., "segments": [{"timestamp",
+      "QAs": [...]}]}`` — passed through unchanged;
+    * **published query chains** (the CogStream test set,
+      ref evaluate/answer_generate.py:78-120): root is a list of query
+      chains (chain 0 is used, ref :99), each QA carrying ``Q``/``A``
+      lists plus ``info.Event_Time`` / ``info.relevance``. QAs group by
+      Event_Time; the k-th distinct sorted time plays the k-th
+      naturally-sorted segment file of ``video_dir/<video_name>/``.
+    """
+    with open(json_path, encoding="utf-8") as f:
+        data = json.load(f)
+    if isinstance(data, dict) and "segments" in data:
+        return data
+    if isinstance(data, dict) and "query_chains" in data:
+        data = data["query_chains"]
+    if not isinstance(data, list) or not data:
+        raise ValueError(f"{json_path}: unrecognized eval spec")
+    chain = data[0] if isinstance(data[0], list) else data
+
+    by_time: Dict[float, List[Dict]] = {}
+    for qa in chain:
+        t = float(qa["info"]["Event_Time"])
+        by_time.setdefault(t, []).append(qa)
+
+    video_name = os.path.splitext(os.path.basename(json_path))[0]
+    seg_files = natural_segment_order(os.path.join(video_dir, video_name))
+    times = sorted(by_time)
+    if len(seg_files) < len(times):
+        raise ValueError(
+            f"{video_name}: {len(times)} query times but only "
+            f"{len(seg_files)} segment files")
+    segments = []
+    for t, fname in zip(times, seg_files):
+        segments.append({
+            "segment_file": fname,
+            "event_time": t,
+            "QAs": [_normalize_chain_qa(qa) for qa in by_time[t]],
+        })
+    return {"video": video_name, "segments": segments}
+
+
+def _segment_video_args(video_path: str, seg: Dict, fps: int,
+                        max_frames: int) -> Dict:
+    """Per-segment video reference: published layout plays a separate
+    file per segment (video_path is the per-video directory); the
+    internal layout plays [start, end) slices of one file."""
+    if "segment_file" in seg:
+        return {"video_path": os.path.join(video_path, seg["segment_file"]),
+                "fps": fps, "max_frames": max_frames}
+    args = {"video_path": video_path, "fps": fps, "max_frames": max_frames}
+    s, e = (seg.get("timestamp") or [None, None])[:2]
+    if s is not None:
+        args["start_time"] = s
+    if e is not None:
+        args["end_time"] = e
+    return args
+
+
 def generate_for_video(
     engine,
     processor,
@@ -44,29 +147,39 @@ def generate_for_video(
     max_new_tokens: int = 512,
     fps: int = 1,
     max_frames: int = 180,
+    video_role: str = "stream",
     log=print,
 ) -> Dict:
-    """Stream one video's dialogue; returns the per-video result dict."""
+    """Stream one video's dialogue; returns the per-video result dict.
+
+    ``video_role`` picks the prompt placement of each segment's video:
+    ``"stream"`` emits a dedicated stream-role turn (this framework's
+    richer serialization), ``"user"`` folds the video into the segment's
+    first user turn as ``[video, question]`` — byte-parity with the
+    reference eval (answer_generate.py:123-134), which a
+    reference-trained checkpoint expects zero-shot.
+    """
     conversation: List[dict] = []
     results: List[dict] = []
     n_hist = 0
     for seg in segments:
-        s, e = (seg.get("timestamp") or [None, None])[:2]
-        video_args = {"video_path": video_path, "fps": fps,
-                      "max_frames": max_frames}
-        if s is not None:
-            video_args["start_time"] = s
-        if e is not None:
-            video_args["end_time"] = e
-        conversation.append({
-            "role": "stream",
-            "content": [{"type": "video", "video": video_args}],
-        })
+        video_args = _segment_video_args(video_path, seg, fps, max_frames)
+        pending_video = [{"type": "video", "video": video_args}]
+        if video_role != "user":
+            conversation.append({"role": "stream", "content": pending_video})
+            pending_video = None
         for qa in seg.get("QAs", []):
             pair = qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \
                 else qa.get("QA_pairs", qa)
             q = pair.get("Q", "")
-            conversation.append({"role": "user", "content": q})
+            if pending_video is not None:   # user-role: video rides turn 1
+                conversation.append({
+                    "role": "user",
+                    "content": pending_video + [{"type": "text", "text": q}],
+                })
+                pending_video = None
+            else:
+                conversation.append({"role": "user", "content": q})
             t0 = time.time()
             gt_kwargs = {}
             if mode == "gt":   # teacher-forced selection from GT labels
@@ -96,6 +209,8 @@ def generate_for_video(
             })
             conversation.append({"role": "assistant", "content": turn.text})
             n_hist += 1
+        if pending_video is not None:   # QA-less segment: keep the video
+            conversation.append({"role": "user", "content": pending_video})
     return {"video": video_path, "QAs": results}
 
 
@@ -122,10 +237,13 @@ def generate_for_video_streaming(
     seg_time_end = 0.0     # global-timestamp accumulation (+1s between
                            # segments), matching processor.load_multimodal
     for seg in segments:
-        s, e = (seg.get("timestamp") or [None, None])[:2]
+        args = _segment_video_args(video_path, seg, processor_cfg.fps,
+                                   processor_cfg.max_frames)
         frames, timestamps, _ = load_video(
-            video_path, start_time=s, end_time=e,
-            fps=processor_cfg.fps, max_frames=processor_cfg.max_frames)
+            args.pop("video_path"),
+            start_time=args.get("start_time"),
+            end_time=args.get("end_time"),
+            fps=args["fps"], max_frames=args["max_frames"])
         if frames:
             base = timestamps[0] if timestamps else 0.0
             stamps = [t - base + seg_time_end for t in timestamps]
@@ -173,6 +291,7 @@ def run_eval(
     process_count: Optional[int] = None,
     session_factory=None,          # set → streaming KV-reuse path
     processor_cfg=None,
+    video_role: str = "stream",
     log=print,
 ) -> None:
     import jax
@@ -186,8 +305,11 @@ def run_eval(
         out_path = os.path.join(save_dir, fname)
         if os.path.exists(out_path):  # idempotent resume
             continue
-        with open(os.path.join(query_dir, fname)) as f:
-            spec = json.load(f)
+        try:
+            spec = load_eval_spec(os.path.join(query_dir, fname), video_dir)
+        except Exception as e:
+            log(f"{fname}: unreadable spec ({type(e).__name__}: {e})")
+            continue
         video = os.path.join(video_dir,
                              spec.get("video", fname[:-5] + ".mp4"))
         try:
@@ -198,7 +320,7 @@ def run_eval(
             else:
                 result = generate_for_video(
                     engine, processor, video, spec.get("segments", []),
-                    mode=mode)
+                    mode=mode, video_role=video_role)
             atomic_write_json(out_path, result, indent=1)
             lat = [q["latency_s"] for q in result["QAs"]]
             log(f"{fname}: {len(lat)} turns, p50 latency "
@@ -219,6 +341,11 @@ def main():
                     choices=["FCC", "AC", "NC", "gt"])
     ap.add_argument("--streaming", action="store_true",
                     help="KV-reusing session per video (fast path)")
+    ap.add_argument("--video-role", default="stream",
+                    choices=["stream", "user"],
+                    help="'user' folds each segment's video into its "
+                         "first question turn — byte-parity with the "
+                         "reference eval serialization")
     args = ap.parse_args()
 
     from ..config import load_hf_config
@@ -247,7 +374,8 @@ def main():
                                     use_pallas=True)
     run_eval(engine, processor, args.video_dir, args.query_dir,
              args.save_dir, mode=args.mode,
-             session_factory=session_factory, processor_cfg=cfg.processor)
+             session_factory=session_factory, processor_cfg=cfg.processor,
+             video_role=args.video_role)
 
 
 if __name__ == "__main__":

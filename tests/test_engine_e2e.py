@@ -123,6 +123,33 @@ def test_streaming_eval_path(engine, tiny_video, tmp_path):
     assert out["QAs"][1]["cache_tokens"] > out["QAs"][0]["cache_tokens"]
 
 
+def test_user_role_video_eval(engine, tiny_video, tmp_path):
+    """generate_for_video with video_role='user' (reference eval
+    serialization: each segment's video rides its first question turn,
+    ref answer_generate.py:123-134)."""
+    from cogstream_tpu.evaluate.answer_generate import generate_for_video
+
+    segments = [
+        {"timestamp": [0.0, 2.0], "QAs": [
+            {"QA_pairs": {"Q": "what is shown?", "A": "noise"},
+             "relevance": [], "is_visual": True,
+             "label": "Basic/Attributes"},
+            {"QA_pairs": {"Q": "anything else?", "A": "no"},
+             "relevance": [1], "is_visual": True,
+             "label": "Basic/Items"}]},
+        {"timestamp": [2.0, 4.0], "QAs": [
+            {"QA_pairs": {"Q": "and later?", "A": "more"},
+             "relevance": [0, 1], "is_visual": True,
+             "label": "Streaming/Prediction"}]},
+    ]
+    out = generate_for_video(engine, None, tiny_video, segments,
+                             mode="AC", max_new_tokens=4, fps=1,
+                             max_frames=2, video_role="user")
+    assert len(out["QAs"]) == 3
+    assert all(isinstance(q["prediction"], str) for q in out["QAs"])
+    assert out["QAs"][2]["label"] == "Streaming/Prediction"
+
+
 def test_image_conversation(engine, tmp_path):
     """Single-image chat (modal='image', merge_size 1) through the
     parity path."""
