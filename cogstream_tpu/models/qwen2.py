@@ -111,12 +111,19 @@ def init_qwen2_params(key: jax.Array, cfg: Qwen2Config) -> Params:
 # ---------------------------------------------------------------------------
 
 def dense(x: jax.Array, p: Dict, lora: Optional[List[Tuple[Dict, jax.Array]]] = None,
-          lora_scale: float = 1.0) -> jax.Array:
+          lora_scale: float = 1.0,
+          lora_dropout: Optional[Tuple[float, jax.Array]] = None) -> jax.Array:
     """Dense layer with optional gated LoRA deltas.
 
     ``lora`` is a list of (adapter_params, gate) pairs; each adapter is
     ``{"a": [din, r], "b": [r, dout]}``. Gates are traced scalars, so
     adapter switching costs two small matmuls, never a recompile.
+
+    ``lora_dropout`` = (rate, key) applies inverted dropout to the
+    ADAPTER input only (PEFT lora_dropout semantics — the frozen dense
+    path never drops; reference recipe r=8 α=16 dropout 0.1,
+    first_stage_training.py:458-465). Training-only: callers omit it at
+    inference.
     """
     kern = p["kernel"]
     if isinstance(kern, dict):  # int8-quantized (ops/quant.py): dequant
@@ -129,10 +136,15 @@ def dense(x: jax.Array, p: Dict, lora: Optional[List[Tuple[Dict, jax.Array]]] = 
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     if lora:
+        xa = x
+        if lora_dropout is not None:
+            rate, key = lora_dropout
+            keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+            xa = jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
         for adapter, gate in lora:
             if adapter is None:
                 continue
-            delta = (x @ adapter["a"].astype(x.dtype)) @ adapter["b"].astype(x.dtype)
+            delta = (xa @ adapter["a"].astype(x.dtype)) @ adapter["b"].astype(x.dtype)
             y = y + delta * (gate * lora_scale).astype(x.dtype)
     return y
 
@@ -217,6 +229,8 @@ def qwen2_forward(
     side_cache: Optional[KVCache] = None,     # lockstep decode side buffer
     cache_rows: Optional[jax.Array] = None,   # [B] cache row per input row
     attn_override=None,   # cache-free attention impl: f(q, k, v, positions)
+    dropout_rate: float = 0.0,                # LoRA dropout (train only)
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden [B, S, H], updated cache).
 
@@ -289,35 +303,55 @@ def qwen2_forward(
                      jnp.ones(side_pos.shape, jnp.bool_)], axis=1)
             kv_valid = kv_valid & kv_allowed
 
-    def block(x, layer, ad):
+    def _site_drop(dkey, site: int):
+        """(rate, per-site key) for dense()'s lora_dropout, or None."""
+        if dkey is None:
+            return None
+        return (dropout_rate, jax.random.fold_in(dkey, site))
+
+    def block(x, layer, ad, dkey=None):
         lora = functools.partial(_lora_at, ad, gates)
+        dp = functools.partial(_site_drop, dkey)
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         ap = layer["attn"]
         q = dense(h, ap["q_proj"], lora("attn", "q_proj"),
-                  lora_scale).reshape(B, S, Hq, D)
+                  lora_scale, dp(0)).reshape(B, S, Hq, D)
         k = dense(h, ap["k_proj"], lora("attn", "k_proj"),
-                  lora_scale).reshape(B, S, Hkv, D)
+                  lora_scale, dp(1)).reshape(B, S, Hkv, D)
         v = dense(h, ap["v_proj"], lora("attn", "v_proj"),
-                  lora_scale).reshape(B, S, Hkv, D)
+                  lora_scale, dp(2)).reshape(B, S, Hkv, D)
         q = apply_rope(q, angles)
         k = apply_rope(k, angles)
         return x, h, q, k, v
 
-    def finish_block(x, attn, layer, ad):
+    def finish_block(x, attn, layer, ad, dkey=None):
         lora = functools.partial(_lora_at, ad, gates)
+        dp = functools.partial(_site_drop, dkey)
         ap, mp = layer["attn"], layer["mlp"]
         x = x + dense(attn.reshape(B, S, Hq * D), ap["o_proj"],
-                      lora("attn", "o_proj"), lora_scale)
+                      lora("attn", "o_proj"), lora_scale, dp(3))
         h = rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps)
-        gate = dense(h, mp["gate_proj"], lora("mlp", "gate_proj"), lora_scale)
-        up = dense(h, mp["up_proj"], lora("mlp", "up_proj"), lora_scale)
+        gate = dense(h, mp["gate_proj"], lora("mlp", "gate_proj"),
+                     lora_scale, dp(4))
+        up = dense(h, mp["up_proj"], lora("mlp", "up_proj"), lora_scale,
+                   dp(5))
         return x + dense(jax.nn.silu(gate) * up, mp["down_proj"],
-                         lora("mlp", "down_proj"), lora_scale)
+                         lora("mlp", "down_proj"), lora_scale, dp(6))
 
     if cache is None:
+        # LoRA dropout rides the training (cache-free) branch only:
+        # per-layer keys are scanned alongside the stacked params
+        train_drop = dropout_rng is not None and dropout_rate > 0.0
+        if train_drop:
+            n_layers = jax.tree.leaves(params["layers"])[0].shape[0]
+            layer_keys = jax.random.split(dropout_rng, n_layers)
+
         def body(x, xs):
-            layer, ad = xs
-            x, h, q, k, v = block(x, layer, ad)
+            if train_drop:
+                layer, ad, dkey = xs
+            else:
+                (layer, ad), dkey = xs, None
+            x, h, q, k, v = block(x, layer, ad, dkey)
             if attn_override is not None:
                 # e.g. the sequence-parallel ring (qwen2_forward_sp)
                 attn = attn_override(q, k, v, positions)
@@ -325,11 +359,13 @@ def qwen2_forward(
                 attn = causal_gqa_attention(
                     q, k, v, q_positions=positions,
                     kv_valid=positions >= 0, kv_positions=positions)
-            return finish_block(x, attn, layer, ad), None
+            return finish_block(x, attn, layer, ad, dkey), None
 
         if remat:
             body = jax.checkpoint(body)
-        x, _ = jax.lax.scan(body, x, (params["layers"], ad_trees))
+        xs = ((params["layers"], ad_trees, layer_keys) if train_drop
+              else (params["layers"], ad_trees))
+        x, _ = jax.lax.scan(body, x, xs)
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         return x, None
 

@@ -12,7 +12,9 @@ Two shapes of attention exist in this framework:
   holds the jnp reference used on CPU and in tests).
 
 * **Causal GQA attention** for the decoder, with an optional KV cache
-  region (see ops/decode_attention.py for the Pallas decode kernel).
+  region. Decode stays on this XLA path by design: single-token decode
+  is HBM-bound on cache reads, which XLA already streams at full
+  bandwidth — a custom kernel has nothing left to win (STATUS.md).
 """
 
 from __future__ import annotations

@@ -37,7 +37,7 @@ class SessionPool:
                  n_rows: int = 4, max_len: int = 8192,
                  adapters: Optional[Dict] = None,
                  use_pallas: bool = False, summary_forward: bool = True,
-                 kv_dtype=None):
+                 kv_dtype=None, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -45,6 +45,9 @@ class SessionPool:
         self.max_len = max_len
         self.adapters = adapters or {}
         self.use_pallas = use_pallas
+        # pool-owned key chain (the sessions' _next_key discipline):
+        # sampled batch decodes are reproducible given the seed
+        self._key = jax.random.PRNGKey(seed)
         self.cache = init_kv_cache(cfg.text, n_rows, max_len,
                                    dtype=kv_dtype)
         self.sessions: Dict[int, StreamingSession] = {}
@@ -276,10 +279,10 @@ class SessionPool:
         # row's live extent (bucketed) instead of the full max_len
         needed = max(m["start"] + Sp for m in metas.values()) \
             + max_new_tokens
+        self._key, batch_key = jax.random.split(self._key)
         result = generate_tokens(
             self.params["text"], emb, jnp.asarray(positions),
-            jnp.asarray(last_index), self.cache,
-            jax.random.PRNGKey(int(np.random.default_rng().integers(1 << 30))),
+            jnp.asarray(last_index), self.cache, batch_key,
             self.cfg.text, max_new_tokens, self.tok.eos_token_id,
             temperature=temperature, adapters=adapters,
             kv_allowed=jnp.asarray(allowed),

@@ -59,6 +59,15 @@ def pool_feature_table(proj: jax.Array, pool_group: jax.Array,
     return proj.at[pool_dst].set(pooled.astype(proj.dtype), mode="drop")
 
 
+def _adapter_in(x, rate, key):
+    """Adapter-branch input with optional inverted dropout (PEFT
+    lora_dropout: the frozen dense path never drops)."""
+    if key is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def multimodal_loss_fn(
     params: Dict,
     lora: Dict,
@@ -67,6 +76,8 @@ def multimodal_loss_fn(
     lora_scale: float,
     num_vis_tokens: int,            # static: merged-feature table rows
     remat: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     feats = vision_encoder_core(
         params["vision"], batch["pixel_values"], batch["vis_pos"],
@@ -77,14 +88,19 @@ def multimodal_loss_fn(
         # LoRA on the readout MLP: low-rank delta on each linear, applied
         # to the same input the dense layer saw (2-layer mlp2x_gelu).
         lp = lora["projector"]["layers"]
+        k0 = k1 = None
+        if dropout_rng is not None and dropout_rate > 0.0:
+            k0, k1 = jax.random.split(jax.random.fold_in(dropout_rng, 100))
         x0 = feats.astype(cfg.text.jnp_dtype)
         h0 = x0 @ proj_params["layers"][0]["kernel"].astype(x0.dtype) \
             + proj_params["layers"][0]["bias"].astype(x0.dtype)
-        h0 = h0 + (x0 @ lp[0]["a"].astype(x0.dtype)) @ lp[0]["b"].astype(x0.dtype) * lora_scale
+        x0a = _adapter_in(x0, dropout_rate, k0)
+        h0 = h0 + (x0a @ lp[0]["a"].astype(x0.dtype)) @ lp[0]["b"].astype(x0.dtype) * lora_scale
         x1 = jax.nn.gelu(h0, approximate=False)
         proj = x1 @ proj_params["layers"][1]["kernel"].astype(x1.dtype) \
             + proj_params["layers"][1]["bias"].astype(x1.dtype)
-        proj = proj + (x1 @ lp[1]["a"].astype(x1.dtype)) @ lp[1]["b"].astype(x1.dtype) * lora_scale
+        x1a = _adapter_in(x1, dropout_rate, k1)
+        proj = proj + (x1a @ lp[1]["a"].astype(x1.dtype)) @ lp[1]["b"].astype(x1.dtype) * lora_scale
 
     if "pool_group" in batch:
         proj = pool_feature_table(proj, batch["pool_group"],
@@ -100,7 +116,8 @@ def multimodal_loss_fn(
     adapters = [(text_lora, jnp.float32(1.0))]
     hidden, _ = qwen2.qwen2_forward(
         params["text"], spliced, batch["positions"], cfg.text,
-        adapters=adapters, lora_scale=lora_scale, remat=remat)
+        adapters=adapters, lora_scale=lora_scale, remat=remat,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     logits = qwen2.lm_logits(params["text"], hidden, adapters, lora_scale)
     loss, _ = masked_cross_entropy(logits, batch["labels"])
     return loss

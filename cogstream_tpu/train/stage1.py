@@ -84,7 +84,12 @@ def train_stage1(
     vm = np.zeros((cfg.text.vocab_size,), bool)
     vm[constrained_selector_token_ids(tokenizer)] = True
     loss_fn = bind_text_loss(cfg.text, lora_cfg, vocab_mask=vm, remat=True)
-    step_fn = make_train_step(tx, loss_fn, donate=False)
+    # reference recipe: LoRA dropout 0.1 during training
+    # (first_stage_training.py:458-465); seeded → reproducible
+    drop_rng = (jax.random.PRNGKey(tcfg.seed ^ 0x5EED)
+                if lora_cfg.dropout > 0 else None)
+    step_fn = make_train_step(tx, loss_fn, donate=False,
+                              dropout_rng=drop_rng)
 
     state = init_train_state(tx, lora)
     if resume:

@@ -183,7 +183,8 @@ class Stage2Trainer:
     (S, N_pixels) shape bucket."""
 
     def __init__(self, params, cfg: CogReasonerConfig, tokenizer,
-                 tcfg: Stage2Config, out_dir: str, log=print):
+                 tcfg: Stage2Config, out_dir: str,
+                 total_steps: Optional[int] = None, log=print):
         self.cfg = cfg
         self.tok = tokenizer
         self.tcfg = tcfg
@@ -199,27 +200,42 @@ class Stage2Trainer:
             jax.random.PRNGKey(tcfg.seed), cfg, self.lora_cfg)
         lora = shard_params(lora, lora_specs_like(lora, specs), self.mesh)
 
+        # cosine horizon = real run length (dataset turns × epochs), as
+        # stage 1 derives it from its sample count — an unknown horizon
+        # would leave the LR near peak forever
+        if total_steps is None:
+            total_steps = 10_000
+            log("stage2: total_steps not given; cosine horizon defaults "
+                "to 10k updates — pass the dataset turn count × epochs")
         self.tx = make_optimizer(
-            tcfg.learning_rate, total_steps=100_000,
-            warmup_steps=100, grad_accum=tcfg.grad_accum)
+            tcfg.learning_rate, total_steps=total_steps,
+            warmup_steps=min(100, max(1, total_steps // 10)),
+            grad_accum=tcfg.grad_accum)
         self.state = init_train_state(self.tx, lora)
         restored = ckpt.restore_train_state(out_dir, self.state)
         if restored is not None:
             self.state = restored
             log(f"resumed at step {int(np.asarray(self.state.step))}")
         self._steps: Dict[int, object] = {}
+        # reference recipe trains with LoRA dropout 0.1; keys derive
+        # from the seed so runs are reproducible
+        self._dropout_rng = (jax.random.PRNGKey(tcfg.seed ^ 0x5EED)
+                             if self.lora_cfg.dropout > 0 else None)
 
     def _step_fn(self, num_vis_tokens: int, pool_g: int = 0):
         key = (num_vis_tokens, pool_g)
         if key not in self._steps:
-            cfg, scale = self.cfg, self.lora_cfg.scale
+            cfg = self.cfg
+            scale, rate = self.lora_cfg.scale, self.lora_cfg.dropout
 
-            def loss(p, l, b):
+            def loss(p, l, b, rng=None):
                 return multimodal_loss_fn(p, l, b, cfg, scale,
                                           num_vis_tokens=num_vis_tokens,
-                                          remat=True)
+                                          remat=True, dropout_rate=rate,
+                                          dropout_rng=rng)
             self._steps[key] = make_train_step(
-                self.tx, loss, donate=False)
+                self.tx, loss, donate=False,
+                dropout_rng=self._dropout_rng)
         return self._steps[key]
 
     def train_turn(self, batch: Dict[str, np.ndarray]) -> float:
@@ -328,6 +344,23 @@ def train_stage2_video(
     return losses
 
 
+def count_dataset_turns(query_dir: str) -> int:
+    """Total QA turns across the query dir — one optimizer micro-step is
+    taken per turn, so turns × epochs is the cosine schedule horizon."""
+    n = 0
+    for fname in sorted(os.listdir(query_dir)):
+        if not fname.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(query_dir, fname)) as f:
+                spec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        n += sum(len(seg.get("QAs", []))
+                 for seg in spec.get("segments", []))
+    return max(n, 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", required=True)
@@ -349,7 +382,9 @@ def main():
     tok = HFTokenizer(args.model_dir)
     processor = CogStreamProcessor(tok, cfg.processor)
     tcfg = Stage2Config(num_epochs=args.num_epochs, baseline=args.baseline)
-    trainer = Stage2Trainer(params, cfg, tok, tcfg, args.out)
+    trainer = Stage2Trainer(
+        params, cfg, tok, tcfg, args.out,
+        total_steps=count_dataset_turns(args.query_dir) * tcfg.num_epochs)
 
     for epoch in range(tcfg.num_epochs):
         for fname in sorted(os.listdir(args.query_dir)):

@@ -71,6 +71,23 @@ class TrainState(NamedTuple):
     step: jax.Array          # [] int32
 
 
+def make_lr_schedule(
+    learning_rate: float,
+    total_steps: int,
+    warmup_steps: int,
+    grad_accum: int = 1,
+    schedule: str = "cosine",
+):
+    """Warmup-cosine over the real run horizon. MultiSteps advances the
+    inner schedule once per ACCUMULATED update, so the horizon is
+    measured in optimizer updates, not micro-batches."""
+    if schedule != "cosine":
+        return learning_rate
+    updates = max(1, total_steps // max(grad_accum, 1))
+    return optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, warmup_steps, max(updates, warmup_steps + 1))
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     total_steps: int = 10_000,
@@ -85,15 +102,8 @@ def make_optimizer(
     first_stage_training.py:488, second_stage_training.py:310), with
     gradient accumulation folded in via MultiSteps (accum 4 at ref
     :166-181)."""
-    # MultiSteps advances the inner schedule once per ACCUMULATED update,
-    # so the cosine horizon must be measured in optimizer updates, not
-    # micro-batches
-    updates = max(1, total_steps // max(grad_accum, 1))
-    if schedule == "cosine":
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, warmup_steps, max(updates, warmup_steps + 1))
-    else:
-        sched = learning_rate
+    sched = make_lr_schedule(learning_rate, total_steps, warmup_steps,
+                             grad_accum, schedule)
     tx = optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay)
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
@@ -112,6 +122,8 @@ def text_loss_fn(
     lora_scale: float,
     vocab_mask: Optional[jax.Array] = None,
     remat: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Stage-1 objective: text-only selector training (C12)."""
     ids = batch["input_ids"]
@@ -122,7 +134,8 @@ def text_loss_fn(
     adapters = [(lora, jnp.float32(1.0))]
     hidden, _ = qwen2.qwen2_forward(
         params, emb, positions, cfg, adapters=adapters,
-        lora_scale=lora_scale, remat=remat)
+        lora_scale=lora_scale, remat=remat,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)
     loss, _ = masked_cross_entropy(logits, batch["labels"], vocab_mask)
     return loss
@@ -135,6 +148,8 @@ def embeds_loss_fn(
     cfg: Qwen2Config,
     lora_scale: float,
     remat: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Stage-2 / baseline objective over pre-spliced embeddings (C13/C14):
     the multimodal pipeline (vision encode → compression → splice) runs
@@ -144,7 +159,8 @@ def embeds_loss_fn(
     adapters = [(lora.get("text", lora), jnp.float32(1.0))]
     hidden, _ = qwen2.qwen2_forward(
         params, emb, positions, cfg, adapters=adapters,
-        lora_scale=lora_scale, remat=remat)
+        lora_scale=lora_scale, remat=remat,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)
     loss, _ = masked_cross_entropy(logits, batch["labels"])
     return loss
@@ -153,34 +169,48 @@ def embeds_loss_fn(
 def bind_text_loss(cfg: Qwen2Config, lora_cfg: Optional[LoRAConfig] = None,
                    vocab_mask: Optional[np.ndarray] = None,
                    remat: bool = True) -> Callable:
-    scale = (lora_cfg or LoRAConfig()).scale
+    lc = lora_cfg or LoRAConfig()
     vm = jnp.asarray(vocab_mask) if vocab_mask is not None else None
 
-    def loss(params, lora, batch):
-        return text_loss_fn(params, lora, batch, cfg, scale,
-                            vocab_mask=vm, remat=remat)
+    def loss(params, lora, batch, rng=None):
+        return text_loss_fn(params, lora, batch, cfg, lc.scale,
+                            vocab_mask=vm, remat=remat,
+                            dropout_rate=lc.dropout, dropout_rng=rng)
     return loss
 
 
 def bind_embeds_loss(cfg: Qwen2Config, lora_cfg: Optional[LoRAConfig] = None,
                      remat: bool = True) -> Callable:
-    scale = (lora_cfg or LoRAConfig()).scale
+    lc = lora_cfg or LoRAConfig()
 
-    def loss(params, lora, batch):
-        return embeds_loss_fn(params, lora, batch, cfg, scale, remat=remat)
+    def loss(params, lora, batch, rng=None):
+        return embeds_loss_fn(params, lora, batch, cfg, lc.scale,
+                              remat=remat, dropout_rate=lc.dropout,
+                              dropout_rng=rng)
     return loss
 
 
 def make_train_step(
     tx: optax.GradientTransformation,
-    loss_fn: Callable,       # (params, lora, batch) -> scalar loss
+    loss_fn: Callable,       # (params, lora, batch[, rng]) -> scalar loss
     donate: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
 ):
-    """Build the jitted (params frozen, LoRA trainable) train step."""
+    """Build the jitted (params frozen, LoRA trainable) train step.
+
+    With ``dropout_rng`` the loss is called with a per-step key derived
+    by folding the step counter into the base key (train-mode LoRA
+    dropout is stochastic across steps yet fully reproducible); without
+    it the loss runs deterministic eval-mode forwards.
+    """
 
     def step(params, state: TrainState, batch):
-        loss, grads = jax.value_and_grad(
-            lambda lora: loss_fn(params, lora, batch))(state.lora)
+        if dropout_rng is not None:
+            rng = jax.random.fold_in(dropout_rng, state.step)
+            fn = lambda lora: loss_fn(params, lora, batch, rng)
+        else:
+            fn = lambda lora: loss_fn(params, lora, batch)
+        loss, grads = jax.value_and_grad(fn)(state.lora)
         updates, opt_state = tx.update(grads, state.opt_state, state.lora)
         lora = optax.apply_updates(state.lora, updates)
         return TrainState(lora, opt_state, state.step + 1), loss

@@ -56,6 +56,31 @@ def test_pool_batched_ask_matches_solo(setup):
     assert pool.sessions[r0].hist_qs == [questions[0], "again?"]
 
 
+def test_pool_sampled_decode_reproducible(setup):
+    """temperature>0 batch decodes follow the pool's seeded key chain:
+    same seed → identical outputs, different seed → (almost surely)
+    different samples. Regression for the unseeded host RNG."""
+    from cogstream_tpu.runtime.pool import SessionPool
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(1)
+    t, gh, gw = 2, 4, 4
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+
+    def run(seed):
+        pool = SessionPool(params, cfg, tok, n_rows=2, max_len=1024,
+                           summary_forward=False, seed=seed)
+        r = pool.open()
+        pool.ingest(r, pv, (t, gh, gw), 2, [0.0, 1.0])
+        out = pool.ask_batch([(r, "describe this")], mode="AC",
+                             max_new_tokens=12, temperature=1.0)
+        return out[r]["text"]
+
+    assert run(7) == run(7)
+    texts = {run(s) for s in (7, 8, 9)}
+    assert len(texts) > 1
+
+
 def test_pool_partial_batch_and_capacity(setup):
     from cogstream_tpu.runtime.pool import SessionPool
 
