@@ -121,9 +121,22 @@ class FakeMLLM:
         low = prompt.lower()
         if "json" in low and ("qa" in low or "question" in low):
             k = 2 + h % 2
-            qas = [{"Q": f"generated question {h % 97}-{i}?",
-                    "A": f"generated answer {h % 89}-{i}."}
-                   for i in range(k)]
+            if "co-reference](qa<k>)" in low:
+                qas = [{"Q": f"[Co-reference](QA{i + 1}) generated "
+                             f"follow-up {h % 97}-{i}?",
+                        "A": f"generated answer {h % 89}-{i}."}
+                       for i in range(k)]
+            elif "bracketed label" in low:
+                tags = ("Attributes", "Items", "Actions",
+                        "Temporal Perception")
+                qas = [{"Q": f"[{tags[(h + i) % 4]}] generated question "
+                             f"{h % 97}-{i}?",
+                        "A": f"generated answer {h % 89}-{i}."}
+                       for i in range(k)]
+            else:
+                qas = [{"Q": f"generated question {h % 97}-{i}?",
+                        "A": f"generated answer {h % 89}-{i}."}
+                       for i in range(k)]
             return json.dumps(qas)
         if "score" in low or "dependency" in low:
             return str(h % 8)            # 0-7 relevance scale

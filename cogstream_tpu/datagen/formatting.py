@@ -19,13 +19,17 @@ def stream_to_simple(video_name: str, stream: Dict,
                      segments: Sequence[Dict]) -> Dict:
     """One stream → {"QAs": [...]} with binary relevance vectors.
 
-    ``relevance[i]`` is 1 when this QA's COI cites a segment containing
-    the i-th earlier QA of the stream.
+    ``coi`` lists the stream indices of this QA's chain-of-inference
+    predecessors (dialogue_path emission), so ``relevance[i]`` is 1
+    exactly when the i-th earlier QA of the stream is a predecessor —
+    the reference's ``coi_vector`` construction
+    (data_formating.py:44-48).
     """
     qas_out: List[Dict] = []
     seg_of_qa: List[int] = []
     for qa in stream.get("QAs", []):
-        rel = [1 if s in set(qa.get("coi", [])) else 0 for s in seg_of_qa]
+        deps = set(qa.get("coi", []))
+        rel = [1 if i in deps else 0 for i in range(len(seg_of_qa))]
         entry = {
             "QA_pairs": qa.get("QA_pairs", []),
             "label": qa.get("label", "Basic"),

@@ -21,7 +21,30 @@ from typing import Dict, List, Optional, Sequence
 from . import prompts
 from ..utils.io import atomic_write_json
 
-_JSON_LIST_RE = re.compile(r"\[.*\]", re.DOTALL)
+_JSON_LIST_RE = re.compile(r"\[\s*(?:\{.*\}\s*)?\]", re.DOTALL)
+# '[Attributes] What colour ...' → ('Attributes', 'What colour ...')
+_L1_TAG_RE = re.compile(r"^\s*\[([^\]]+)\]\s*")
+# '[Co-reference](QA2) How did it break?' → ref index 2 (1-based)
+_COREF_RE = re.compile(r"^\s*\[Co-?reference\]\s*\(\s*(?:QA)?(\d+)\s*\)\s*",
+                       re.IGNORECASE)
+
+
+def split_label(q: str):
+    """(label, clean_question) from a bracket-tagged question; label is
+    None when untagged (reference extract_label semantics)."""
+    m = _L1_TAG_RE.match(q)
+    if not m:
+        return None, q
+    return m.group(1).strip(), q[m.end():].strip()
+
+
+def split_coref(q: str):
+    """(0-based L1 ref index, clean_question) for an L2 question, or
+    (None, q) when the '(QA<k>)' marker is absent/malformed."""
+    m = _COREF_RE.match(q)
+    if not m:
+        return None, q
+    return int(m.group(1)) - 1, q[m.end():].strip()
 
 
 def parse_qa_json(text: str) -> Optional[List[Dict[str, str]]]:
@@ -64,6 +87,7 @@ def generate_video_qas(
     segments: Sequence[Dict],
     seed: int = 0,
     n_basic: int = 5,
+    n_coref: int = 2,
     n_cross: int = 4,
     n_global: int = 2,
     log=print,
@@ -82,8 +106,33 @@ def generate_video_qas(
         frames = seg.get("keyframes", [])
         levels: Dict[str, List] = {}
 
-        levels["L1"] = ask_qas(client, prompts.basic_qa_prompt(n_basic),
-                               frames)
+        l1 = []
+        for qa in ask_qas(client, prompts.basic_qa_prompt(n_basic),
+                          frames):
+            label, clean = split_label(qa["Q"])
+            entry = {"Q": clean, "A": qa["A"]}
+            if label:
+                entry["type"] = label
+            l1.append(entry)
+        levels["L1"] = l1
+
+        # L2 co-reference follow-ups: a distinct tagged level whose every
+        # pair cites its L1 parent, so dialogue-path chaining can insert
+        # it after the parent (ref all_prompt.py:158-166,
+        # dialogue_path_construction.py:214-235)
+        if l1:
+            l2 = []
+            for qa in ask_qas(
+                    client,
+                    prompts.coreference_qa_prompt(json.dumps(l1), n_coref),
+                    frames):
+                ref, clean = split_coref(qa["Q"])
+                if ref is None or not 0 <= ref < len(l1):
+                    continue    # unchained L2s are unusable downstream
+                l2.append({"Q": clean, "A": qa["A"],
+                           "type": "Co-reference", "ref": ref})
+            if l2:
+                levels["L2"] = l2
         if summary:
             draft = ask_qas(client,
                             prompts.cross_temporal_qa_prompt(summary,
@@ -120,7 +169,7 @@ def generate_video_qas(
                 if ot:
                     levels.setdefault("CR", []).extend(ot[:1])
 
-        for lvl in ("L1", "L3", "L4", "DR", "CR"):
+        for lvl in ("L1", "L2", "L3", "L4", "DR", "CR"):
             history_pairs.extend(levels.get(lvl, []))
 
         out_segments.append({**{k: v for k, v in seg.items()

@@ -19,16 +19,45 @@ JSON_QA_FORMAT = (
 
 
 def basic_qa_prompt(n_questions: int = 5) -> str:
-    """L1: directly-observable facts; L2: add co-reference follow-ups."""
+    """L1: directly-observable facts, each tagged with a class label.
+
+    The reference's first-segment prompt (all_prompt.py:149-157) requires
+    every L1 question to open with one of four bracketed labels; the
+    label later becomes the QA's fine-grained class in the dataset
+    (dialogue_path_construction.py extract_label)."""
     return (
         "You are watching one segment of a longer video, given as "
         "keyframes in order. Write up to "
         f"{n_questions} question-answer pairs about facts a viewer can "
-        "verify directly in THIS segment: attributes, objects, actions, "
-        "on-screen text, counts. Then, where natural, add follow-up "
-        "questions that refer back to an entity from a previous pair "
-        "using a pronoun or definite reference (e.g. 'What is he holding "
-        "now?'). Answers must be short, factual and self-contained. "
+        "verify directly in THIS segment. Start every question with "
+        "exactly one bracketed label naming what it tests:\n"
+        "[Temporal Perception] - when something happens, or before/after "
+        "ordering within the segment\n"
+        "[Attributes] - color, size, position, surroundings of something "
+        "visible\n"
+        "[Actions] - an observable behaviour or movement\n"
+        "[Items] - an object or item in the scene\n"
+        "Answers must be short, factual and self-contained. "
+        + JSON_QA_FORMAT)
+
+
+def coreference_qa_prompt(l1_json: str, n_questions: int = 2) -> str:
+    """L2: pronoun follow-ups, each tied to one L1 pair by id.
+
+    Distinct tagged level per the reference (all_prompt.py:158-166):
+    each question begins '[Co-reference](QA<k>)' where k is the 1-based
+    index of the L1 pair whose entity the pronoun resolves against; the
+    pronoun must only be unambiguous when read together with that pair."""
+    return (
+        "Here are question-answer pairs already written about the "
+        f"current video segment:\n{l1_json}\n\n"
+        f"Write up to {n_questions} follow-up pairs about an entity from "
+        "one of those pairs, referring to it ONLY by a pronoun (he/she/"
+        "it/they) or definite reference, so the question is clear only "
+        "when paired with its source. Begin each question with "
+        "'[Co-reference](QA<k>)' where <k> is the 1-based number of the "
+        "source pair, e.g. '[Co-reference](QA2) What is he holding "
+        "now?'. Answers stay grounded in the current segment. "
         + JSON_QA_FORMAT)
 
 

@@ -21,7 +21,29 @@ DEFAULT_CAPS = {"L1": 5, "L3": 4, "L4": 2}
 
 
 def is_temporal(qa: Dict) -> bool:
+    """Label-driven first (the generation prompt tags L1 QAs with
+    [Temporal Perception]); regex heuristic only for untagged QAs."""
+    t = qa.get("type")
+    if t is not None:
+        return t.replace("-", " ").lower() == "temporal perception"
     return bool(TEMPORAL_RE.search(qa.get("Q", "")))
+
+
+def _remap_l2_refs(qas: Dict, index_map: Dict[int, int]) -> None:
+    """Re-point L2 co-reference ``ref`` indices after their segment's L1
+    list changed; follow-ups whose parent left the segment are dropped
+    (their pronoun no longer resolves)."""
+    if "L2" not in qas:
+        return
+    kept = []
+    for l2 in qas["L2"]:
+        ref = l2.get("ref")
+        if ref in index_map:
+            kept.append(dict(l2, ref=index_map[ref]))
+    if kept:
+        qas["L2"] = kept
+    else:
+        qas.pop("L2")
 
 
 def remix(video: Dict, seed: int = 0) -> Dict:
@@ -39,13 +61,17 @@ def remix(video: Dict, seed: int = 0) -> Dict:
         qas = seg.get("QAs", {})
         for level in ("L1", "L3"):
             keep = []
-            for qa in qas.get(level, []):
+            index_map: Dict[int, int] = {}
+            for i, qa in enumerate(qas.get(level, [])):
                 if is_temporal(qa) and rng.random() < 0.5:
                     moves.append((qa, si, level))
                 else:
+                    index_map[i] = len(keep)
                     keep.append(qa)
             if level in qas:
                 qas[level] = keep
+                if level == "L1":
+                    _remap_l2_refs(qas, index_map)
         for qa in qas.pop("DR", []):
             moves.append((qa, si, "DR"))
 
@@ -69,7 +95,11 @@ def cap_counts(video: Dict, caps: Optional[Dict[str, int]] = None,
         qas = seg.get("QAs", {})
         for level, cap in caps.items():
             if level in qas and len(qas[level]) > cap:
-                qas[level] = rng.sample(qas[level], cap)
+                kept_idx = sorted(rng.sample(range(len(qas[level])), cap))
+                qas[level] = [qas[level][i] for i in kept_idx]
+                if level == "L1":
+                    _remap_l2_refs(qas, {old: new for new, old
+                                         in enumerate(kept_idx)})
     return video
 
 

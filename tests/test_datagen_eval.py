@@ -53,13 +53,18 @@ def test_remix_cap_and_paths(segments_spec, tmp_path):
     streams = dialogue_path.build_streams(video, merged, n_streams=2)
     assert len(streams) == 2
     assert streams[0]["QAs"], "stream should select some QAs"
-    labels = {qa["label"] for qa in streams[0]["QAs"]}
-    assert labels <= {"Basic", "Streaming", "Global"}
+    groups = {aggregate.label_group(qa["label"])
+              for qa in streams[0]["QAs"]}
+    assert groups <= {"Basic", "Streaming", "Global"}
+    # labels are the published "Group/Class" form
+    assert all("/" in qa["label"] for qa in streams[0]["QAs"])
 
     simple = formatting.stream_to_simple("v", streams[0],
                                          video["segments"])
     for i, qa in enumerate(simple["QAs"]):
         assert len(qa["relevance"]) == i
+        # coi is QA-granular: indices into the stream's earlier QAs
+        assert all(0 <= d < i for d in qa["coi"])
 
 
 def test_scoring_resumable(segments_spec, tmp_path):
@@ -207,3 +212,153 @@ def test_cv2_segment_failure_raises(tmp_path):
     with pytest.raises(RuntimeError, match="0 frames"):
         _cv2_segment(path, out, 50.0, 51.0)   # beyond the content
     assert not os.path.exists(out)
+
+
+# ---------------------------------------------------------------------------
+# L2 co-reference level + per-QA chain bookkeeping (ref
+# all_prompt.py:118-178, dialogue_path_construction.py:214-270)
+# ---------------------------------------------------------------------------
+
+
+def test_generation_emits_tagged_l1_and_chained_l2(segments_spec):
+    client = FakeMLLM()
+    video = generation.generate_video_qas(client, segments_spec,
+                                          log=lambda *a: None)
+    seg0 = video["segments"][0]["QAs"]
+    assert seg0["L1"], "L1 pairs expected"
+    # L1 questions carry a parsed class tag, stripped from the text
+    assert all("type" in qa and not qa["Q"].startswith("[")
+               for qa in seg0["L1"])
+    assert seg0.get("L2"), "distinct L2 level expected"
+    for l2 in seg0["L2"]:
+        assert l2["type"] == "Co-reference"
+        assert 0 <= l2["ref"] < len(seg0["L1"])
+
+
+def test_split_label_and_coref_parsers():
+    lab, q = generation.split_label("[Attributes] What color is it?")
+    assert lab == "Attributes" and q == "What color is it?"
+    assert generation.split_label("no tag?") == (None, "no tag?")
+    ref, q = generation.split_coref("[Co-reference](QA2) How did it break?")
+    assert ref == 1 and q == "How did it break?"
+    ref2, _ = generation.split_coref("[Co-reference](3) and bare ids?")
+    assert ref2 == 2
+    assert generation.split_coref("[Attributes] not coref")[0] is None
+
+
+def _chain_fixture():
+    """seg0: L1 A,B; seg1: L3 X <- A (6); seg2: L3 Y <- X (7), Z <- B (6)."""
+    video = {"video": "v", "segments": [
+        {"index": 0, "QAs": {"L1": [
+            {"Q": "qa?", "A": "aa.", "type": "Attributes"},
+            {"Q": "qb?", "A": "ab.", "type": "Items"}]}},
+        {"index": 1, "QAs": {"L3": [{"Q": "qx?", "A": "ax."}]}},
+        {"index": 2, "QAs": {"L3": [{"Q": "qy?", "A": "ay."},
+                                    {"Q": "qz?", "A": "az."}]}},
+    ]}
+    # scoring store: links[cur_seg][qi][prev_seg] = scores over the prev
+    # segment's L1+L3 QAs in order
+    links = {
+        "1": {"0": {"0": [6, 0]}},
+        "2": {"0": {"0": [0, 0], "1": [7]},
+              "1": {"0": [0, 6], "1": [0]}},
+    }
+    return video, links
+
+
+def test_per_qa_chain_lengths_and_boosts():
+    video, links = _chain_fixture()
+    streams = dialogue_path.build_streams(
+        video, links, n_streams=1, k_advanced=2, basic_rate=1.0, seed=0)
+    qas = streams[0]["QAs"]
+    by_q = {qa["QA_pairs"][0]["Q"]: qa for qa in qas}
+    assert set(by_q) == {"qa?", "qb?", "qx?", "qy?", "qz?"}
+    # chain lengths are per QA: within segment 2, Y extends X's chain
+    # (depth 3) while Z starts from B (depth 2) — a per-segment counter
+    # could not distinguish them
+    assert by_q["qa?"]["chain_length"] == 1
+    assert by_q["qb?"]["chain_length"] == 1
+    assert by_q["qx?"]["chain_length"] == 2
+    assert by_q["qy?"]["chain_length"] == 3
+    assert by_q["qz?"]["chain_length"] == 2
+    # QA-granular COI: stream indices of the actual predecessors
+    pos = {qa["QA_pairs"][0]["Q"]: i for i, qa in enumerate(qas)}
+    assert by_q["qx?"]["coi"] == [pos["qa?"]]
+    assert by_q["qy?"]["coi"] == [pos["qx?"]]
+    assert by_q["qz?"]["coi"] == [pos["qb?"]]
+    # relevance vectors mark exactly those predecessors
+    simple = formatting.stream_to_simple("v", streams[0],
+                                         video["segments"])
+    for qa in simple["QAs"]:
+        assert [i for i, r in enumerate(qa["relevance"]) if r] == qa["coi"]
+
+
+def test_chained_l2_follows_its_parent():
+    video = {"video": "v", "segments": [
+        {"index": 0, "QAs": {
+            "L1": [{"Q": "who?", "A": "a man.", "type": "Attributes"}],
+            "L2": [{"Q": "what is he doing?", "A": "walking.",
+                    "type": "Co-reference", "ref": 0}]}},
+    ]}
+    seen_chained = False
+    for seed in range(16):
+        streams = dialogue_path.build_streams(video, {}, n_streams=1,
+                                              basic_rate=1.0, seed=seed)
+        qas = streams[0]["QAs"]
+        l2 = [i for i, qa in enumerate(qas)
+              if qa["class"] == "Co-reference"]
+        if not l2:
+            continue    # coin flip said no this seed
+        seen_chained = True
+        i = l2[0]
+        parent = qas[i - 1]
+        assert parent["QA_pairs"][0]["Q"] == "who?"   # right after parent
+        assert qas[i]["coi"] == [i - 1]               # COI cites parent
+        assert qas[i]["chain_length"] == 2
+        assert qas[i]["label"] == "Basic/Co-reference"
+    assert seen_chained, "no seed chained an L2 in 16 tries"
+
+
+def test_l2_refs_survive_remix_and_caps():
+    l1 = [{"Q": f"q{i}?", "A": f"a{i}.",
+           "type": "Temporal Perception" if i == 1 else "Items"}
+          for i in range(6)]
+    video = {"video": "v", "segments": [
+        {"index": 0, "QAs": {
+            "L1": list(l1),
+            "L2": [{"Q": "l2?", "A": "x.", "type": "Co-reference",
+                    "ref": 4}]}},
+        {"index": 1, "QAs": {"L1": [{"Q": "z?", "A": "z.",
+                                     "type": "Items"}]}},
+    ]}
+    parent_q = video["segments"][0]["QAs"]["L1"][4]["Q"]
+    for seed in range(8):
+        v = reformatting.remix(video, seed=seed)
+        v = reformatting.cap_counts(v, seed=seed)
+        qas = v["segments"][0]["QAs"]
+        for l2 in qas.get("L2", []):
+            assert 0 <= l2["ref"] < len(qas["L1"])
+            # the ref still points at the SAME parent QA
+            assert qas["L1"][l2["ref"]]["Q"] == parent_q
+
+
+def test_remix_moves_tagged_temporal_qas():
+    video = {"video": "v", "segments": [
+        {"index": 0, "QAs": {"L1": [
+            {"Q": "what instant did it happen?", "A": "at 3s.",
+             "type": "Temporal Perception"},
+            {"Q": "color?", "A": "red.", "type": "Attributes"}]}},
+        {"index": 1, "QAs": {"L1": [{"Q": "z?", "A": "z.",
+                                     "type": "Items"}]}},
+    ]}
+    moved = False
+    for seed in range(16):
+        v = reformatting.remix(video, seed=seed)
+        tp = v["segments"][1]["QAs"].get("TP", [])
+        if tp:
+            moved = True
+            assert tp[0]["type"] == "Temporal-Perception"
+            assert tp[0]["source_segment"] == 0
+            # the untagged-attribute QA never moves (label-driven)
+            assert all("color" not in qa["Q"] for qa in tp)
+    assert moved, "tagged temporal QA never moved in 16 seeds"
