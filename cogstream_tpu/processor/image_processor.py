@@ -65,6 +65,7 @@ def smart_resize_single_factor(
     factor: int,
     min_tokens: int,
     max_tokens: int,
+    num_frames_override: Optional[int] = None,
 ) -> List[Tuple[int, int]]:
     """Target (H, W) per item when all items share one merge factor.
 
@@ -72,10 +73,14 @@ def smart_resize_single_factor(
     (image_processing_videollama3.py:93-131): each of the N total frames
     gets an equal share of the global pixel budget; sizes snap to
     multiples of ``factor`` (floor when shrinking, ceil when growing).
+    ``num_frames_override`` budgets against a total larger than the
+    items at hand — chunked ingest sizes every chunk as if the whole
+    window were one batch.
     """
     min_pixels = min_tokens * factor * factor
     max_pixels = max_tokens * factor * factor
-    num_frames_total = sum(_num_frames(it) for it in items)
+    num_frames_total = (num_frames_override if num_frames_override
+                        else sum(_num_frames(it) for it in items))
     out: List[Tuple[int, int]] = []
     for it in items:
         h, w = _frame_hw(_first_frame(it))
@@ -201,11 +206,14 @@ class ImageProcessor:
         modals: Sequence[str],
         merge_sizes: Optional[Sequence[int]] = None,
         raw_uint8: bool = False,
+        target_sizes: Optional[Sequence[Tuple[int, int]]] = None,
     ) -> ImageBatch:
         """``raw_uint8=True`` skips host-side rescale/normalize and
         emits uint8 patch rows — 4x less host->device traffic; the
         vision encoder normalizes on device (models/vision_encoder.py)
-        with identical arithmetic."""
+        with identical arithmetic. ``target_sizes`` pins precomputed
+        (H, W) targets (chunked ingest: one budget for the whole
+        window, identical grids across chunks)."""
         cfg = self.config
         if merge_sizes is None:
             merge_sizes = [
@@ -213,7 +221,9 @@ class ImageProcessor:
                 for m in modals
             ]
         factors = [cfg.patch_size * ms for ms in merge_sizes]
-        if len(set(merge_sizes)) <= 1:
+        if target_sizes is not None:
+            target_sizes = list(target_sizes)
+        elif len(set(merge_sizes)) <= 1:
             target_sizes = smart_resize_single_factor(
                 items, factors[0] if factors else cfg.patch_size,
                 cfg.min_tokens, cfg.max_tokens)

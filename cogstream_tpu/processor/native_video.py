@@ -49,7 +49,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vio_open.argtypes = [ctypes.c_char_p, ctypes.c_double,
                              ctypes.c_int, ctypes.c_int,
                              ctypes.c_double, ctypes.c_double,
-                             ctypes.c_int]
+                             ctypes.c_int, ctypes.c_int]
     lib.vio_next.restype = ctypes.c_int
     lib.vio_next.argtypes = [ctypes.c_void_p,
                              ctypes.POINTER(ctypes.c_uint8)]
@@ -73,7 +73,7 @@ class NativeVideoStream:
 
     def __init__(self, path: str, width: int, height: int,
                  fps: float = 0.0, start: float = 0.0, end: float = 0.0,
-                 ring_frames: int = 16):
+                 ring_frames: int = 16, apply_scale: bool = True):
         lib = _load()
         if lib is None:
             raise RuntimeError("native videoio unavailable")
@@ -82,7 +82,8 @@ class NativeVideoStream:
         self._handle = lib.vio_open(path.encode(), float(fps),
                                     int(width), int(height),
                                     float(start), float(end),
-                                    int(ring_frames))
+                                    int(ring_frames),
+                                    int(bool(apply_scale)))
         if not self._handle:
             raise RuntimeError(f"vio_open failed for {path}")
         self._frame = np.empty((height, width, 3), np.uint8)
@@ -119,10 +120,12 @@ class NativeVideoStream:
 
 def decode_video(path: str, width: int, height: int, fps: float = 0.0,
                  start: float = 0.0, end: float = 0.0,
-                 max_frames: Optional[int] = None) -> np.ndarray:
+                 max_frames: Optional[int] = None,
+                 apply_scale: bool = True) -> np.ndarray:
     """Decode to [T, H, W, 3] uint8 with the native ring pipeline."""
     frames = []
-    stream = NativeVideoStream(path, width, height, fps, start, end)
+    stream = NativeVideoStream(path, width, height, fps, start, end,
+                               apply_scale=apply_scale)
     for frame in stream:
         frames.append(frame)
         if max_frames is not None and len(frames) >= max_frames:

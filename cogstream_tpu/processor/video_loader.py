@@ -97,28 +97,32 @@ def load_video(
     new_w = new_w // size_divisible * size_divisible
     new_h = new_h // size_divisible * size_divisible
 
-    cmd = [_FFMPEG, "-nostdin", "-v", "error"]
-    if do_trim:
-        cmd += ["-ss", str(start_time), "-t", str(duration)]
-    cmd += ["-i", video_path]
+    frames = _decode_native_ring(video_path, new_w, new_h, w, h, fps,
+                                 start_time, duration, do_trim, trim_time)
+    if frames is None:
+        cmd = [_FFMPEG, "-nostdin", "-v", "error"]
+        if do_trim:
+            cmd += ["-ss", str(start_time), "-t", str(duration)]
+        cmd += ["-i", video_path]
 
-    filters = []
-    if trim_time > 0:
-        end = math.floor(duration - trim_time) + trim_time
-        filters.append(f"trim=start={trim_time}:end={end}")
-        filters.append("setpts=PTS-STARTPTS")
-    if fps is not None:
-        filters.append(f"fps=fps={fps}:round=up")
-    if new_w != w or new_h != h:
-        filters.append(f"scale={new_w}:{new_h}")
-    if filters:
-        cmd += ["-vf", ",".join(filters)]
-    cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:"]
+        filters = []
+        if trim_time > 0:
+            end = math.floor(duration - trim_time) + trim_time
+            filters.append(f"trim=start={trim_time}:end={end}")
+            filters.append("setpts=PTS-STARTPTS")
+        if fps is not None:
+            filters.append(f"fps=fps={fps}:round=up")
+        if new_w != w or new_h != h:
+            filters.append(f"scale={new_w}:{new_h}")
+        if filters:
+            cmd += ["-vf", ",".join(filters)]
+        cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:"]
 
-    out = subprocess.run(cmd, capture_output=True, check=True).stdout
-    n = len(out) // (new_h * new_w * 3)
-    frames = np.frombuffer(out[: n * new_h * new_w * 3], np.uint8).reshape(
-        n, new_h, new_w, 3).transpose(0, 3, 1, 2)
+        out = subprocess.run(cmd, capture_output=True, check=True).stdout
+        n = len(out) // (new_h * new_w * 3)
+        frames = np.frombuffer(
+            out[: n * new_h * new_w * 3], np.uint8).reshape(
+            n, new_h, new_w, 3).transpose(0, 3, 1, 2)
 
     if fps is not None:
         timestamps = np.arange(start_time, start_time + duration + 1 / fps,
@@ -143,6 +147,33 @@ def load_video(
                               for i in range(pad))
 
     return frames, timestamps, duration
+
+
+def _decode_native_ring(video_path, new_w, new_h, src_w, src_h, fps,
+                        start_time, duration, do_trim, trim_time):
+    """Decode via the C++ ffmpeg-pipe ring (native/videoio.cpp) when the
+    library is available: the decode thread runs AHEAD of the Python
+    copy loop instead of buffering the whole segment's rawvideo bytes
+    (the decord role, SURVEY.md §2.2 N2). The ring's ffmpeg args mirror
+    this module's subprocess command, so frames are bit-identical.
+    Returns None (→ subprocess fallback) for the trim_time filter, which
+    the ring does not implement."""
+    if trim_time > 0:
+        return None
+    try:
+        from . import native_video
+
+        if not native_video.is_available():
+            return None
+        scale = (new_w != src_w or new_h != src_h)
+        out = native_video.decode_video(
+            video_path, new_w, new_h, fps or 0.0,
+            start_time if do_trim else 0.0,
+            (start_time + duration) if do_trim else 0.0,
+            apply_scale=scale)
+        return out.transpose(0, 3, 1, 2)
+    except Exception:
+        return None
 
 
 def _load_video_cv2(video_path, start_time, end_time, fps, max_frames,

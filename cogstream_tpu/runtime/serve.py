@@ -26,7 +26,7 @@ import argparse
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -160,7 +160,7 @@ class BatchingFrontend:
 class SessionServer:
     def __init__(self, params, cfg, tokenizer, adapters=None,
                  max_len: int = 16384, use_pallas: bool = True,
-                 pool_rows: int = 0):
+                 pool_rows: int = 0, ingest_chunk_frames: int = 16):
         from ..utils.profiling import StageTimer
         from .session import StreamingSession
 
@@ -171,6 +171,10 @@ class SessionServer:
         self.lock = threading.Lock()
         self.timer = StageTimer()
         self.cfg = cfg
+        # frames per chunked-ingest dispatch; the decoder streams ahead
+        # of the TPU encode between dispatches
+        self.ingest_chunk_frames = ingest_chunk_frames
+        self._decode_stats = {"backend": "none", "buffered_max": 0}
         self.pool = None
         self.frontend = None
         self._row_of: Dict[str, int] = {}
@@ -198,9 +202,36 @@ class SessionServer:
                 self.sessions[session_id] = self._mk()
         return {"session_id": session_id}
 
+    def _dispatch_segment(self, session_id: str, sess, proc,
+                          frames: np.ndarray, timestamps: List[float],
+                          target_sizes=None) -> None:
+        """Preprocess one [t,3,H,W] uint8 block and dispatch its ingest
+        (batched frontend / pool / bare session)."""
+        batch = proc([frames], modals=["video"], raw_uint8=True,
+                     target_sizes=target_sizes)
+        t, gh, gw = batch.grid_sizes[0]
+        grid = (int(t), int(gh), int(gw))
+        ms = int(batch.merge_sizes[0])
+        if self.frontend is not None:
+            # concurrent streams' segments coalesce into ONE fused
+            # batched ingest dispatch
+            self.frontend.ingest(self._row_of[session_id],
+                                 batch.pixel_values, grid, ms,
+                                 timestamps)
+        elif self.pool is not None:
+            with self.lock:
+                self.pool.ingest(self._row_of[session_id],
+                                 batch.pixel_values, grid, ms,
+                                 timestamps)
+        else:
+            with self.lock:
+                sess.append_stream_segment(
+                    batch.pixel_values, grid, ms, timestamps)
+
     def ingest(self, session_id: str, video_path: str,
                start: Optional[float], end: Optional[float],
                fps: float = 1.0) -> Dict:
+        from ..processor.frame_stream import open_frame_stream
         from ..processor.image_processor import ImageProcessor
         from ..processor.video_loader import load_video
 
@@ -209,31 +240,57 @@ class SessionServer:
             # only the device dispatch serializes. RAW uint8 rows cost
             # 4x less host->device bandwidth (device-side normalize).
             sess = self._get(session_id)
-            frames, timestamps, _ = load_video(
-                video_path, start_time=start, end_time=end, fps=fps,
-                max_frames=self.cfg.processor.max_frames)
             proc = ImageProcessor(self.cfg.processor)
-            batch = proc([np.stack(frames)], modals=["video"],
-                         raw_uint8=True)
-            t, gh, gw = batch.grid_sizes[0]
-            grid = (int(t), int(gh), int(gw))
-            ms = int(batch.merge_sizes[0])
-            if self.frontend is not None:
-                # concurrent streams' segments coalesce into ONE fused
-                # batched ingest dispatch
-                self.frontend.ingest(self._row_of[session_id],
-                                     batch.pixel_values, grid, ms,
-                                     timestamps)
-            elif self.pool is not None:
-                with self.lock:
-                    self.pool.ingest(self._row_of[session_id],
-                                     batch.pixel_values, grid, ms,
-                                     timestamps)
+            stream = open_frame_stream(
+                video_path, start=start, end=end, fps=fps,
+                chunk_frames=self.ingest_chunk_frames,
+                max_frames=self.cfg.processor.max_frames)
+            if stream is not None:
+                # chunked decode-ahead path: the decoder (native ring /
+                # cv2 thread) runs AHEAD of the per-chunk TPU encode, so
+                # decode overlaps compute. Per-frame stream blocks make
+                # chunked appends serialize identically to one big one;
+                # the resize target pins to the WHOLE window's frame
+                # budget so every chunk shares one grid. (The pixel-diff
+                # keep mask restarts per chunk — each chunk's first
+                # frame keeps all its tokens.)
+                from ..processor.image_processor import (
+                    smart_resize_single_factor)
+
+                target = None
+                with stream:
+                    for chunk, ts in stream:
+                        if target is None:
+                            pc = self.cfg.processor
+                            total = max(stream.total_frames_hint,
+                                        len(chunk))
+                            target = smart_resize_single_factor(
+                                [chunk[0]],
+                                pc.patch_size * pc.video_merge_size,
+                                pc.min_tokens, pc.max_tokens,
+                                num_frames_override=total)
+                        self._dispatch_segment(session_id, sess, proc,
+                                               chunk, ts, target)
+                self._decode_stats = {
+                    "backend": stream.backend,
+                    "buffered_max": stream.buffered_max,
+                }
+                n_frames = stream.frames_seen
             else:
-                with self.lock:
-                    sess.append_stream_segment(
-                        batch.pixel_values, grid, ms, timestamps)
-        return {"frames": len(frames), "cache_tokens": sess.write_index}
+                # buffered fallback: frame dirs, or native needing
+                # post-hoc uniform subsampling
+                frames, timestamps, _ = load_video(
+                    video_path, start_time=start, end_time=end, fps=fps,
+                    max_frames=self.cfg.processor.max_frames)
+                self._dispatch_segment(session_id, sess,
+                                       proc, np.stack(frames),
+                                       timestamps)
+                self._decode_stats = {"backend": "buffered",
+                                      "buffered_max": 0}
+                n_frames = len(frames)
+        return {"frames": n_frames, "cache_tokens": sess.write_index,
+                "decode_backend": self._decode_stats["backend"],
+                "decode_buffered_max": self._decode_stats["buffered_max"]}
 
     def ask(self, session_id: str, question: str, mode: str = "FCC",
             max_new_tokens: int = 512) -> Dict:

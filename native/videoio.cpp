@@ -56,7 +56,8 @@ struct VideoStream {
 
 // Spawn ffmpeg writing rawvideo rgb24 to a pipe we own.
 pid_t spawn_ffmpeg(const char* path, double fps, int width, int height,
-                   double start, double end, int* out_fd) {
+                   double start, double end, int apply_scale,
+                   int* out_fd) {
   int fds[2];
   if (pipe(fds) != 0) return -1;
 
@@ -72,23 +73,26 @@ pid_t spawn_ffmpeg(const char* path, double fps, int width, int height,
     int devnull = open("/dev/null", O_WRONLY);
     if (devnull >= 0) dup2(devnull, STDERR_FILENO);
 
+    // trim + filter args mirror processor/video_loader.load_video's
+    // subprocess command exactly (input-side -ss/-t, fps round=up) so
+    // the ring path is frame-identical to the buffered path
     std::vector<std::string> args = {"ffmpeg", "-nostdin", "-v", "error"};
     char buf[64];
-    if (start > 0) {
-      snprintf(buf, sizeof buf, "%.3f", start);
+    if (end > start || start > 0) {
+      snprintf(buf, sizeof buf, "%.6f", start);
       args.push_back("-ss"); args.push_back(buf);
-    }
-    if (end > start) {
-      snprintf(buf, sizeof buf, "%.3f", end);
-      args.push_back("-to"); args.push_back(buf);
+      if (end > start) {
+        snprintf(buf, sizeof buf, "%.6f", end - start);
+        args.push_back("-t"); args.push_back(buf);
+      }
     }
     args.push_back("-i"); args.push_back(path);
     std::string vf;
     if (fps > 0) {
-      snprintf(buf, sizeof buf, "fps=%.4f", fps);
+      snprintf(buf, sizeof buf, "fps=fps=%.4f:round=up", fps);
       vf = buf;
     }
-    if (width > 0 && height > 0) {
+    if (apply_scale && width > 0 && height > 0) {
       snprintf(buf, sizeof buf, "scale=%d:%d", width, height);
       if (!vf.empty()) vf += ",";
       vf += buf;
@@ -148,9 +152,13 @@ extern "C" {
 
 // Open a decode stream. width/height must be the post-scale dims the
 // caller wants (probe first from Python via ffprobe). fps<=0 keeps the
-// native frame rate. Returns nullptr on failure.
+// native frame rate. apply_scale=0 skips the scale filter (pass the
+// SOURCE dims then — the ring still needs them for frame sizing) so a
+// no-resize decode stays bit-identical to an unfiltered pipe.
+// Returns nullptr on failure.
 void* vio_open(const char* path, double fps, int width, int height,
-               double start, double end, int ring_frames) {
+               double start, double end, int ring_frames,
+               int apply_scale) {
   if (width <= 0 || height <= 0 || ring_frames <= 0) return nullptr;
   auto* vs = new VideoStream();
   vs->width = width;
@@ -160,7 +168,7 @@ void* vio_open(const char* path, double fps, int width, int height,
   vs->ring.data.resize((size_t)ring_frames * vs->ring.frame_bytes);
   vs->ring.filled.assign(ring_frames, 0);
   vs->child = spawn_ffmpeg(path, fps, width, height, start, end,
-                           &vs->pipe_fd);
+                           apply_scale, &vs->pipe_fd);
   if (vs->child < 0) { delete vs; return nullptr; }
   vs->reader = std::thread(reader_main, vs);
   return vs;
