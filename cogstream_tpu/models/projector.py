@@ -44,5 +44,12 @@ def projector_forward(params: Dict, x: jax.Array) -> jax.Array:
     for i, layer in enumerate(layers):
         if i > 0:
             x = jax.nn.gelu(x, approximate=False)
-        x = x @ layer["kernel"].astype(x.dtype) + layer["bias"].astype(x.dtype)
+        kern = layer["kernel"]
+        if isinstance(kern, dict):    # quantized base (ops/quant.py)
+            from ..ops.quant import dequantize
+
+            w = dequantize(kern, x.dtype)
+        else:
+            w = kern.astype(x.dtype)
+        x = x @ w + layer["bias"].astype(x.dtype)
     return x

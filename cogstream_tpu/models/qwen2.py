@@ -126,10 +126,16 @@ def dense(x: jax.Array, p: Dict, lora: Optional[List[Tuple[Dict, jax.Array]]] = 
     inference.
     """
     kern = p["kernel"]
-    if isinstance(kern, dict):  # int8-quantized (ops/quant.py): dequant
-        # fuses into the GEMM prologue — halves weight HBM traffic
-        w = (kern["q"].astype(jnp.float32)
-             * kern["scale"][..., None, :]).astype(x.dtype)
+    if isinstance(kern, dict):  # quantized (ops/quant.py): dequant
+        # fuses into the GEMM prologue — 2x (int8) or 4x (int4/nf4)
+        # less weight HBM traffic
+        if "q4" in kern:
+            from ..ops.quant import dequantize_int4
+
+            w = dequantize_int4(kern, x.dtype)
+        else:
+            w = (kern["q"].astype(jnp.float32)
+                 * kern["scale"][..., None, :]).astype(x.dtype)
     else:
         w = kern.astype(x.dtype)
     y = x @ w

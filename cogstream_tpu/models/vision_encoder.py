@@ -111,7 +111,15 @@ def _layernorm(x, p, eps):
 
 
 def _dense(x, p):
-    return (x @ p["kernel"].astype(x.dtype)) + p["bias"].astype(x.dtype)
+    kern = p["kernel"]
+    if isinstance(kern, dict):   # quantized base (ops/quant.py) — the
+        # dequant fuses into the GEMM prologue
+        from ..ops.quant import dequantize
+
+        w = dequantize(kern, x.dtype)
+    else:
+        w = kern.astype(x.dtype)
+    return (x @ w) + p["bias"].astype(x.dtype)
 
 
 def _attn_block(x, p, angles, segment_ids, cfg, attn_impl):

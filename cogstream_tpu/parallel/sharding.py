@@ -192,9 +192,39 @@ def specs_to_shardings(specs: Any, mesh: Mesh) -> Any:
         specs, is_leaf=lambda x: isinstance(x, P))
 
 
+def adapt_specs_to_quantized(params: Any, specs: Any) -> Any:
+    """Align a spec tree with a (possibly) quantized param tree: where a
+    ``kernel`` leaf became a quantized dict (ops/quant.py), the kernel's
+    P expands onto its components — ``q``/``q4`` keep the [.., din,
+    dout] placement (packed rows shard like rows), scales replicate on
+    the group axis and follow the kernel's output-dim placement."""
+    def walk(pnode, snode):
+        if isinstance(pnode, dict) and isinstance(snode, P):
+            axes = tuple(snode)
+            if len(axes) >= 2:
+                *lead, din_ax, dout_ax = axes
+            else:
+                lead, din_ax, dout_ax = [], None, None
+            if "q4" in pnode:
+                return {"q4": P(*lead, din_ax, dout_ax),
+                        "scale": P(*lead, None, dout_ax)}
+            if "q" in pnode:
+                return {"q": P(*lead, din_ax, dout_ax),
+                        "scale": P(*lead, dout_ax)}
+            return snode
+        if isinstance(pnode, dict) and isinstance(snode, dict):
+            return {k: walk(v, snode[k]) if k in snode else snode.get(k)
+                    for k, v in pnode.items()}
+        if isinstance(pnode, list) and isinstance(snode, list):
+            return [walk(p, s) for p, s in zip(pnode, snode)]
+        return snode
+    return walk(params, specs)
+
+
 def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
     """Place a (host or single-device) pytree onto the mesh per specs."""
-    shardings = specs_to_shardings(specs, mesh)
+    shardings = specs_to_shardings(
+        adapt_specs_to_quantized(params, specs), mesh)
     return jax.tree.map(jax.device_put, params, shardings)
 
 

@@ -91,13 +91,21 @@ def multimodal_loss_fn(
         k0 = k1 = None
         if dropout_rng is not None and dropout_rate > 0.0:
             k0, k1 = jax.random.split(jax.random.fold_in(dropout_rng, 100))
+        def kern(layer, dtype):
+            k = layer["kernel"]
+            if isinstance(k, dict):     # quantized base (ops/quant.py)
+                from ..ops.quant import dequantize
+
+                return dequantize(k, dtype)
+            return k.astype(dtype)
+
         x0 = feats.astype(cfg.text.jnp_dtype)
-        h0 = x0 @ proj_params["layers"][0]["kernel"].astype(x0.dtype) \
+        h0 = x0 @ kern(proj_params["layers"][0], x0.dtype) \
             + proj_params["layers"][0]["bias"].astype(x0.dtype)
         x0a = _adapter_in(x0, dropout_rate, k0)
         h0 = h0 + (x0a @ lp[0]["a"].astype(x0.dtype)) @ lp[0]["b"].astype(x0.dtype) * lora_scale
         x1 = jax.nn.gelu(h0, approximate=False)
-        proj = x1 @ proj_params["layers"][1]["kernel"].astype(x1.dtype) \
+        proj = x1 @ kern(proj_params["layers"][1], x1.dtype) \
             + proj_params["layers"][1]["bias"].astype(x1.dtype)
         x1a = _adapter_in(x1, dropout_rate, k1)
         proj = proj + (x1a @ lp[1]["a"].astype(x1.dtype)) @ lp[1]["b"].astype(x1.dtype) * lora_scale

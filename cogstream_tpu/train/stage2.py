@@ -16,8 +16,9 @@ TPU-native split of labor:
 * device (one jitted program): vision tower → projector (+LoRA) →
   splice → remat'd decoder → masked CE → LoRA grads → optax update
   (train/multimodal.py). DeepSpeed ZeRO-2's optimizer sharding falls
-  out of the GSPMD param specs; NF4 quantization of the frozen base
-  (ref :266-271) is optional int8 via ops/quant.py.
+  out of the GSPMD param specs; the reference's NF4 quantization of the
+  frozen base (ref :266-271) is available via ``--quantize-base nf4``
+  (ops/quant.py; int8/int4 variants too).
 
 Minor-frame pooling is EXACT and differentiable: the host passes the
 discrete pooling plan (``pool_group``/``pool_dst``, from the frozen-
@@ -370,6 +371,12 @@ def main():
     ap.add_argument("--num-epochs", type=int, default=1)
     ap.add_argument("--baseline", action="store_true",
                     help="C14 VideoLLaMA3-style finetune (no modules)")
+    ap.add_argument("--quantize-base", choices=["none", "int8", "nf4",
+                                                "int4"], default="none",
+                    help="freeze the base in quantized form while LoRA "
+                         "trains full precision (the reference's QLoRA "
+                         "recipe, second_stage_training.py:266-271; "
+                         "nf4 is its exact scheme)")
     args = ap.parse_args()
 
     from ..config import load_hf_config
@@ -379,6 +386,13 @@ def main():
 
     cfg = load_hf_config(os.path.join(args.model_dir, "config.json"))
     params = load_cogreasoner_from_hf(args.model_dir, cfg)
+    if args.quantize_base != "none":
+        from ..ops.quant import quantize_tree
+
+        params = quantize_tree(
+            params,
+            bits=8 if args.quantize_base == "int8" else 4,
+            nf4=args.quantize_base != "int4")
     tok = HFTokenizer(args.model_dir)
     processor = CogStreamProcessor(tok, cfg.processor)
     tcfg = Stage2Config(num_epochs=args.num_epochs, baseline=args.baseline)

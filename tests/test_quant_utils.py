@@ -83,3 +83,121 @@ def test_qlora_train_step_on_int8_base(tiny_config):
         state, loss = step(params, state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+# ---------------------------------------------------------------------------
+# 4-bit (int4 / NF4) base quantization — the reference's QLoRA scheme
+# (second_stage_training.py:266-271)
+# ---------------------------------------------------------------------------
+
+
+def test_int4_pack_roundtrip(rng):
+    from cogstream_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    w = jnp.asarray(rng.normal(size=(128, 32)), jnp.float32)
+    qp = quantize_int4(w, group_size=64, nf4=False)
+    assert qp["q4"].shape == (64, 32)       # two values per byte
+    assert qp["q4"].dtype == jnp.int8       # int8 tags the uniform scheme
+    assert qp["scale"].shape == (2, 32)     # one scale per 64-row group
+    back = dequantize_int4(qp, jnp.float32)
+    assert back.shape == w.shape
+    # uniform int4: error bounded by half a quantization step per group
+    step = np.asarray(qp["scale"])
+    err = np.abs(np.asarray(back - w))
+    bound = np.repeat(step, 64, axis=0) * 0.5 + 1e-6
+    assert (err <= bound).all()
+
+
+def test_nf4_beats_uniform_on_gaussian(rng):
+    from cogstream_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    w = jnp.asarray(rng.normal(size=(256, 64)), jnp.float32)
+    rmse = {}
+    for nf4 in (True, False):
+        qp = quantize_int4(w, nf4=nf4)
+        back = dequantize_int4(qp, jnp.float32)
+        rmse[nf4] = float(jnp.sqrt(jnp.mean((back - w) ** 2)))
+    # the NF4 codebook is matched to normal weights (QLoRA's rationale)
+    assert rmse[True] < rmse[False]
+
+
+def test_nf4_codebook_values_exact():
+    from cogstream_tpu.ops.quant import NF4_CODE, quantize_int4
+
+    w = jnp.asarray(np.array(NF4_CODE, np.float32)[:, None])  # [16, 1]
+    qp = quantize_int4(w, group_size=16, nf4=True)
+    from cogstream_tpu.ops.quant import dequantize_int4
+
+    back = dequantize_int4(qp, jnp.float32)
+    # codebook entries quantize to themselves exactly (absmax = 1)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(w),
+                               rtol=0, atol=1e-6)
+
+
+def test_int4_decoder_forward_close(tiny_config, rng):
+    from cogstream_tpu.models import qwen2
+
+    cfg = tiny_config.text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    q4 = quantize_tree(params, bits=4)
+    kern = q4["layers"]["attn"]["q_proj"]["kernel"]
+    assert is_quantized(kern) and "q4" in kern
+    assert kern["q4"].dtype == jnp.uint8    # uint8 tags the NF4 scheme
+    # stacked [L] layout: packed din halves, leading L intact
+    assert kern["q4"].shape[0] == cfg.num_hidden_layers
+    assert kern["q4"].shape[1] == cfg.hidden_size // 2
+
+    ids = jnp.asarray(rng.integers(3, 200, size=(1, 16)))
+    pos = jnp.arange(16, dtype=jnp.int32)[None]
+    h_full, _ = qwen2.qwen2_forward(params, qwen2.embed(params, ids),
+                                    pos, cfg)
+    h_q, _ = qwen2.qwen2_forward(q4, qwen2.embed(q4, ids), pos, cfg)
+    err = np.abs(np.asarray(h_full - h_q)).mean()
+    ref = np.abs(np.asarray(h_full)).mean()
+    # 4-bit base is coarser than int8 (random tiny-init weights are the
+    # worst case — no outlier structure for the codebook to exploit);
+    # usable-for-QLoRA is asserted functionally by the train-step test
+    assert err / ref < 0.25, (err, ref)
+
+
+def test_int4_memory_half_of_int8(tiny_config):
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.ops.quant import quantized_bytes
+
+    cfg = tiny_config.text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    # exclude the (unquantized, dominant at tiny scale) embeddings
+    b8 = quantized_bytes(quantize_tree(params)["layers"])
+    b4 = quantized_bytes(quantize_tree(params, bits=4)["layers"])
+    assert b4 < 0.62 * b8   # ~0.5 + group-scale overhead
+
+
+def test_qlora_train_step_on_nf4_base(tiny_config):
+    """The reference's exact mode: frozen NF4 base + trainable LoRA
+    (second_stage_training.py:266-294)."""
+    from cogstream_tpu.config import LoRAConfig
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.lora import init_qwen2_lora
+    from cogstream_tpu.train.trainer import (
+        bind_text_loss, init_train_state, make_optimizer, make_train_step)
+
+    cfg = tiny_config.text
+    lora_cfg = LoRAConfig(rank=4)
+    params = quantize_tree(
+        qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg), bits=4)
+    lora = init_qwen2_lora(jax.random.PRNGKey(1), cfg, lora_cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 200, size=(2, 24)).astype(np.int32)
+    labels = ids.copy()
+    labels[:, :12] = -100
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels)}
+
+    tx = make_optimizer(5e-2, total_steps=10, warmup_steps=1)
+    step = make_train_step(tx, bind_text_loss(cfg, lora_cfg), donate=False)
+    state = init_train_state(tx, lora)
+    losses = []
+    for _ in range(6):
+        state, loss = step(params, state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

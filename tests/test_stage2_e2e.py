@@ -173,3 +173,39 @@ def test_stage2_baseline_mode(tmp_path, tiny_video):
     ]}]
     losses = train_stage2_video(trainer, processor, tiny_video, segments)
     assert len(losses) == 1 and np.isfinite(losses[0])
+
+
+def test_stage2_curriculum_on_nf4_base(tmp_path, tiny_video):
+    """The reference's QLoRA mode end-to-end: the whole frozen base
+    (decoder + vision tower + projector) quantized NF4 while LoRA
+    trains (second_stage_training.py:266-294)."""
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.ops.quant import is_quantized, quantize_tree
+    from cogstream_tpu.processor.processing import CogStreamProcessor
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.train.stage2 import (
+        Stage2Config, Stage2Trainer, train_stage2_video)
+
+    cfg = CogReasonerConfig.tiny()
+    params = quantize_tree(
+        init_cogreasoner_params(jax.random.PRNGKey(0), cfg), bits=4)
+    assert is_quantized(
+        params["text"]["layers"]["attn"]["q_proj"]["kernel"])
+    assert is_quantized(params["vision"]["layers"][0]["mlp"]["fc1"]["kernel"])
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    processor = CogStreamProcessor(tok, cfg.processor)
+
+    tcfg = Stage2Config(max_seq_len=2048, max_frames=4, grad_accum=1,
+                        save_every=10_000, fps=1)
+    trainer = Stage2Trainer(params, cfg, tok, tcfg,
+                            str(tmp_path / "s2q"), log=lambda *a: None)
+    segments = [
+        {"timestamp": [0.0, 2.0], "QAs": [
+            {"QA_pairs": [{"Q": "what is shown?", "A": "noise."}],
+             "relevance": [], "is_visual": True},
+        ]},
+    ]
+    losses = train_stage2_video(trainer, processor, tiny_video, segments)
+    assert len(losses) == 1 and np.isfinite(losses[0])
+    trainer.finish()
