@@ -426,7 +426,8 @@ def _sect(fn, *args, retries=2):
         except Exception as e:
             last = e
             if attempt + 1 < retries:
-                time.sleep(20)
+                # a crashed worker can take minutes to come back
+                time.sleep(90 if "UNAVAILABLE" in repr(e) else 20)
     return None, last
 
 
@@ -472,16 +473,6 @@ def main():
         })
     else:
         extras["session_bench_error"] = repr(err)[:300]
-    r, err = _sect(bench_ingest_overlap, on_tpu)
-    if r is not None:
-        backend, buffered_max, ing_fps = r
-        extras.update({
-            "ingest_decode_backend": backend,
-            "ingest_decode_buffered_max": buffered_max,
-            "ingest_e2e_fps": round(ing_fps, 1),
-        })
-    else:
-        extras["ingest_overlap_bench_error"] = repr(err)[:300]
     r, err = _sect(bench_pool, full, on_tpu)
     if r is not None:
         extras["pooled_decode_tok_s_b4"] = round(r[0], 1)
@@ -505,6 +496,20 @@ def main():
                        "kmeans_s": round(r[1], 4)})
     else:
         extras["preprocess_bench_error"] = repr(err)[:300]
+    # LAST: this section has intermittently crashed the axon worker
+    # (UNAVAILABLE: worker process crashed or restarted) — running it
+    # after everything else keeps one flaky restart from zeroing the
+    # rest of the artifact
+    r, err = _sect(bench_ingest_overlap, on_tpu)
+    if r is not None:
+        backend, buffered_max, ing_fps = r
+        extras.update({
+            "ingest_decode_backend": backend,
+            "ingest_decode_buffered_max": buffered_max,
+            "ingest_e2e_fps": round(ing_fps, 1),
+        })
+    else:
+        extras["ingest_overlap_bench_error"] = repr(err)[:300]
 
     out = {
         "metric": "encoder_frames_per_sec_per_chip",

@@ -154,3 +154,32 @@ def test_serving_ingest_through_chunked_stream(clip):
     img2 = sum(r.end - r.start for r in sess2.ranges
                if r.kind == "shadow")
     assert img1 == img2      # same frame count ingested
+
+
+def test_pooled_serving_ingest_through_chunked_stream(clip):
+    """Pooled rows ingest through the chunked stream too: each chunk
+    rides the batching frontend into the fused pool dispatch."""
+    import jax
+
+    from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.serve import SessionServer
+
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    server = SessionServer(params, cfg, tok, max_len=2048,
+                           use_pallas=False, pool_rows=2,
+                           ingest_chunk_frames=3)
+    server.create("p1")
+    r = server.ingest("p1", clip, start=0.0, end=5.0, fps=1.0)
+    assert r["frames"] == 5
+    assert r["cache_tokens"] > 0
+    assert r["decode_backend"] in ("cv2-thread", "native-ring")
+    out = server.ask("p1", "anything?", mode="AC", max_new_tokens=4)
+    assert "text" in out
+    # the collector thread is a daemon; it dies with the process
