@@ -269,7 +269,17 @@ def bench_7b_quantized(bits: int = 8):
                                eos_id=-1, temperature=0.0)
 
     dt = _median_time(run, iters=2, warmup=1)
-    return NEW / dt
+
+    @jax.jit
+    def pf(params, emb, positions):
+        cache = init_kv_cache(cfg, 1, S + NEW)
+        hidden, _ = qwen2.qwen2_forward(params, emb, positions, cfg,
+                                        cache=cache)
+        return hidden[:, -1]
+
+    dt_p = _median_time(lambda: pf(params, emb, positions),
+                        iters=2, warmup=1)
+    return NEW / dt, S / dt_p
 
 
 def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
@@ -482,12 +492,14 @@ def main():
     if on_tpu:
         r, err = _sect(bench_7b_quantized, 8)
         if r is not None:
-            extras["int8_7b_decode_tok_s"] = round(r, 2)
+            extras["int8_7b_decode_tok_s"] = round(r[0], 2)
+            extras["int8_7b_prefill_tok_s"] = round(r[1], 1)
         else:
             extras["int8_7b_bench_error"] = repr(err)[:300]
         r, err = _sect(bench_7b_quantized, 4)
         if r is not None:
-            extras["int4_7b_decode_tok_s"] = round(r, 2)
+            extras["int4_7b_decode_tok_s"] = round(r[0], 2)
+            extras["int4_7b_prefill_tok_s"] = round(r[1], 1)
         else:
             extras["int4_7b_bench_error"] = repr(err)[:300]
     r, err = _sect(bench_preprocess)
