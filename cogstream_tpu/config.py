@@ -233,6 +233,53 @@ def cogreasoner_config_from_json(text: str) -> CogReasonerConfig:
     )
 
 
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Decode-sampling defaults (the reference checkpoint ships
+    model/generation_config.json: do_sample temperature 0.7, top_k 20,
+    top_p 0.8, repetition_penalty 1.05 — HF generate applies these to
+    every production answer, answer_generate.py:75)."""
+
+    do_sample: bool = True
+    temperature: float = 0.7
+    top_k: int = 20
+    top_p: float = 0.8
+    repetition_penalty: float = 1.05
+    eos_token_ids: tuple = (151645, 151643)
+
+    @property
+    def sampling_kwargs(self) -> dict:
+        """kwargs for runtime.generate.generate_tokens / session.ask."""
+        if not self.do_sample:
+            return {"temperature": 0.0}
+        return {"temperature": self.temperature, "top_p": self.top_p,
+                "top_k": self.top_k,
+                "repetition_penalty": self.repetition_penalty}
+
+
+def load_generation_config(model_dir: str) -> GenerationConfig:
+    """generation_config.json → GenerationConfig (defaults above when
+    the file is absent)."""
+    import os
+
+    path = os.path.join(model_dir, "generation_config.json")
+    if not os.path.exists(path):
+        return GenerationConfig()
+    with open(path) as f:
+        d = json.load(f)
+    eos = d.get("eos_token_id", [151645, 151643])
+    if isinstance(eos, int):
+        eos = [eos]
+    return GenerationConfig(
+        do_sample=bool(d.get("do_sample", True)),
+        temperature=float(d.get("temperature", 1.0)),
+        top_k=int(d.get("top_k", 0) or 0),
+        top_p=float(d.get("top_p", 1.0)),
+        repetition_penalty=float(d.get("repetition_penalty", 1.0)),
+        eos_token_ids=tuple(eos),
+    )
+
+
 def load_processor_config(model_dir: str) -> ProcessorConfig:
     """Merge preprocessor_config.json + processor_config.json from a HF
     checkpoint dir into a ProcessorConfig (the reference's two-file

@@ -148,6 +148,7 @@ def generate_for_video(
     fps: int = 1,
     max_frames: int = 180,
     video_role: str = "stream",
+    sampling: dict = None,
     log=print,
 ) -> Dict:
     """Stream one video's dialogue; returns the per-video result dict.
@@ -190,7 +191,7 @@ def generate_for_video(
                 }
             turn = engine.chat(conversation, mode=mode,
                                max_new_tokens=max_new_tokens,
-                               **gt_kwargs)
+                               **(sampling or {}), **gt_kwargs)
             dt = time.time() - t0
             _, pred_coi = parse_selection(turn.selection)
             results.append({
@@ -221,6 +222,7 @@ def generate_for_video_streaming(
     segments: Sequence[dict],
     mode: str = "FCC",
     max_new_tokens: int = 512,
+    sampling: dict = None,
     log=print,
 ) -> Dict:
     """Streaming-session variant (BASELINE.md config 5): one KV-reusing
@@ -258,7 +260,8 @@ def generate_for_video_streaming(
                 else qa.get("QA_pairs", qa)
             q = pair.get("Q", "")
             t0 = time.time()
-            r = sess.ask(q, mode=mode, max_new_tokens=max_new_tokens)
+            r = sess.ask(q, mode=mode, max_new_tokens=max_new_tokens,
+                         **(sampling or {}))
             dt = time.time() - t0
             _, pred_coi = parse_selection(r["selection"])
             results.append({
@@ -292,6 +295,7 @@ def run_eval(
     session_factory=None,          # set → streaming KV-reuse path
     processor_cfg=None,
     video_role: str = "stream",
+    sampling: dict = None,
     log=print,
 ) -> None:
     import jax
@@ -316,11 +320,12 @@ def run_eval(
             if session_factory is not None:
                 result = generate_for_video_streaming(
                     session_factory, processor_cfg, video,
-                    spec.get("segments", []), mode=mode)
+                    spec.get("segments", []), mode=mode,
+                    sampling=sampling)
             else:
                 result = generate_for_video(
                     engine, processor, video, spec.get("segments", []),
-                    mode=mode, video_role=video_role)
+                    mode=mode, video_role=video_role, sampling=sampling)
             atomic_write_json(out_path, result, indent=1)
             lat = [q["latency_s"] for q in result["QAs"]]
             log(f"{fname}: {len(lat)} turns, p50 latency "
@@ -346,6 +351,13 @@ def main():
                     help="'user' folds each segment's video into its "
                          "first question turn — byte-parity with the "
                          "reference eval serialization")
+    ap.add_argument("--sampling", default="greedy",
+                    choices=["greedy", "config"],
+                    help="'config' decodes with the checkpoint's "
+                         "generation_config.json (the reference's "
+                         "production sampling: temperature 0.7, top_k "
+                         "20, top_p 0.8, repetition_penalty 1.05); "
+                         "'greedy' is deterministic")
     args = ap.parse_args()
 
     from ..config import load_hf_config
@@ -372,10 +384,15 @@ def main():
         def session_factory():
             return StreamingSession(params, cfg, tok, adapters=adapters,
                                     use_pallas=True)
+    sampling = None
+    if args.sampling == "config":
+        from ..config import load_generation_config
+
+        sampling = load_generation_config(args.model_dir).sampling_kwargs
     run_eval(engine, processor, args.video_dir, args.query_dir,
              args.save_dir, mode=args.mode,
              session_factory=session_factory, processor_cfg=cfg.processor,
-             video_role=args.video_role)
+             video_role=args.video_role, sampling=sampling)
 
 
 if __name__ == "__main__":

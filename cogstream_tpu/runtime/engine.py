@@ -158,6 +158,8 @@ class CogReasonerEngine:
         max_new_tokens: int = 1024,
         temperature: float = 0.0,
         top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
     ) -> TurnResult:
         embeds, positions, last_index = self.prepare_multimodal(
             out, sel.input_ids, sel.if_visual)
@@ -168,13 +170,23 @@ class CogReasonerEngine:
             tree = full["text"] if "text" in full else full
             adapters = [(tree, jnp.float32(1.0))]
 
+        # repetition-penalty context = the full (rewritten) conversation
+        # ids, exactly HF generate's input_ids (the reference decodes
+        # with penalty 1.05 from generation_config.json)
+        pen_ids = None
+        if repetition_penalty != 1.0:
+            pen_ids = jnp.asarray(
+                np.asarray(sel.input_ids, np.int32))[None]
+
         cache = init_kv_cache(
             self.cfg.text, 1, embeds.shape[1] + max_new_tokens)
         result = generate_tokens(
             self.params["text"], embeds, positions, last_index, cache,
             self._next_key(), self.cfg.text, max_new_tokens,
             self.tokenizer.eos_token_id, temperature=temperature,
-            top_p=top_p, adapters=adapters)
+            top_p=top_p, top_k=top_k,
+            repetition_penalty=repetition_penalty, penalty_ids=pen_ids,
+            adapters=adapters)
         text = decode_new_tokens(result.tokens, result.num_tokens,
                                  self.tokenizer)
         return TurnResult(text, sel.selection, sel.if_visual,
@@ -188,6 +200,9 @@ class CogReasonerEngine:
         mode: str = "FCC",
         max_new_tokens: int = 1024,
         temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
         select_gt=None,
         if_visual=None,
     ) -> TurnResult:
@@ -196,4 +211,6 @@ class CogReasonerEngine:
         sel = self.qa_selection(out, mode=mode, select_gt=select_gt,
                                 if_visual=if_visual)
         return self.generate(out, sel, max_new_tokens=max_new_tokens,
-                             temperature=temperature)
+                             temperature=temperature, top_p=top_p,
+                             top_k=top_k,
+                             repetition_penalty=repetition_penalty)

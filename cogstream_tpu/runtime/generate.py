@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..config import Qwen2Config
 from ..models import qwen2
 from ..models.qwen2 import KVCache
-from .sampling import sample_token
+from .sampling import apply_repetition_penalty, sample_token
 
 PAD_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
 
@@ -43,7 +43,8 @@ class GenerateResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
-                     "eos_id", "lora_scale", "kv_window"),
+                     "top_k", "repetition_penalty", "eos_id",
+                     "lora_scale", "kv_window"),
     donate_argnums=(4,),   # cache: update in place, never copy the
                            # whole KV tensor (callers always rebind)
 )
@@ -59,6 +60,9 @@ def generate_tokens(
     eos_id: int,
     temperature: float = 0.0,
     top_p: float = 1.0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    penalty_ids: Optional[jax.Array] = None,  # [B, S] ctx ids (-1 pad)
     vocab_mask: Optional[jax.Array] = None,
     adapters=None,
     lora_scale: float = 2.0,
@@ -109,7 +113,25 @@ def generate_tokens(
         hidden, last_index[:, None, None].astype(jnp.int32), axis=1)  # [B,1,H]
     logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
     key, sk = jax.random.split(key)
-    first_tok = sample_token(logits, sk, temperature, top_p, vocab_mask)
+    # repetition penalty (HF generation_config parity): a [B, vocab]
+    # presence mask of context + generated-so-far tokens, updated in
+    # the decode carry. Skipped entirely (no [B, V] state) at 1.0.
+    use_pen = repetition_penalty != 1.0
+    V = logits.shape[-1]
+    if use_pen:
+        ids_src = (penalty_ids if penalty_ids is not None
+                   else jnp.zeros((B, 0), jnp.int32))
+        clip = jnp.where(ids_src >= 0, ids_src, V)   # pads drop
+        seen0 = jnp.zeros((B, V), jnp.bool_).at[
+            jnp.arange(B)[:, None], clip].set(True, mode="drop")
+        logits = apply_repetition_penalty(logits, seen0,
+                                          repetition_penalty)
+    else:
+        seen0 = jnp.zeros((B, 1), jnp.bool_)         # dummy carry leaf
+    first_tok = sample_token(logits, sk, temperature, top_p, vocab_mask,
+                             top_k=top_k)
+    if use_pen:
+        seen0 = seen0.at[jnp.arange(B), first_tok].set(True)
     first_pos = jnp.take_along_axis(positions, last_index[:, None], axis=1)[:, 0] + 1
 
     tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
@@ -158,6 +180,7 @@ def generate_tokens(
         pos: jax.Array       # [B] its position
         done: jax.Array      # [B]
         key: jax.Array
+        seen: jax.Array      # [B, V] ctx presence (dummy [B,1] if off)
 
     def cond(c: Carry):
         return (c.i < max_new_tokens) & (~jnp.all(c.done))
@@ -179,16 +202,23 @@ def generate_tokens(
                 kv_allowed=kv_allowed)
         logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)[:, 0]
         key, sk = jax.random.split(c.key)
-        nxt = sample_token(logits, sk, temperature, top_p, vocab_mask)
+        if use_pen:
+            logits = apply_repetition_penalty(logits, c.seen,
+                                              repetition_penalty)
+        nxt = sample_token(logits, sk, temperature, top_p, vocab_mask,
+                           top_k=top_k)
         nxt = jnp.where(c.done, eos_id, nxt)
+        seen = (c.seen.at[jnp.arange(B), nxt].set(True)
+                if use_pen else c.seen)
         tokens = jax.lax.dynamic_update_slice(
             c.tokens, nxt[:, None], (0, c.i))
         done = c.done | (nxt == eos_id)
-        return Carry(c.i + 1, cache2, tokens, nxt, c.pos + 1, done, key)
+        return Carry(c.i + 1, cache2, tokens, nxt, c.pos + 1, done, key,
+                     seen)
 
     init = Carry(jnp.asarray(1, jnp.int32), side0 if pooled else cache,
                  tokens0, first_tok, first_pos.astype(jnp.int32),
-                 done0, key)
+                 done0, key, seen0)
     final = jax.lax.while_loop(cond, body, init)
 
     num = jnp.sum(

@@ -933,6 +933,9 @@ class StreamingSession:
         mode: str = "FCC",
         max_new_tokens: int = 512,
         temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
     ) -> Dict:
         turn = len(self.hist_qs)
         if mode == "FCC" and self.hist_qs:
@@ -968,7 +971,14 @@ class StreamingSession:
             self.params["text"], emb, positions,
             jnp.asarray([S - 1], jnp.int32), self.cache, self._next_key(),
             self.cfg.text, max_new_tokens, self.tok.eos_token_id,
-            temperature=temperature, adapters=self._full_adapters(),
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            # penalty context: this turn's prompt ids (history K/V lives
+            # in cache; the parity engine passes the full conversation)
+            penalty_ids=(jnp.asarray(
+                np.where(np.arange(Sp) < S, ids_pad, -1))[None]
+                if repetition_penalty != 1.0 else None),
+            adapters=self._full_adapters(),
             kv_allowed=jnp.asarray(allowed)[None],
             write_slots=self._row_slots(start, S, Sp),
             cache_rows=self._cache_rows(),

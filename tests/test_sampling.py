@@ -1,0 +1,127 @@
+"""Sampling parity with the reference's generation_config.json decode:
+top-k warper, HF repetition-penalty semantics, config loader, and the
+session/engine plumbing."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cogstream_tpu.runtime.sampling import (
+    apply_repetition_penalty, sample_token)
+
+
+def test_repetition_penalty_hf_semantics():
+    logits = jnp.asarray([[2.0, -2.0, 1.0, -1.0]])
+    seen = jnp.asarray([[True, True, False, False]])
+    out = apply_repetition_penalty(logits, seen, 2.0)
+    # positive seen logits divide, negative multiply, unseen unchanged
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               [1.0, -4.0, 1.0, -1.0])
+
+
+def test_top_k_one_is_greedy():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+    greedy = sample_token(logits, jax.random.PRNGKey(0), temperature=0.0)
+    topk1 = sample_token(logits, jax.random.PRNGKey(1), temperature=0.9,
+                         top_k=1)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(topk1))
+
+
+def test_top_k_restricts_support():
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0] + [-10.0] * 11])
+    seen_ids = set()
+    for i in range(40):
+        tok = int(sample_token(logits, jax.random.PRNGKey(i),
+                               temperature=2.0, top_k=3)[0])
+        seen_ids.add(tok)
+    assert seen_ids <= {2, 3, 4}   # only the top 3 ever sampled
+
+
+def test_generation_config_loader(tmp_path):
+    from cogstream_tpu.config import load_generation_config
+
+    d = tmp_path / "m"
+    d.mkdir()
+    with open(d / "generation_config.json", "w") as f:
+        json.dump({"do_sample": True, "temperature": 0.7, "top_k": 20,
+                   "top_p": 0.8, "repetition_penalty": 1.05,
+                   "eos_token_id": [151645, 151643]}, f)
+    gc = load_generation_config(str(d))
+    assert gc.sampling_kwargs == {"temperature": 0.7, "top_p": 0.8,
+                                  "top_k": 20,
+                                  "repetition_penalty": 1.05}
+    # greedy when do_sample is false
+    with open(d / "generation_config.json", "w") as f:
+        json.dump({"do_sample": False, "temperature": 0.7}, f)
+    assert load_generation_config(str(d)).sampling_kwargs == {
+        "temperature": 0.0}
+    # absent file → reference defaults
+    assert load_generation_config(str(tmp_path)).top_k == 20
+
+
+def test_generate_tokens_repetition_penalty_blocks_repeats(tiny_config):
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens
+
+    cfg = tiny_config.text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    S, NEW = 8, 12
+    ids = rng.integers(3, 200, size=(1, S)).astype(np.int32)
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    pos = jnp.asarray(np.arange(S, dtype=np.int32)[None])
+    last = jnp.asarray([S - 1], jnp.int32)
+
+    def run(pen):
+        cache = init_kv_cache(cfg, 1, S + NEW)
+        r = generate_tokens(
+            params, emb, pos, last, cache, jax.random.PRNGKey(0), cfg,
+            NEW, eos_id=-1, temperature=0.0, repetition_penalty=pen,
+            penalty_ids=jnp.asarray(ids))
+        return np.asarray(r.tokens)[0]
+
+    free = run(1.0)
+    hard = run(1e6)
+    # an extreme penalty forbids any token from appearing twice
+    # (including the prompt's tokens); greedy tiny-random models repeat
+    assert len(set(hard.tolist())) == NEW
+    assert not (set(hard.tolist()) & set(ids[0].tolist()))
+    # the penalty actually changed the trajectory
+    assert not np.array_equal(free, hard) or len(set(free.tolist())) == NEW
+
+
+def test_session_ask_sampling_args(tiny_config):
+    """top_k=1 sampling decodes identically to greedy through the
+    session path (plumbing check for ask's new sampling params)."""
+    import dataclasses
+
+    from cogstream_tpu.config import CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg = dataclasses.replace(
+        tiny_config, compression=CompressionConfig(
+            frames_per_event=2, keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+
+    outs = []
+    for kwargs in ({}, {"temperature": 0.8, "top_k": 1}):
+        sess = StreamingSession(params, cfg, tok, max_len=1024,
+                                use_pallas=False)
+        outs.append(sess.ask("hello there?", mode="AC",
+                             max_new_tokens=8, **kwargs)["text"])
+    assert outs[0] == outs[1]
+
+    # repetition-penalty plumbing: runs and returns text
+    sess = StreamingSession(params, cfg, tok, max_len=1024,
+                            use_pallas=False)
+    r = sess.ask("hello there?", mode="AC", max_new_tokens=8,
+                 repetition_penalty=1.05)
+    assert isinstance(r["text"], str)
