@@ -129,16 +129,11 @@ def dense(x: jax.Array, p: Dict, lora: Optional[List[Tuple[Dict, jax.Array]]] = 
     if isinstance(kern, dict):  # quantized (ops/quant.py): dequant
         # fuses into the GEMM prologue — 2x (int8) or 4x (int4/nf4)
         # less weight HBM traffic
-        if "q4" in kern:
-            from ..ops.quant import dequantize_int4
+        from ..ops.quant import quantized_matmul
 
-            w = dequantize_int4(kern, x.dtype)
-        else:
-            w = (kern["q"].astype(jnp.float32)
-                 * kern["scale"][..., None, :]).astype(x.dtype)
+        y = quantized_matmul(x, kern, x.dtype)
     else:
-        w = kern.astype(x.dtype)
-    y = x @ w
+        y = x @ kern.astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     if lora:

@@ -2,28 +2,48 @@
 reference's NF4 base quantization (bitsandbytes,
 second_stage_training.py:266-271, SURVEY.md §2.2 N5).
 
-Three schemes, all dequantized on the fly inside the matmul input cast
-(XLA fuses the dequant into the GEMM prologue, so quantized layers
-read 2-4x less HBM — the actual bottleneck — at negligible MXU cost):
+Three schemes. All are designed so the dequant fuses into the consumer
+GEMM under jit — quantized layers read 2-4x less HBM (decode's actual
+bottleneck) at negligible MXU cost:
 
 - **int8**: symmetric per-output-channel, ``scale = max|w| / 127``.
   ``{"q": int8 [..., din, dout], "scale": f32 [..., dout]}``.
-- **int4**: symmetric group-wise (group_size rows of din share a
-  scale, default 64 like bitsandbytes' blocksize), two values packed
-  per byte along din. ``{"q4": int8 [..., din/2, dout], "scale":
+- **int4**: symmetric group-wise (``group_size`` rows of din share a
+  scale, default 64 like bitsandbytes' blocksize). Two values packed
+  per byte along din in a SPLIT-HALVES layout: the low nibble of
+  packed row ``p`` holds original row ``p``, the high nibble holds row
+  ``p + din/2``. ``{"q4": [..., din/2, dout], "scale":
   f32 [..., din/G, dout]}``.
-- **nf4**: the QLoRA 16-entry normal-quantile codebook with group-wise
-  absmax — the reference's exact scheme. Same packed layout; the
-  scheme rides the packed dtype (``uint8`` = NF4 codebook indices,
-  ``int8`` = uniform two's-complement nibbles) so quantized trees stay
-  plain array pytrees that scan/jit like the bf16 originals.
+- **nf4**: a 4-bit codebook with the reference's NF4 shape (the 16
+  N(0,1) quantiles) and group-wise absmax. The codebook is the
+  degree-7 polynomial fit through the canonical NF4 points (max
+  deviation 0.0022 ≈ bf16 rounding), so dequantization is seven fused
+  multiply-adds on the VPU instead of a 16-entry table gather — XLA
+  cannot fuse a gather into a matmul operand, and a materialized
+  dequant costs more HBM than it saves (measured 26x slower decode).
+  Quantization snaps to the polynomial's own values, so pack→unpack is
+  exact.
+
+Why split halves instead of interleaved even/odd rows: the consumer
+matmul becomes ``x_lo @ W_lo + x_hi @ W_hi`` where each half's unpack
+is a pure elementwise shift — no stack/reshape in the graph between
+the loaded bytes and the dot operand, which is the difference between
+XLA fusing the dequant into the GEMM prologue and materializing a
+full-precision copy of the weights.
+
+The packed dtype tags the scheme (``uint8`` = NF4 codebook indices
+0..15, ``int8`` = uniform two's-complement nibbles), so quantized
+trees stay plain array pytrees that scan/jit/shard like the bf16
+originals (parallel/sharding.py maps ``q4``/``scale`` to the same
+PartitionSpec axes as the kernel they replace).
 
 The 8-bit optimizer (AdamW8bit, ref :303) is unnecessary here:
 optimizer state shards across the mesh with the params (ZeRO-3-like
 placement falls out of GSPMD specs).
 
 Quantized kernels ride the same pytrees (incl. the stacked [L] decoder
-layout); ``models.qwen2.dense`` consumes every form.
+layout); ``models.qwen2.dense`` consumes every form via
+``quantized_matmul``.
 """
 
 from __future__ import annotations
@@ -32,6 +52,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # QLoRA's NF4 codebook: the 16 quantiles of N(0,1) scaled to [-1, 1]
 # (public constants from the QLoRA paper / bitsandbytes).
@@ -41,6 +62,39 @@ NF4_CODE = (
     -0.09105003625154495, 0.0, 0.07958029955625534,
     0.16093020141124725, 0.24611230194568634, 0.33791524171829224,
     0.44070982933044434, 0.5626170039176941, 0.7229568362236023, 1.0)
+
+# Degree-7 fit of NF4_CODE over nibble index u ∈ [0, 15], constrained
+# to hit ±1 exactly at the endpoints so absmax round-trips exactly:
+# p(u) = line(u) + u(u-15)·q(u) with q degree-5 least-squares
+# (computed once at import; deterministic). POLY_NF4_CODE — the
+# codebook actually stored/dequantized — deviates from canonical NF4
+# by at most 2.2e-3, far below the codebook's own minimum level
+# spacing (0.08), i.e. NF4 to within bf16 precision.
+def _fit_nf4_poly():
+    u = np.arange(16, dtype=np.float64)
+    nf4 = np.asarray(NF4_CODE, np.float64)
+    line = -1.0 + (2.0 / 15.0) * u
+    w = u * (u - 15.0)
+    basis = np.stack([w * u ** k for k in range(6)], axis=1)
+    coef, *_ = np.linalg.lstsq(basis, nf4 - line, rcond=None)
+    import numpy.polynomial.polynomial as npp
+    full = npp.polyadd(np.array([-1.0, 2.0 / 15.0]),
+                       npp.polymul(np.array([0.0, -15.0, 1.0]), coef))
+    return full[::-1]                       # descending, for Horner
+
+
+_NF4_POLY = _fit_nf4_poly()
+POLY_NF4_CODE = tuple(
+    np.polyval(_NF4_POLY, np.arange(16)).tolist())
+
+
+def _nf4_poly_eval(u: jax.Array) -> jax.Array:
+    """Horner evaluation of the polynomial codebook at u ∈ [0, 15]
+    (f32). Seven FMAs — fuses into the consumer GEMM's operand."""
+    acc = jnp.full(u.shape, np.float32(_NF4_POLY[0]))
+    for c in _NF4_POLY[1:]:
+        acc = acc * u + np.float32(c)
+    return acc
 
 
 def quantize_int8(w: jax.Array) -> Dict[str, jax.Array]:
@@ -65,20 +119,36 @@ def _group(w: jax.Array, group_size: int):
     return w.reshape(*lead, din // group_size, group_size, dout)
 
 
-def _pack_nibbles(q: jax.Array) -> jax.Array:
-    """[..., din, dout] 4-bit values → [..., din/2, dout] bytes (even
-    row in the low nibble, odd row in the high nibble)."""
-    lo = q[..., 0::2, :].astype(jnp.uint8) & 0xF
-    hi = q[..., 1::2, :].astype(jnp.uint8) & 0xF
+def _pack_split(vals: jax.Array) -> jax.Array:
+    """[..., din, dout] 4-bit values (low 4 bits significant) →
+    [..., din/2, dout] bytes. Split-halves layout: row p of the packed
+    array holds original row ``p`` in the low nibble and row
+    ``p + din/2`` in the high nibble."""
+    *lead, din, dout = vals.shape
+    lo = vals[..., : din // 2, :].astype(jnp.uint8) & 0xF
+    hi = vals[..., din // 2:, :].astype(jnp.uint8) & 0xF
     return (lo | (hi << 4)).astype(jnp.uint8)
 
 
-def _unpack_nibbles(p: jax.Array) -> jax.Array:
-    """Inverse of _pack_nibbles → unsigned 0..15 per nibble."""
-    lo = p & 0xF
-    hi = p >> 4
-    *lead, half, dout = p.shape
-    return jnp.stack([lo, hi], axis=-2).reshape(*lead, half * 2, dout)
+def _unpack_halves(packed: jax.Array):
+    """packed bytes → (lo_half, hi_half) nibble arrays, each
+    [..., din/2, dout]. ``int8`` input yields sign-extended
+    two's-complement values in [-8, 7]; ``uint8`` yields codebook
+    indices in [0, 15]. Pure elementwise shifts — fuses."""
+    if packed.dtype == jnp.int8:
+        lo = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(packed, jnp.int8(4)), jnp.int8(4))
+        hi = jax.lax.shift_right_arithmetic(packed, jnp.int8(4))
+    else:
+        lo = packed & jnp.uint8(0xF)
+        hi = packed >> jnp.uint8(4)
+    return lo, hi
+
+
+def _unpack_nibbles(packed: jax.Array) -> jax.Array:
+    """Full [..., din, dout] nibble array (for materializing paths)."""
+    lo, hi = _unpack_halves(packed)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def quantize_int4(w: jax.Array, group_size: int = 64,
@@ -86,48 +156,188 @@ def quantize_int4(w: jax.Array, group_size: int = 64,
     """Group-wise 4-bit quantization over the last-but-one (din) axis.
 
     ``nf4=True`` snaps each absmax-normalized weight to the nearest
-    NF4 codebook entry (the reference's scheme); ``nf4=False`` is
-    symmetric uniform int4 (q ∈ [-7, 7])."""
+    entry of the polynomial NF4 codebook (see module docstring);
+    ``nf4=False`` is symmetric uniform int4 (q ∈ [-7, 7]). Groups run
+    contiguously along din. When din/2 also divides group_size the
+    halves contain whole groups and ``int4_matmul`` takes its fused
+    fast path (true for every real decoder shape); otherwise the
+    consumer falls back to a materializing dequant."""
     wf = w.astype(jnp.float32)
     g = _group(wf, group_size)                      # [..., n, G, dout]
     absmax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)
     absmax = jnp.maximum(absmax, 1e-8)
     if nf4:
-        code = jnp.asarray(NF4_CODE, jnp.float32)
+        code = jnp.asarray(POLY_NF4_CODE, jnp.float32)
         norm = g / absmax                           # [-1, 1]
         idx = jnp.argmin(
             jnp.abs(norm[..., None] - code), axis=-1).astype(jnp.uint8)
         # uint8 dtype tags the NF4 scheme (see dequantize_int4)
-        return {"q4": _pack_nibbles(idx.reshape(*wf.shape)),
+        return {"q4": _pack_split(idx.reshape(*wf.shape)),
                 "scale": absmax.squeeze(-2)}
     scale = absmax / 7.0
     q = jnp.clip(jnp.round(g / scale), -7, 7).astype(jnp.int8)
     # two's-complement nibbles; int8 dtype tags the uniform scheme
-    return {"q4": _pack_nibbles(q.reshape(*wf.shape)).astype(jnp.int8),
+    return {"q4": _pack_split(q.reshape(*wf.shape)).astype(jnp.int8),
             "scale": scale.squeeze(-2)}
+
+
+# The rank-1 serving scheme's nonuniform codebook is CUBIC:
+# value(s) = s·(A + C·s²) for signed nibble s ∈ [-7, 7], with
+# value(±7) = ±1. Three multiplies — measured to fuse into the GEMM at
+# int8-parity step time, where the degree-7 NF4 Horner chain (1.6x) and
+# any table gather (3x) do not. A = 0.065 minimizes Gaussian
+# quantization RMSE over the one-parameter family: 0.0284 vs canonical
+# NF4's 0.0269 and uniform's 0.0412 (normalized RMSE, N(0,1) weights).
+CUBIC_A = 0.065
+CUBIC_C = (1.0 - 7.0 * CUBIC_A) / 343.0
+CUBIC_CODE = tuple(
+    float(s * (CUBIC_A + CUBIC_C * s * s)) for s in range(-7, 8))
+
+
+def quantize_int4_rank1(w: jax.Array, nf4: bool = True,
+                        iters: int = 8) -> Dict[str, jax.Array]:
+    """4-bit with rank-1 (row ⊗ column) scales — the SERVING scheme.
+
+    ``w[p, o] ≈ code(nib[p, o]) · rscale[p] · scale[o]``, fit by
+    alternating absmax normalization. Both scale applications are 1D
+    broadcasts and the codebook is evaluated arithmetically from the
+    stored ``code = [A, C]`` coefficients (value = s·(A + C·s²)), so
+    the whole dequant chain stays in the 2D elementwise form XLA fuses
+    into the GEMM — measured at int8-parity decode step time with half
+    the weight HBM, versus 3x for any group-reshaped or gather-based
+    dequant, which materialize. ``nf4=True`` uses the cubic NF4-grade
+    codebook (Gaussian RMSE 0.0284 vs canonical NF4's 0.0269);
+    ``nf4=False`` is uniform (code = [1/7, 0]). Quality of rank-1
+    scales sits between int8 and group-64: they absorb per-row/column
+    variance exactly; only isolated single-entry outliers favor
+    group-64 (RMSE 0.10 vs 0.11 on structured Gaussians, 0.19 vs 0.11
+    with 0.2% entry outliers). Training-parity quantization stays
+    `quantize_int4`."""
+    wf = w.astype(jnp.float32)
+    *lead, din, dout = wf.shape
+    if din % 2:
+        raise ValueError(f"din={din} must be even")
+    aw = jnp.abs(wf)
+    r = jnp.max(aw, axis=-1, keepdims=True)
+    r = jnp.maximum(r, 1e-8)
+    c = None
+    for _ in range(iters):
+        c = jnp.maximum(jnp.max(aw / r, axis=-2, keepdims=True), 1e-8)
+        r = jnp.maximum(jnp.max(aw / c, axis=-1, keepdims=True), 1e-8)
+    norm = wf / (r * c)                             # ⊆ [-1, 1]
+    if nf4:
+        code = jnp.asarray(CUBIC_CODE, jnp.float32)
+        idx = jnp.argmin(jnp.abs(norm[..., None] - code), axis=-1)
+        q = (idx - 7).astype(jnp.int8)              # back to signed s
+        coefs = (CUBIC_A, CUBIC_C)
+    else:
+        q = jnp.clip(jnp.round(norm * 7.0), -7, 7).astype(jnp.int8)
+        coefs = (1.0 / 7.0, 0.0)
+    packed = _pack_split(q).astype(jnp.int8)
+    code_arr = jnp.broadcast_to(
+        jnp.asarray(coefs, jnp.float32), tuple(lead) + (2,))
+    return {"q4": packed, "scale": c.squeeze(-2),
+            "rscale": r.squeeze(-1), "code": code_arr}
+
+
+def _decode_half(nib: jax.Array, scale_half: jax.Array,
+                 dtype) -> jax.Array:
+    """One unpacked half [..., din/2, dout] + its group scales
+    [..., n/2, dout] → dequantized weights, shaped 3D-grouped
+    [..., n/2, G, dout] so the scale broadcast needs no reshape of the
+    nibble data (reshape of the packed load is a layout no-op; the
+    multiply fuses into the consumer dot)."""
+    *lead, half, dout = nib.shape
+    n2 = scale_half.shape[-2]
+    gsz = half // n2
+    if nib.dtype == jnp.uint8:                      # NF4 indices
+        vals = _nf4_poly_eval(nib.astype(jnp.float32))
+    else:                                           # uniform signed
+        vals = nib.astype(jnp.float32)
+    vals = vals.reshape(*lead, n2, gsz, dout)
+    return (vals * scale_half[..., :, None, :]).astype(dtype)
+
+
+def int4_matmul(x: jax.Array, qp: Dict[str, jax.Array],
+                out_dtype=None) -> jax.Array:
+    """``x @ W`` with W in packed int4/NF4 form, never materializing
+    the dequantized weights: each half dequantizes elementwise (shift →
+    poly/identity → group-scale broadcast) straight into a
+    multi-contracting-dim dot_general, so XLA fuses the whole chain
+    into the GEMM prologue and the weight HBM traffic is the packed
+    bytes (half of int8, a quarter of bf16). The fast path covers 2D
+    kernels — the decoder scan's per-layer slices and standalone heads;
+    stacked [L, din, dout] kernels fall back to a materializing dequant
+    (training prefill is compute-bound, so that path doesn't care)."""
+    packed, scale = qp["q4"], qp["scale"]
+    dtype = out_dtype or x.dtype
+    if "rscale" in qp:                              # rank-1 serving scheme
+        if packed.ndim != 2:
+            return x @ dequantize_int4(qp, dtype)
+        half, dout = packed.shape
+        din = 2 * half
+        r = qp["rscale"]
+        a, cc = qp["code"][0], qp["code"][1]
+        lo, hi = _unpack_halves(packed)
+
+        def cubic(nib):
+            s = nib.astype(jnp.float32)
+            return s * (a + cc * (s * s))
+
+        wl = (cubic(lo) * scale[None, :]).astype(dtype)
+        wh = (cubic(hi) * scale[None, :]).astype(dtype)
+        *bx, _ = x.shape
+        x2 = x.reshape(-1, din).astype(jnp.float32)
+        xl = (x2[:, :half] * r[None, :half]).astype(dtype)
+        xh = (x2[:, half:] * r[None, half:]).astype(dtype)
+        return (xl @ wl + xh @ wh).reshape(*bx, dout)
+    half = packed.shape[-2]
+    n = scale.shape[-2]
+    gsz = 2 * half // n
+    if packed.ndim != 2 or n % 2 or half % gsz:
+        # stacked [L] kernels / halves not group-aligned (only tiny
+        # test dims): materialize — training prefill is compute-bound
+        return x @ dequantize_int4(qp, dtype)
+    dout = packed.shape[-1]
+    lo, hi = _unpack_halves(packed)
+    wl = _decode_half(lo, scale[: n // 2], dtype)   # (n/2, G, dout)
+    wh = _decode_half(hi, scale[n // 2:], dtype)
+    n2 = n // 2
+    *bx, din = x.shape
+    x2 = x.reshape(-1, din)
+    x3l = x2[:, : din // 2].reshape(-1, n2, gsz)
+    x3h = x2[:, din // 2:].reshape(-1, n2, gsz)
+    dn = (((1, 2), (0, 1)), ((), ()))               # contract (n, G)
+    y = (jax.lax.dot_general(x3l, wl, dn)
+         + jax.lax.dot_general(x3h, wh, dn))
+    return y.reshape(*bx, dout)
 
 
 def dequantize_int4(qp: Dict[str, jax.Array],
                     dtype=jnp.bfloat16) -> jax.Array:
-    """Unpack + rescale; the whole chain fuses into the consumer GEMM's
-    prologue under jit (integer shifts + one gather/multiply). The
-    packed dtype selects the scheme: uint8 = NF4 codebook indices,
-    int8 = uniform two's-complement nibbles."""
-    packed = qp["q4"]
-    is_nf4 = packed.dtype == jnp.uint8
-    nib = _unpack_nibbles(packed.astype(jnp.uint8))     # 0..15
-    *lead, din, dout = nib.shape
-    n_groups = qp["scale"].shape[-2]
-    group_size = din // n_groups
-    if is_nf4:
-        code = jnp.asarray(NF4_CODE, jnp.float32)
-        vals = code[nib.astype(jnp.int32)]              # NF4 lookup
-    else:
-        signed = nib.astype(jnp.int32)
-        vals = jnp.where(signed >= 8, signed - 16,
-                         signed).astype(jnp.float32)
-    g = vals.reshape(*lead, n_groups, group_size, dout)
-    w = g * qp["scale"][..., None, :]
+    """Materializing unpack + rescale (tests, fallbacks, interchange).
+    The packed dtype selects the scheme: uint8 = NF4 codebook indices,
+    int8 = uniform two's-complement nibbles. Alignment-free: groups
+    need not align with the packed halves."""
+    packed, scale = qp["q4"], qp["scale"]
+    *lead, half, dout = packed.shape
+    din = 2 * half
+    nib = _unpack_nibbles(packed)                   # [..., din, dout]
+    if "rscale" in qp:                              # rank-1 scheme
+        s = nib.astype(jnp.float32)
+        a = qp["code"][..., 0:1, None]
+        cc = qp["code"][..., 1:2, None]
+        vals = s * (a + cc * (s * s))
+        w = (vals * qp["rscale"][..., :, None]
+             * scale[..., None, :])
+        return w.astype(dtype)
+    if nib.dtype == jnp.uint8:                      # NF4 indices
+        vals = _nf4_poly_eval(nib.astype(jnp.float32))
+    else:                                           # uniform signed
+        vals = nib.astype(jnp.float32)
+    n = scale.shape[-2]
+    g = vals.reshape(*lead, n, din // n, dout)
+    w = g * scale[..., :, None, :]
     return w.reshape(*lead, din, dout).astype(dtype)
 
 
@@ -142,11 +352,26 @@ def dequantize(qp: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
     return dequantize_int8(qp, dtype)
 
 
+def quantized_matmul(x: jax.Array, qp: Dict[str, jax.Array],
+                     out_dtype=None) -> jax.Array:
+    """``x @ W`` for any quantized kernel; the int8 dequant
+    (convert × column scale) and the int4 split-halves chain both fuse
+    into the dot under jit."""
+    dtype = out_dtype or x.dtype
+    if "q4" in qp:
+        return int4_matmul(x, qp, dtype)
+    w = (qp["q"].astype(jnp.float32)
+         * qp["scale"][..., None, :]).astype(dtype)
+    return x @ w
+
+
 def quantize_tree(params: Any, predicate=None, bits: int = 8,
-                  group_size: int = 64, nf4: bool = True) -> Any:
+                  group_size: int = 64, nf4: bool = True,
+                  rank1: bool = False) -> Any:
     """Replace every dense ``kernel`` leaf with its quantized form
     (``bits`` = 8 or 4; 4 with ``nf4=True`` is the reference's QLoRA
-    base scheme).
+    base scheme, 4 with ``rank1=True`` is the fused serving scheme —
+    see quantize_int4_rank1).
 
     ``predicate(path_key)`` may veto individual kernels (e.g. keep
     norms / embeddings full precision — they are tiny anyway).
@@ -158,10 +383,12 @@ def quantize_tree(params: Any, predicate=None, bits: int = 8,
         if bits == 8:
             return quantize_int8(w)
         try:
+            if rank1:
+                return quantize_int4_rank1(w, nf4=nf4)
             return quantize_int4(w, group_size=group_size, nf4=nf4)
         except ValueError:
-            # din not divisible by the group (e.g. the vision conv
-            # patch-embed's 3*14*14=588): int8 for that kernel
+            # din not divisible by the group / odd (e.g. the vision
+            # conv patch-embed's 3*14*14=588): int8 for that kernel
             return quantize_int8(w)
 
     def walk(node, name=""):

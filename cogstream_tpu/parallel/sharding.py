@@ -206,8 +206,17 @@ def adapt_specs_to_quantized(params: Any, specs: Any) -> Any:
             else:
                 lead, din_ax, dout_ax = [], None, None
             if "q4" in pnode:
-                return {"q4": P(*lead, din_ax, dout_ax),
-                        "scale": P(*lead, None, dout_ax)}
+                out = {"q4": P(*lead, din_ax, dout_ax)}
+                if "rscale" in pnode:   # rank-1 serving scheme
+                    out["scale"] = P(*lead, dout_ax)
+                    # replicated: packed rows pair (p, p+din/2), so a
+                    # contiguous row shard of rscale would misalign —
+                    # and it is only [din] f32
+                    out["rscale"] = P(*lead, None)
+                    out["code"] = P(*lead, None)    # [2] coefficients
+                else:                   # group scheme
+                    out["scale"] = P(*lead, None, dout_ax)
+                return out
             if "q" in pnode:
                 return {"q": P(*lead, din_ax, dout_ax),
                         "scale": P(*lead, dout_ax)}

@@ -122,16 +122,99 @@ def test_nf4_beats_uniform_on_gaussian(rng):
 
 
 def test_nf4_codebook_values_exact():
-    from cogstream_tpu.ops.quant import NF4_CODE, quantize_int4
+    from cogstream_tpu.ops.quant import (
+        NF4_CODE, POLY_NF4_CODE, quantize_int4)
 
-    w = jnp.asarray(np.array(NF4_CODE, np.float32)[:, None])  # [16, 1]
+    # the stored codebook is the degree-7 polynomial through the
+    # canonical NF4 quantiles — NF4 to within bf16 precision (the
+    # polynomial form is what lets dequant fuse into the GEMM instead
+    # of a 16-entry gather; see ops/quant.py docstring)
+    np.testing.assert_allclose(np.asarray(POLY_NF4_CODE),
+                               np.asarray(NF4_CODE), rtol=0, atol=3e-3)
+
+    w = jnp.asarray(np.array(POLY_NF4_CODE, np.float32)[:, None])
     qp = quantize_int4(w, group_size=16, nf4=True)
     from cogstream_tpu.ops.quant import dequantize_int4
 
     back = dequantize_int4(qp, jnp.float32)
-    # codebook entries quantize to themselves exactly (absmax = 1)
+    # codebook entries quantize to themselves (absmax = 1) up to the
+    # f32 Horner evaluation's rounding
     np.testing.assert_allclose(np.asarray(back), np.asarray(w),
-                               rtol=0, atol=1e-6)
+                               rtol=0, atol=5e-5)
+
+
+def test_int4_fused_matmul_matches_dequant(rng):
+    """int4_matmul's fused fast path (split halves + group-aligned
+    3D dot) must equal the materializing dequant, both schemes."""
+    from cogstream_tpu.ops.quant import (
+        dequantize_int4, int4_matmul, quantize_int4)
+
+    w = jnp.asarray(rng.normal(size=(256, 48)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(3, 256)), jnp.float32)
+    for nf4 in (True, False):
+        qp = quantize_int4(w, group_size=64, nf4=nf4)  # 2 groups/half
+        ref = x @ dequantize_int4(qp, jnp.float32)
+        got = int4_matmul(x, qp, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-4)
+
+
+def test_int4_rank1_roundtrip_and_fused_matmul(rng):
+    """The rank-1 serving scheme: w ≈ code(nib)·r[p]·c[o]; fused
+    matmul path must equal the materializing dequant."""
+    from cogstream_tpu.ops.quant import (
+        dequantize_int4, int4_matmul, quantize_int4, quantize_int4_rank1)
+
+    # structured weights (per-row/col variance — rank-1's home turf)
+    w = (rng.normal(size=(256, 48))
+         * np.exp(rng.normal(0, 0.5, (256, 1)))
+         * np.exp(rng.normal(0, 0.5, (1, 48))))
+    w = jnp.asarray(w, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(3, 256)), jnp.float32)
+    for nf4 in (True, False):
+        qp = quantize_int4_rank1(w, nf4=nf4)
+        assert set(qp) == {"q4", "scale", "rscale", "code"}
+        assert qp["q4"].dtype == jnp.int8     # signed cubic/uniform nibbles
+        assert qp["scale"].shape == (48,)
+        assert qp["rscale"].shape == (256,)
+        assert qp["code"].shape == (2,)
+        back = dequantize_int4(qp, jnp.float32)
+        rel = float(jnp.sqrt(jnp.mean((back - w) ** 2))
+                    / jnp.sqrt(jnp.mean(w ** 2)))
+        assert rel < 0.2, rel
+        ref = x @ back
+        got = int4_matmul(x, qp, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-3)
+    # on row/col-structured weights rank-1 NF4 should at least match
+    # group-64 NF4 (probe: 0.100 vs 0.106 rel RMSE)
+    e_r1 = float(jnp.sqrt(jnp.mean(
+        (dequantize_int4(quantize_int4_rank1(w), jnp.float32) - w) ** 2)))
+    e_g = float(jnp.sqrt(jnp.mean(
+        (dequantize_int4(quantize_int4(w), jnp.float32) - w) ** 2)))
+    assert e_r1 < 1.25 * e_g, (e_r1, e_g)
+
+
+def test_int4_rank1_decoder_forward_close(tiny_config, rng):
+    from cogstream_tpu.models import qwen2
+
+    cfg = tiny_config.text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    q4 = quantize_tree(params, bits=4, rank1=True)
+    kern = q4["layers"]["attn"]["q_proj"]["kernel"]
+    assert "rscale" in kern and kern["q4"].dtype == jnp.int8
+    # stacked [L] kernels carry per-layer codebook coefficients so the
+    # decoder scan can slice them
+    assert kern["code"].shape == (cfg.num_hidden_layers, 2)
+
+    ids = jnp.asarray(rng.integers(3, 200, size=(1, 16)))
+    pos = jnp.arange(16, dtype=jnp.int32)[None]
+    h_full, _ = qwen2.qwen2_forward(params, qwen2.embed(params, ids),
+                                    pos, cfg)
+    h_q, _ = qwen2.qwen2_forward(q4, qwen2.embed(q4, ids), pos, cfg)
+    err = np.abs(np.asarray(h_full - h_q)).mean()
+    ref = np.abs(np.asarray(h_full)).mean()
+    assert err / ref < 0.25, (err, ref)
 
 
 def test_int4_decoder_forward_close(tiny_config, rng):
