@@ -208,10 +208,12 @@ def bench_session(full: bool, use_pallas: bool):
 
 def bench_7b_quantized(bits: int = 8):
     """7B decode on ONE chip via quantized weights (ops/quant.py):
-    int8 (~7.6 GB layer weights) or NF4 int4 (~4 GB) + bf16 embeddings
-    fit a single v5e's 16 GB HBM — the quantized-base serving modes
-    (the reference needs bitsandbytes NF4 + a GPU for the same trick).
-    Decode is weights-bound, so 4-bit should beat 8-bit tokens/sec.
+    int8 (~7.6 GB layer weights) or rank-1 cubic 4-bit (~4 GB) + bf16
+    embeddings fit a single v5e's 16 GB HBM — the quantized-base
+    serving modes (the reference needs bitsandbytes NF4 + a GPU for
+    the same trick). int8 decode runs at the HBM roofline; 4-bit
+    halves the weight footprint at a measured ~1.7x step-time cost
+    (XLA materializes the nibble unpack — see ops/quant.py docstring).
     Weights are synthetic (values don't matter for throughput)."""
     import time
 
@@ -224,7 +226,41 @@ def bench_7b_quantized(bits: int = 8):
     from cogstream_tpu.runtime.generate import generate_tokens
 
     cfg = presets.cogreasoner_7b().text
-    key = jax.random.PRNGKey(0)
+    params = _synthetic_7b_text_params(bits)
+    S, NEW = 512, 32
+    ids = np.zeros((1, S), np.int32)
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    positions = jnp.asarray(np.arange(S, dtype=np.int32)[None])
+
+    def run():
+        cache = init_kv_cache(cfg, 1, S + NEW)
+        return generate_tokens(params, emb, positions,
+                               jnp.asarray([S - 1], jnp.int32), cache,
+                               jax.random.PRNGKey(0), cfg, NEW,
+                               eos_id=-1, temperature=0.0)
+
+    dt = _median_time(run, iters=2, warmup=1)
+
+    @jax.jit
+    def pf(params, emb, positions):
+        cache = init_kv_cache(cfg, 1, S + NEW)
+        hidden, _ = qwen2.qwen2_forward(params, emb, positions, cfg,
+                                        cache=cache)
+        return hidden[:, -1]
+
+    dt_p = _median_time(lambda: pf(params, emb, positions),
+                        iters=2, warmup=1)
+    return NEW / dt, S / dt_p
+
+
+def _synthetic_7b_text_params(bits: int):
+    """Synthetic quantized 7B decoder weights (values irrelevant for
+    throughput; layout/dtypes exactly match quantize_tree output)."""
+    import jax.numpy as jnp
+
+    from cogstream_tpu import presets
+
+    cfg = presets.cogreasoner_7b().text
     H, D = cfg.hidden_size, cfg.head_dim
     kv_out = cfg.num_key_value_heads * D
     I, V, L = cfg.intermediate_size, cfg.vocab_size, cfg.num_hidden_layers
@@ -259,7 +295,7 @@ def bench_7b_quantized(bits: int = 8):
             p["bias"] = jnp.zeros(kshape[:-2] + (bias_dim,), jnp.bfloat16)
         return p
 
-    params = {
+    return {
         "embed_tokens": jnp.zeros((V, H), jnp.bfloat16),
         "final_norm": {"scale": jnp.ones((H,), jnp.float32)},
         "lm_head": qdense((H, V)),
@@ -279,30 +315,62 @@ def bench_7b_quantized(bits: int = 8):
             },
         },
     }
-    S, NEW = 512, 32
-    ids = np.zeros((1, S), np.int32)
-    emb = qwen2.embed(params, jnp.asarray(ids))
-    positions = jnp.asarray(np.arange(S, dtype=np.int32)[None])
 
-    def run():
-        cache = init_kv_cache(cfg, 1, S + NEW)
-        return generate_tokens(params, emb, positions,
-                               jnp.asarray([S - 1], jnp.int32), cache,
-                               jax.random.PRNGKey(0), cfg, NEW,
-                               eos_id=-1, temperature=0.0)
 
-    dt = _median_time(run, iters=2, warmup=1)
+def bench_session_7b_quant(use_pallas: bool, bits: int = 8):
+    """FULL-WIDTH production turn: a StreamingSession over the real 7B
+    shapes — reference-scale 27L/1152 vision tower + int8-quantized
+    7B decoder on ONE v5e (~10 GB weights; bf16 would not fit) —
+    evidencing BASELINE.md's '<1 s p50 per-turn for 7B' with the FCC
+    selector decode included. Weights are synthetic; throughput depends
+    only on shapes/dtypes."""
+    import dataclasses
+    import time
 
-    @jax.jit
-    def pf(params, emb, positions):
-        cache = init_kv_cache(cfg, 1, S + NEW)
-        hidden, _ = qwen2.qwen2_forward(params, emb, positions, cfg,
-                                        cache=cache)
-        return hidden[:, -1]
+    import jax
 
-    dt_p = _median_time(lambda: pf(params, emb, positions),
-                        iters=2, warmup=1)
-    return NEW / dt, S / dt_p
+    from cogstream_tpu import presets
+    from cogstream_tpu.config import CompressionConfig
+    from cogstream_tpu.models.projector import init_projector_params
+    from cogstream_tpu.models.vision_encoder import init_vision_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg = dataclasses.replace(
+        presets.cogreasoner_7b(), compression=CompressionConfig(
+            frames_per_event=8, keyframes_per_event=2))
+    params = {
+        "vision": init_vision_params(jax.random.PRNGKey(0), cfg.vision),
+        "projector": init_projector_params(
+            jax.random.PRNGKey(1), cfg.vision.hidden_size,
+            cfg.text.hidden_size, cfg.mm_projector_type,
+            dtype=cfg.text.jnp_dtype),
+        "text": _synthetic_7b_text_params(bits),
+    }
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    sess = StreamingSession(params, cfg, tok, max_len=4096,
+                            use_pallas=use_pallas)
+
+    rng = np.random.default_rng(0)
+    T, gh, gw = 16, 16, 16
+    pv = rng.integers(0, 255, size=(T * gh * gw,
+                                    3 * cfg.vision.patch_size ** 2),
+                      dtype=np.uint8)
+    ing = []
+    for seg in range(4):            # first two pay compiles
+        t0 = time.perf_counter()
+        sess.append_stream_segment(
+            pv, (T, gh, gw), 2,
+            timestamps=list(np.arange(seg * T, (seg + 1) * T,
+                                      dtype=float)))
+        ing.append(time.perf_counter() - t0)
+    q = "what is happening in the video right now?"
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sess.ask(q, mode="FCC", max_new_tokens=32)
+        lat.append(time.perf_counter() - t0)
+    return float(np.median(lat[1:])), T / float(np.median(ing[2:]))
 
 
 def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
@@ -552,6 +620,14 @@ def main():
             extras["int4_7b_prefill_tok_s"] = round(r[1], 1)
         else:
             extras["int4_7b_bench_error"] = repr(err)[:300]
+        # full-width production turn: 7B int8 session incl. FCC
+        # selector decode (BASELINE.md '<1 s p50 per-turn for 7B')
+        r, err = _sect(bench_session_7b_quant, True)
+        if r is not None:
+            extras["turn_p50_fcc_7b_int8_s"] = round(r[0], 4)
+            extras["session_ingest_fps_7b"] = round(r[1], 1)
+        else:
+            extras["session_7b_bench_error"] = repr(err)[:300]
     r, err = _sect(bench_preprocess)
     if r is not None:
         extras.update({"preprocess_fps": round(r[0], 1),

@@ -151,6 +151,7 @@ def vision_encoder_core(
     use_pallas: bool = False,
     flash_kv=None,              # (kv_start [nq], kv_count [nq]) device arrays
     flash_kmax: int = 0,        # static — minor grid extent of the kernel
+    flash_block: int = 0,       # static — q/k block size (0 = default)
 ) -> jax.Array:
     """Jittable core: patch rows → merged features [num_out_tokens, hidden].
 
@@ -168,10 +169,10 @@ def vision_encoder_core(
         if flash_kv is None:
             ranges = None  # eager fallback: derive from concrete ids
         else:
-            n_pad = _round_up(max(N, DEFAULT_BLOCK_Q),
-                              max(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K))
+            bq = flash_block or DEFAULT_BLOCK_Q
+            n_pad = _round_up(max(N, bq), bq)
             ranges = FlashRanges(flash_kv[0], flash_kv[1], flash_kmax,
-                                 DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, n_pad)
+                                 bq, bq, n_pad)
 
         def attn_impl(q, k, v, seg):
             return segment_flash_attention(q, k, v, seg, ranges=ranges)
@@ -222,6 +223,7 @@ class VisionMetadata(NamedTuple):
     kv_start: Optional[np.ndarray] = None   # [nq] flash KV range starts
     kv_count: Optional[np.ndarray] = None   # [nq] flash KV range lengths
     kmax: int = 0                            # static minor grid extent
+    block_q: int = 0                         # static q/k block size
 
 
 def build_vision_metadata(
@@ -268,7 +270,8 @@ def build_vision_metadata(
         pos, segs, grps, out_tokens,
         kv_start=None if fr is None else fr.kv_start,
         kv_count=None if fr is None else fr.kv_count,
-        kmax=0 if fr is None else fr.kmax)
+        kmax=0 if fr is None else fr.kmax,
+        block_q=0 if fr is None else fr.block_q)
 
 
 def vision_encoder_forward(
@@ -297,13 +300,14 @@ def vision_encoder_forward(
                        jnp.asarray(meta.segment_ids),
                        jnp.asarray(meta.merge_group_ids),
                        flash_kv,
-                       meta.num_out_tokens, cfg, use_pallas, meta.kmax)
+                       meta.num_out_tokens, cfg, use_pallas, meta.kmax,
+                       meta.block_q)
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _jitted_core(params, pv, pos, seg, grp, flash_kv, num_out, cfg,
-                 use_pallas, kmax):
+                 use_pallas, kmax, block_q):
     return vision_encoder_core(params, pv, pos, seg, grp, num_out, cfg,
                                use_pallas=use_pallas, flash_kv=flash_kv,
-                               flash_kmax=kmax)
+                               flash_kmax=kmax, flash_block=block_q)
