@@ -31,6 +31,17 @@ the loaded bytes and the dot operand, which is the difference between
 XLA fusing the dequant into the GEMM prologue and materializing a
 full-precision copy of the weights.
 
+Measured ceiling (v5e): int8 decode streams at ~615 GB/s (near the
+HBM roofline); the 4-bit scheme reads half the bytes but XLA still
+materializes the unpacked-int8 nibbles as an intermediate, so its
+step time lands at ~1.6x int8 rather than 0.5x — 4-bit is the
+CAPACITY scheme (7B layer weights in ~3.8 GB), int8 the speed scheme.
+A Pallas fused-unpack GEMV was probed and rejected: Mosaic cannot
+lower int8 vector shifts (unpack must widen to i32 in VMEM), and at
+decode's M=1 the MXU runs 1/128 utilized, so the kernel measured
+1.4x SLOWER than XLA's int8 path (12.9 vs 9.1 ms per 28-layer MLP
+scan) despite halved HBM reads.
+
 The packed dtype tags the scheme (``uint8`` = NF4 codebook indices
 0..15, ``int8`` = uniform two's-complement nibbles), so quantized
 trees stay plain array pytrees that scan/jit/shard like the bf16
