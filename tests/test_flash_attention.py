@@ -58,6 +58,43 @@ def test_flash_matches_reference(rng, lengths, total):
                                np.asarray(ref)[:real], atol=2e-5)
 
 
+def test_adaptive_block_search():
+    """FlashRanges.build picks the block size minimizing grid steps:
+    whole-frame tiles for uniform segments (the 3.1x encoder win),
+    something sane for ragged ones."""
+    # 8 uniform 1024-token frames → one frame per block, kmax=1
+    seg = segment_ids_from_lengths(np.array([1024] * 8))
+    r = FlashRanges.build(seg)
+    assert r.block_q == 1024 and r.kmax == 1
+    assert (r.n_padded // r.block_q) * r.kmax == 8
+    # ragged segments: whatever wins the search must cover correctly
+    seg2 = segment_ids_from_lengths(np.array([1196] * 4))
+    r2 = FlashRanges.build(seg2)
+    steps_128 = None
+    for b in (128, r2.block_q):
+        rr = FlashRanges.build(seg2, block_q=b)
+        steps = (rr.n_padded // b) * rr.kmax
+        if b == 128:
+            steps_128 = steps
+    chosen = (r2.n_padded // r2.block_q) * r2.kmax
+    assert chosen <= steps_128
+
+
+def test_adaptive_block_correctness_ragged(rng):
+    """Adaptively-chosen big blocks stay numerically correct on
+    segments that straddle block boundaries."""
+    lengths = [300, 170, 250]
+    seg = segment_ids_from_lengths(np.array(lengths))
+    r = FlashRanges.build(seg)
+    assert r.block_q > 128         # the search picked a big block
+    N = seg.shape[0]
+    q = jnp.asarray(rng.normal(size=(N, 2, 16)), jnp.float32)
+    out = segment_flash_attention(q, q, q, seg, ranges=r, interpret=True)
+    ref = segment_attention(q, q, q, jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_flash_inside_jit_with_prebuilt_ranges(rng):
     lengths = [60, 68]
     seg = segment_ids_from_lengths(np.array(lengths))
