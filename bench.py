@@ -53,6 +53,30 @@ def _median_time(fn, iters=3, warmup=1, burst=1):
     return float(np.median(ts))
 
 
+REF_TOKENIZER_DIR = "/root/reference/model"
+
+
+def _tokenizer_for(cfg):
+    """Real Qwen2 BPE tokenizer when its vocab files are mounted and the
+    config's embedding table covers its ids; ByteTokenizer otherwise.
+
+    The byte fallback inflates text ~4x (1 token/char vs BPE), which
+    both misstates production prefill lengths and pushes the selector
+    prompt into a bigger padding bucket — with the real vocab the 7B
+    FCC turn's selector prefill is a 512-token bucket, not 2560+."""
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer, HFTokenizer
+
+    if os.path.isdir(REF_TOKENIZER_DIR):
+        try:
+            tok = HFTokenizer(REF_TOKENIZER_DIR)
+            if (tok.vocab_size() <= cfg.text.vocab_size
+                    and tok.image_token_id == cfg.image_token_index):
+                return tok, "qwen2-bpe"
+        except Exception:
+            pass
+    return ByteTokenizer(image_token_id=cfg.image_token_index), "byte"
+
+
 def bench_encoder(use_pallas: bool):
     import jax
     import jax.numpy as jnp
@@ -149,14 +173,13 @@ def bench_session(full: bool, use_pallas: bool):
     from cogstream_tpu import presets
     from cogstream_tpu.config import CompressionConfig
     from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
-    from cogstream_tpu.processor.tokenizer import ByteTokenizer
     from cogstream_tpu.runtime.session import StreamingSession
 
     cfg = presets.cogreasoner_7b() if full else presets.demo()
     cfg = dataclasses.replace(cfg, compression=CompressionConfig(
         frames_per_event=8, keyframes_per_event=2))
     params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
-    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    tok, _ = _tokenizer_for(cfg)
     sess = StreamingSession(params, cfg, tok, max_len=8192,
                             use_pallas=use_pallas)
 
@@ -333,7 +356,6 @@ def bench_session_7b_quant(use_pallas: bool, bits: int = 8):
     from cogstream_tpu.config import CompressionConfig
     from cogstream_tpu.models.projector import init_projector_params
     from cogstream_tpu.models.vision_encoder import init_vision_params
-    from cogstream_tpu.processor.tokenizer import ByteTokenizer
     from cogstream_tpu.runtime.session import StreamingSession
 
     cfg = dataclasses.replace(
@@ -347,7 +369,7 @@ def bench_session_7b_quant(use_pallas: bool, bits: int = 8):
             dtype=cfg.text.jnp_dtype),
         "text": _synthetic_7b_text_params(bits),
     }
-    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    tok, tok_kind = _tokenizer_for(cfg)
     sess = StreamingSession(params, cfg, tok, max_len=4096,
                             use_pallas=use_pallas)
 
@@ -370,7 +392,8 @@ def bench_session_7b_quant(use_pallas: bool, bits: int = 8):
         t0 = time.perf_counter()    # (selector + per-bucket decode)
         sess.ask(q, mode="FCC", max_new_tokens=32)
         lat.append(time.perf_counter() - t0)
-    return float(np.median(lat[3:])), T / float(np.median(ing[3:]))
+    return (float(np.median(lat[3:])), T / float(np.median(ing[3:])),
+            tok_kind)
 
 
 def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
@@ -385,14 +408,13 @@ def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
     from cogstream_tpu import presets
     from cogstream_tpu.config import CompressionConfig
     from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
-    from cogstream_tpu.processor.tokenizer import ByteTokenizer
     from cogstream_tpu.runtime.pool import SessionPool
 
     cfg = presets.cogreasoner_7b() if full else presets.demo()
     cfg = dataclasses.replace(cfg, compression=CompressionConfig(
         frames_per_event=8, keyframes_per_event=2))
     params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
-    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    tok, _ = _tokenizer_for(cfg)
     pool = SessionPool(params, cfg, tok, n_rows=n_rows, max_len=4096,
                        use_pallas=use_pallas, summary_forward=False)
     rows = [pool.open() for _ in range(n_rows)]
@@ -534,25 +556,37 @@ def _sect(fn, *args, retries=2, crash_backoff=90):
     return None, last
 
 
-def _overlap_in_subprocess() -> dict:
-    """Run bench_ingest_overlap in a FRESH python process.
+def _overlap_in_subprocess(attempts: int = 3) -> dict:
+    """Run bench_ingest_overlap in FRESH python processes, retrying at
+    the PROCESS level.
 
-    Run in-process after the other sections, this section reproducibly
-    takes down the axon worker ('UNAVAILABLE: TPU worker process
-    crashed'); in a clean process it reproducibly succeeds. Isolating
-    it (and running it before the main sections touch the chip) keeps
-    one flaky worker restart from contaminating the whole artifact."""
+    Two axon facts drive this shape: (1) the section intermittently
+    crashes the TPU worker ('UNAVAILABLE: worker process crashed'),
+    and (2) after a worker crash the client in that process stays
+    wedged — every observed recovery came from a new process after a
+    cool-down, never from an in-process retry. It runs before the main
+    sections touch the chip so one crash cannot contaminate the rest
+    of the artifact."""
     import subprocess
     import sys
 
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--overlap-only"],
-            capture_output=True, timeout=2400, text=True)
-        line = out.stdout.strip().splitlines()[-1]
-        return json.loads(line)
-    except Exception as e:
-        return {"ingest_overlap_bench_error": repr(e)[:300]}
+    last = {}
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--overlap-only"],
+                capture_output=True, timeout=1200, text=True)
+            line = out.stdout.strip().splitlines()[-1]
+            res = json.loads(line)
+            if "ingest_overlap_bench_error" not in res:
+                return res
+            last = res
+        except Exception as e:  # noqa: BLE001
+            last = {"ingest_overlap_bench_error": repr(e)[:300]}
+        if attempt + 1 < attempts:
+            time.sleep(150)     # crashed worker takes minutes to return
+    return last
 
 
 def main():
@@ -628,6 +662,7 @@ def main():
         if r is not None:
             extras["turn_p50_fcc_7b_int8_s"] = round(r[0], 4)
             extras["session_ingest_fps_7b"] = round(r[1], 1)
+            extras["session_7b_tokenizer"] = r[2]
         else:
             extras["session_7b_bench_error"] = repr(err)[:300]
     r, err = _sect(bench_preprocess)
@@ -655,10 +690,9 @@ def overlap_only():
     from cogstream_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    # worker crashes on cold-compile bursts leave the compiles cached;
-    # patient retries recover (the worker needs minutes to return)
-    r, err = _sect(bench_ingest_overlap, True, retries=3,
-                   crash_backoff=180)
+    # single attempt: after a worker crash this process's client is
+    # wedged — the parent retries by spawning a fresh process instead
+    r, err = _sect(bench_ingest_overlap, True, retries=1)
     if r is not None:
         backend, buffered_max, ing_fps = r
         print(json.dumps({
