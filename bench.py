@@ -525,6 +525,9 @@ def bench_preprocess():
     t0 = time.perf_counter()
     batch = proc([frames], modals=["video"])
     prep_s = time.perf_counter() - t0
+    t0 = time.perf_counter()      # production ingest path: uint8 rows,
+    proc([frames], modals=["video"], raw_uint8=True)   # device-side norm
+    prep_raw_s = time.perf_counter() - t0
 
     feats = jnp.asarray(rng.normal(size=(T, 256)), jnp.float32)
     ts = jnp.arange(T, dtype=jnp.float32)
@@ -534,7 +537,7 @@ def bench_preprocess():
     km = kmeans_with_time(feats, ts, 4, jax.random.PRNGKey(1))
     jax.block_until_ready(km.assignments)
     km_s = time.perf_counter() - t0
-    return T / prep_s, km_s
+    return T / prep_s, km_s, T / prep_raw_s
 
 
 def _sect(fn, *args, retries=2, crash_backoff=90):
@@ -668,7 +671,8 @@ def main():
     r, err = _sect(bench_preprocess)
     if r is not None:
         extras.update({"preprocess_fps": round(r[0], 1),
-                       "kmeans_s": round(r[1], 4)})
+                       "kmeans_s": round(r[1], 4),
+                       "preprocess_fps_raw": round(r[2], 1)})
     else:
         extras["preprocess_bench_error"] = repr(err)[:300]
 

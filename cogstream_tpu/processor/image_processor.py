@@ -180,6 +180,30 @@ def patchify(
     return x.reshape(t * gh * gw, c * patch_size * patch_size), (t, gh, gw)
 
 
+def patchify_hwc(
+    frames_thwc: np.ndarray,
+    patch_size: int,
+    merge_size: int,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """``patchify`` taking ``[T, H, W, C]`` input — identical output rows.
+
+    The resize stage produces HWC frames; going straight from there to
+    patch rows is ONE permuted copy, skipping the intermediate
+    HWC→CHW transpose-copy (and, done on uint8, it moves 4x fewer
+    bytes than the old float32 ordering).
+    """
+    t, h, w, c = frames_thwc.shape
+    gh, gw = h // patch_size, w // patch_size
+    x = frames_thwc.reshape(
+        t,
+        gh // merge_size, merge_size, patch_size,
+        gw // merge_size, merge_size, patch_size,
+        c,
+    )
+    x = x.transpose(0, 1, 4, 2, 5, 7, 3, 6)
+    return x.reshape(t * gh * gw, c * patch_size * patch_size), (t, gh, gw)
+
+
 @dataclass
 class ImageBatch:
     """Flat multi-image batch: concatenated patch rows plus per-item grids."""
@@ -231,23 +255,44 @@ class ImageProcessor:
             target_sizes = smart_resize_mixed_factors(
                 items, factors, cfg.min_tokens, cfg.max_tokens)
 
-        mean = np.asarray(cfg.image_mean, dtype=np.float32).reshape(1, 3, 1, 1)
-        std = np.asarray(cfg.image_std, dtype=np.float32).reshape(1, 3, 1, 1)
+        # Fused affine normalize: (x*rescale - mean)/std == x*A + B with
+        # A = rescale/std, B = -mean/std (computed in float64, cast
+        # once). For the reference's mean=std=0.5 this is BIT-IDENTICAL
+        # to the two-step form — dividing by 0.5 is an exact power-of-2
+        # scale, and float rounding commutes with exact scaling — which
+        # the golden test vs the actual HF module checks at atol=1e-6.
+        mean = np.asarray(cfg.image_mean, dtype=np.float64).reshape(3)
+        std = np.asarray(cfg.image_std, dtype=np.float64).reshape(3)
+        scale = (cfg.rescale_factor / std).astype(np.float32).reshape(1, 3, 1)
+        shift = (-mean / std).astype(np.float32).reshape(1, 3, 1)
 
         all_patches: List[np.ndarray] = []
         grid_sizes_out: List[Tuple[int, int, int]] = []
         for item, ms, target in zip(items, merge_sizes, target_sizes):
-            frames = item if isinstance(item, (list, tuple)) else (
-                list(np.asarray(item)) if np.asarray(item).ndim == 4 else [item])
-            resized = np.stack(
-                [resize_bicubic(_to_hwc_uint8(f), target) for f in frames])
-            if raw_uint8:
-                chw = resized.transpose(0, 3, 1, 2)
+            if isinstance(item, (list, tuple)):
+                frames = item
             else:
-                chw = resized.transpose(0, 3, 1, 2).astype(np.float32)
-                chw = chw * np.float32(cfg.rescale_factor)
-                chw = (chw - mean) / std
-            patches, grid = patchify(chw, cfg.patch_size, ms)
+                arr = np.asarray(item)
+                if arr.ndim == 4:
+                    if arr.shape[1] in (1, 3, 4) and arr.shape[3] not in (1, 3, 4):
+                        # bulk TCHW→THWC once: per-frame transposed
+                        # views would pay a strided copy inside PIL
+                        arr = np.ascontiguousarray(arr.transpose(0, 2, 3, 1))
+                    frames = list(arr)
+                else:
+                    frames = [item]
+            th, tw = target
+            resized = np.empty((len(frames), th, tw, 3), np.uint8)
+            for i, f in enumerate(frames):
+                resized[i] = resize_bicubic(_to_hwc_uint8(f), target)
+            # patchify on uint8 (4x less copy traffic than float32),
+            # then one astype + two in-place passes for the normalize
+            patches, grid = patchify_hwc(resized, cfg.patch_size, ms)
+            if not raw_uint8:
+                patches = patches.astype(np.float32)
+                view = patches.reshape(-1, 3, cfg.patch_size ** 2)
+                view *= scale
+                view += shift
             all_patches.append(patches)
             grid_sizes_out.append(grid)
 
