@@ -89,6 +89,20 @@ def test_patchify_layout_roundtrip():
     np.testing.assert_array_equal(flat[0], expect)
 
 
+def test_patchify_hwc_matches_chw():
+    from cogstream_tpu.processor.image_processor import patchify_hwc
+
+    rng = np.random.default_rng(7)
+    t, c, ps, ms = 3, 3, 14, 2
+    gh, gw = 4, 6
+    frames_chw = rng.integers(0, 255, (t, c, gh * ps, gw * ps), np.uint8)
+    flat_chw, grid_chw = patchify(frames_chw, ps, ms)
+    flat_hwc, grid_hwc = patchify_hwc(
+        np.ascontiguousarray(frames_chw.transpose(0, 2, 3, 1)), ps, ms)
+    assert grid_hwc == grid_chw
+    np.testing.assert_array_equal(flat_hwc, flat_chw)
+
+
 def test_full_preprocess_bit_accurate_vs_reference():
     ref = _load_reference_image_processing()
     import torch  # noqa: F401  (reference code needs it at import time)
