@@ -19,6 +19,12 @@ backend (ffmpeg ``fps=...:round=up`` grid for native; the cv2 source-
 index map for the thread backend), so chunked ingest sees the same
 frames as a buffered load. ``buffered`` exposes the decoder's current
 lead for overlap diagnostics (bench field ``ingest_decode_buffered``).
+
+Chunks are **HWC** (``[t, H, W, 3]``), unlike ``load_video``'s CHW
+frames: both decoders produce HWC natively and the preprocess resize
+consumes HWC, so a CHW chunk layout would pay two strided
+transpose-copies per chunk for nothing. ``ImageProcessor`` accepts
+either layout.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-Chunk = Tuple[np.ndarray, List[float]]   # ([t, 3, H, W] uint8, seconds)
+Chunk = Tuple[np.ndarray, List[float]]   # ([t, H, W, 3] uint8, seconds)
 
 
 class FrameChunkStream:
@@ -122,10 +128,10 @@ def _native_stream(path: str, start: Optional[float],
 
     def frame_iter():
         for k, frame in enumerate(stream):
-            # HWC -> CHW, timestamps on the fps grid from the window
-            # start (load_video's arange semantics)
+            # HWC as decoded; timestamps on the fps grid from the
+            # window start (load_video's arange semantics)
             t = t0 + k * step if step is not None else t0
-            yield frame.transpose(2, 0, 1), float(t)
+            yield frame, float(t)
 
     hint = int(math.ceil(window * fps)) if fps else 0
     return FrameChunkStream("native-ring", frame_iter(),
@@ -171,8 +177,7 @@ def _cv2_stream(path: str, start: Optional[float], end: Optional[float],
                 while (want_pos < len(src_idx)
                        and src_idx[want_pos] == idx):
                     rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                    item = (rgb.transpose(2, 0, 1),
-                            float(wanted[want_pos]))
+                    item = (rgb, float(wanted[want_pos]))
                     while not stop.is_set():
                         try:            # bounded put = back-pressure
                             q.put(item, timeout=0.2)

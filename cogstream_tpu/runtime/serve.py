@@ -205,8 +205,10 @@ class SessionServer:
     def _dispatch_segment(self, session_id: str, sess, proc,
                           frames: np.ndarray, timestamps: List[float],
                           target_sizes=None) -> None:
-        """Preprocess one [t,3,H,W] uint8 block and dispatch its ingest
-        (batched frontend / pool / bare session)."""
+        """Preprocess one uint8 frame block — [t,H,W,3] from the chunk
+        stream or [t,3,H,W] from the buffered loader (ImageProcessor
+        detects either) — and dispatch its ingest (batched frontend /
+        pool / bare session)."""
         batch = proc([frames], modals=["video"], raw_uint8=True,
                      target_sizes=target_sizes)
         t, gh, gw = batch.grid_sizes[0]

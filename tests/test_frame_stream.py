@@ -28,10 +28,11 @@ def clip(tmp_path_factory):
 
 
 def _collect(stream):
+    # chunks are HWC; transpose to CHW for comparison with load_video
     frames, ts = [], []
     for chunk, t in stream:
-        assert chunk.dtype == np.uint8 and chunk.shape[1] == 3
-        frames.extend(list(chunk))
+        assert chunk.dtype == np.uint8 and chunk.shape[3] == 3
+        frames.extend(f.transpose(2, 0, 1) for f in chunk)
         ts.extend(t)
     return frames, ts
 
