@@ -271,6 +271,19 @@ class ImageProcessor:
         for item, ms, target in zip(items, merge_sizes, target_sizes):
             if isinstance(item, (list, tuple)):
                 frames = item
+                if (len(frames) > 1
+                        and isinstance(frames[0], np.ndarray)
+                        and frames[0].ndim == 3
+                        and frames[0].shape[0] in (1, 3, 4)
+                        and frames[0].shape[2] not in (1, 3, 4)
+                        and all(isinstance(f, np.ndarray)
+                                and f.shape == frames[0].shape
+                                for f in frames[1:])):
+                    # uniform CHW frame list (the load_video contract):
+                    # one bulk TCHW→THWC copy instead of a strided
+                    # per-frame copy inside PIL's fromarray
+                    frames = list(np.ascontiguousarray(
+                        np.stack(frames).transpose(0, 2, 3, 1)))
             else:
                 arr = np.asarray(item)
                 if arr.ndim == 4:
