@@ -32,6 +32,7 @@ torch checkpoints transposes once at load time (models/checkpoint.py).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -40,7 +41,9 @@ import numpy as np
 
 from ..config import VisionEncoderConfig
 from ..ops.attention import segment_attention
-from ..ops.rope import grid_position_ids, vision_rope_angles, apply_vision_rope
+from ..ops.rope import (apply_vision_rope_cs, grid_position_ids,
+                        rope_half_permutation, vision_rope_angles,
+                        vision_rope_cos_sin)
 
 Params = Dict[str, jax.Array]
 
@@ -103,6 +106,11 @@ def init_vision_params(key: jax.Array, cfg: VisionEncoderConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 def _layernorm(x, p, eps):
+    # fp32 stats/normalize like the reference (torch upcasts LN). Note:
+    # an MXU ones-dot reduction variant was measured IDENTICAL in
+    # runtime (~83 ms/forward across the tower's 55 norms at 32x1024
+    # tokens, both forms) — LN here is bound by the f32 elementwise
+    # streams, not the cross-lane reduce — so the simple form stays.
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
@@ -122,16 +130,71 @@ def _dense(x, p):
     return (x @ w) + p["bias"].astype(x.dtype)
 
 
-def _attn_block(x, p, angles, segment_ids, cfg, attn_impl):
+def _attn_block(x, p, rope_csp, segment_ids, cfg, attn_impl):
     N = x.shape[0]
     H, D = cfg.num_attention_heads, cfg.head_dim
+    cos2, sin2, perm = rope_csp
     q = _dense(x, p["q"]).reshape(N, H, D)
     k = _dense(x, p["k"]).reshape(N, H, D)
     v = _dense(x, p["v"]).reshape(N, H, D)
-    q = apply_vision_rope(q, angles)
-    k = apply_vision_rope(k, angles)
+    q = apply_vision_rope_cs(q, cos2, sin2, perm)
+    k = apply_vision_rope_cs(k, cos2, sin2, perm)
     out = attn_impl(q, k, v, segment_ids)
     return _dense(out.reshape(N, H * D), p["o"])
+
+
+def _materialize_kernel(p, dtype):
+    kern = p["kernel"]
+    if isinstance(kern, dict):
+        from ..ops.quant import dequantize
+
+        return dequantize(kern, dtype)
+    return kern.astype(dtype)
+
+
+def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
+    """Attention block in token-major packed layout [Np, H*128].
+
+    The QKV weights are padded per head from D to 128 LANES (zero
+    columns), so the GEMM itself emits the tile-aligned layout the
+    packed flash kernel reads directly — no [N,H,D]→[H,N,D] transpose
+    or activation pad per layer (together ~90 ms/forward at 32x1024
+    tokens). Zero lanes are exact: they contribute nothing to q·k, the
+    attention output stays zero there, and the o-projection weight is
+    zero-padded on its input side. Weight padding costs one small pad
+    per weight per call (~0.5 ms total across the tower).
+    """
+    from ..ops.flash_attention import flash_attention_packed, _round_up
+
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    Dp = _round_up(D, 128)
+    Np = x.shape[0]
+    cos2, sin2, perm128 = rope_cs128
+    kv_start, kv_count, kmax, block = flash
+
+    def qkv(pp):
+        w = _materialize_kernel(pp, x.dtype).reshape(-1, H, D)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, Dp - D))).reshape(-1, H * Dp)
+        b = jnp.pad(pp["bias"].astype(x.dtype).reshape(H, D),
+                    ((0, 0), (0, Dp - D))).reshape(H * Dp)
+        return x @ w + b
+
+    def rope(t):
+        t3 = t.reshape(Np, H, Dp)
+        tf = t3.astype(jnp.float32)
+        rot = jnp.einsum("nhd,de->nhe", tf, perm128)
+        return ((tf * cos2) + (rot * sin2)).astype(t.dtype).reshape(
+            Np, H * Dp)
+
+    q = rope(qkv(p["q"]))
+    k = rope(qkv(p["k"]))
+    v = qkv(p["v"])
+    out = flash_attention_packed(
+        q, k, v, seg_row, kv_start, kv_count, H, Dp, block, block, kmax,
+        1.0 / math.sqrt(D), jax.default_backend() != "tpu")
+    wo = _materialize_kernel(p["o"], x.dtype).reshape(H, D, -1)
+    wo = jnp.pad(wo, ((0, 0), (0, Dp - D), (0, 0))).reshape(H * Dp, -1)
+    return out @ wo + p["o"]["bias"].astype(x.dtype)
 
 
 def _mlp_block(x, p):
@@ -160,6 +223,7 @@ def vision_encoder_core(
     ranges (``flash_kv``/``flash_kmax``, from build_vision_metadata) are
     host metadata so the kernel grid stays static under jit.
     """
+    packed = False
     if use_pallas:
         from ..ops.flash_attention import (
             DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, FlashRanges,
@@ -168,14 +232,16 @@ def vision_encoder_core(
         N = pixel_values.shape[0]
         if flash_kv is None:
             ranges = None  # eager fallback: derive from concrete ids
+
+            def attn_impl(q, k, v, seg):
+                return segment_flash_attention(q, k, v, seg, ranges=ranges)
         else:
+            # token-major packed path: the layer loop below runs at
+            # [Np, H*128] with the kernel reading GEMM-native tiles
             bq = flash_block or DEFAULT_BLOCK_Q
             n_pad = _round_up(max(N, bq), bq)
-            ranges = FlashRanges(flash_kv[0], flash_kv[1], flash_kmax,
-                                 bq, bq, n_pad)
-
-        def attn_impl(q, k, v, seg):
-            return segment_flash_attention(q, k, v, seg, ranges=ranges)
+            packed = True
+            attn_impl = None
     else:
         attn_impl = segment_attention
 
@@ -192,16 +258,48 @@ def vision_encoder_core(
         pixel_values = xf.reshape(n, -1)
     x = _dense(pixel_values.astype(cfg.jnp_dtype), params["patch_embed"])
     angles = vision_rope_angles(pos_ids, cfg.head_dim)
+    # hoisted: transcendentals once, rotate-half as a constant
+    # permutation matmul (see rope_half_permutation) — the per-layer
+    # slice/negate lane shuffles cost ~88 ms/forward at 32x1024
+    cos2, sin2 = vision_rope_cos_sin(angles)
 
     # unrolled per-layer loop (see init_vision_params for why the
     # vision tower does NOT scan: the Pallas custom call degrades
     # rolled-scan runtime 16x on v5e)
-    for layer in params["layers"]:
-        x = x + _attn_block(_layernorm(x, layer["ln1"], cfg.layer_norm_eps),
-                            layer["attn"], angles, segment_ids, cfg,
-                            attn_impl)
-        x = x + _mlp_block(_layernorm(x, layer["ln2"], cfg.layer_norm_eps),
-                           layer["mlp"])
+    if packed:
+        from ..ops.flash_attention import _round_up as _ru
+
+        H, D = cfg.num_attention_heads, cfg.head_dim
+        Dp = _ru(D, 128)
+        N0 = x.shape[0]
+        extra = n_pad - N0
+        # pad the residual stream ONCE; padded rows are seg=-1 (masked
+        # in attention) and sliced off before the merge downsample
+        x = jnp.pad(x, ((0, extra), (0, 0)))
+        seg_row = jnp.pad(jnp.asarray(segment_ids, jnp.int32), (0, extra),
+                          constant_values=-1)[None, :]
+        perm = rope_half_permutation(D)
+        perm128 = jnp.zeros((Dp, Dp), jnp.float32).at[:D, :D].set(perm)
+        cs = jnp.pad(cos2, ((0, extra), (0, 0), (0, Dp - D)))
+        sn = jnp.pad(sin2, ((0, extra), (0, 0), (0, Dp - D)))
+        flash = (flash_kv[0], flash_kv[1], flash_kmax, bq)
+        for layer in params["layers"]:
+            x = x + _attn_block_packed(
+                _layernorm(x, layer["ln1"], cfg.layer_norm_eps),
+                layer["attn"], (cs, sn, perm128), seg_row, cfg, flash)
+            x = x + _mlp_block(
+                _layernorm(x, layer["ln2"], cfg.layer_norm_eps),
+                layer["mlp"])
+        x = x[:N0]
+    else:
+        rope_csp = (cos2, sin2, rope_half_permutation(cfg.head_dim))
+        for layer in params["layers"]:
+            x = x + _attn_block(
+                _layernorm(x, layer["ln1"], cfg.layer_norm_eps),
+                layer["attn"], rope_csp, segment_ids, cfg, attn_impl)
+            x = x + _mlp_block(
+                _layernorm(x, layer["ln2"], cfg.layer_norm_eps),
+                layer["mlp"])
     x = _layernorm(x, params["post_ln"], cfg.layer_norm_eps)
 
     # merge-window mean (exact bilinear 2x downsample, ref :487-506)
