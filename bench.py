@@ -522,12 +522,12 @@ def bench_preprocess():
     T = 60
     frames = rng.integers(0, 255, (T, 3, 360, 640), np.uint8)
     proc = ImageProcessor(ProcessorConfig())
-    t0 = time.perf_counter()
-    batch = proc([frames], modals=["video"])
-    prep_s = time.perf_counter() - t0
-    t0 = time.perf_counter()      # production ingest path: uint8 rows,
-    proc([frames], modals=["video"], raw_uint8=True)   # device-side norm
-    prep_raw_s = time.perf_counter() - t0
+    proc([frames[:4]], modals=["video"])   # warm: allocator/PIL first-call
+    prep_s = _median_time(lambda: proc([frames], modals=["video"]),
+                          iters=3, warmup=1)
+    prep_raw_s = _median_time(        # production ingest path: uint8
+        lambda: proc([frames], modals=["video"], raw_uint8=True),
+        iters=3, warmup=1)            # rows, device-side normalize
 
     feats = jnp.asarray(rng.normal(size=(T, 256)), jnp.float32)
     ts = jnp.arange(T, dtype=jnp.float32)
