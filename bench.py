@@ -522,12 +522,19 @@ def bench_preprocess():
     T = 60
     frames = rng.integers(0, 255, (T, 3, 360, 640), np.uint8)
     proc = ImageProcessor(ProcessorConfig())
-    proc([frames[:4]], modals=["video"])   # warm: allocator/PIL first-call
-    prep_s = _median_time(lambda: proc([frames], modals=["video"]),
-                          iters=3, warmup=1)
-    prep_raw_s = _median_time(        # production ingest path: uint8
-        lambda: proc([frames], modals=["video"], raw_uint8=True),
-        iters=3, warmup=1)            # rows, device-side normalize
+
+    def med(**kw):                     # host-side: no device sync needed
+        proc([frames[:4]], modals=["video"], **kw)   # warm first-call
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            proc([frames], modals=["video"], **kw)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    prep_s = med()
+    prep_raw_s = med(raw_uint8=True)   # production ingest path: uint8
+                                       # rows, device-side normalize
 
     feats = jnp.asarray(rng.normal(size=(T, 256)), jnp.float32)
     ts = jnp.arange(T, dtype=jnp.float32)

@@ -13,8 +13,12 @@ segment span are never DMA'd, giving the block-diagonal O(sum_i L_i^2)
 cost of varlen flash attention instead of O(N^2).
 
 Kernel shape notes (see /opt/skills/guides/pallas_guide.md):
-* head-major [H, N, D] layout so each (head, q-block) program touches
-  contiguous rows; D is padded to a multiple of 128 lanes by the wrapper;
+* TWO entry layouts: the legacy head-major [H, N, D] wrapper
+  (``segment_flash_attention``, pads/transposes activations), and the
+  production token-major packed form (``flash_attention_packed``)
+  whose [N, H*128] blocks are tile-aligned column slices of the QKV
+  GEMM output — the encoder pads the GEMM *weights* per head to 128
+  lanes so no activation transpose or pad ever materializes;
 * online softmax with running (m, l, acc) scratch carried across the
   sequential minor grid dimension;
 * segment ids ride along as [1, N] int32 rows so equality masks evaluate
