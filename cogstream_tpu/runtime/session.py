@@ -157,6 +157,18 @@ def _event_summary_batch_device(text_params, ids_pad, img_pad, sel_pad,
             / jnp.maximum(valid.sum(axis=1), 1.0))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _question_rep_device(text_params, ids, q_pos, cfg):
+    """Jitted masked-mean hidden rep of the current question (the
+    cosine query of C7's event pruning). Eagerly this forward retraced
+    the whole scan per ask (~0.3 s host-side at demo scale)."""
+    h, _ = qwen2.qwen2_forward(
+        text_params, qwen2.embed(text_params, ids)[None], q_pos, cfg)
+    valid = (q_pos[0] >= 0)[:, None].astype(jnp.float32)
+    return (jnp.sum(h[0].astype(jnp.float32) * valid, axis=0)
+            / jnp.maximum(valid.sum(), 1.0))
+
+
 def flush_event_reps(sessions) -> None:
     """Compute deferred event-summary representations for every pending
     event across ``sessions`` in ONE batched forward per feature shape
@@ -238,6 +250,9 @@ class EventRecord:
     frame_slots: List[np.ndarray] = field(default_factory=list)
     shadow_slots: List[int] = field(default_factory=list)  # one per frame
     keyframe_mask: List[bool] = field(default_factory=list)  # one per frame
+    # host mirror of ``rep``, filled lazily at first ask — fetching each
+    # event's rep per ask costs one ~30 ms tunnel round trip apiece
+    rep_host: Optional[np.ndarray] = None
 
 
 class StreamingSession:
@@ -878,16 +893,11 @@ class StreamingSession:
         Sp = self._bucket(n)   # bucketed → one compile per length bucket
         ids = np.zeros((Sp,), np.int32)
         ids[:n] = question_ids
-        q_pos = jnp.concatenate([
-            jnp.arange(n, dtype=jnp.int32),
-            jnp.full((Sp - n,), -1, jnp.int32)])[None]
-        h, _ = qwen2.qwen2_forward(
-            self.params["text"],
-            qwen2.embed(self.params["text"], jnp.asarray(ids))[None],
-            q_pos, self.cfg.text)
-        valid = (q_pos[0] >= 0)[:, None].astype(jnp.float32)
-        return (jnp.sum(h[0].astype(jnp.float32) * valid, axis=0)
-                / jnp.maximum(valid.sum(), 1.0))
+        q_pos = np.concatenate([
+            np.arange(n, dtype=np.int32),
+            np.full((Sp - n,), -1, np.int32)])[None]
+        return _question_rep_device(self.params["text"], jnp.asarray(ids),
+                                    jnp.asarray(q_pos), self.cfg.text)
 
     def _allowed_mask(self, if_visual: bool,
                       selected_turns: Sequence[int],
@@ -914,8 +924,17 @@ class StreamingSession:
             # pooled SHADOW slot (+ its always-visible timestamp text)
             # — exact pool_minor_frames semantics (ref :434-447) on
             # cached KV.
-            q = np.asarray(self._question_rep(question_ids))
-            reps = np.stack([np.asarray(e.rep) for e in self.events])
+            q_dev = self._question_rep(question_ids)   # async dispatch
+            uncached = [e for e in self.events if e.rep_host is None]
+            if uncached:
+                # ONE batched fetch for all new events, mirrored on the
+                # host — per-event np.asarray(e.rep) paid a ~30 ms
+                # tunnel round trip each, every ask
+                fetched = np.asarray(jnp.stack([e.rep for e in uncached]))
+                for e, r in zip(uncached, fetched):
+                    e.rep_host = r
+            q = np.asarray(q_dev)
+            reps = np.stack([e.rep_host for e in self.events])
             sim = reps @ q / (np.linalg.norm(reps, axis=1)
                               * np.linalg.norm(q) + 1e-8)
             for e, s in zip(self.events, sim):
