@@ -171,11 +171,18 @@ def _cv2_stream(path: str, start: Optional[float], end: Optional[float],
         try:
             want_pos, idx = 0, 0
             while want_pos < len(src_idx) and not stop.is_set():
-                ok, frame = cap.read()
-                if not ok:
+                # grab() decodes without the BGR buffer copy/convert;
+                # retrieve() only runs on wanted frames — at 1 fps over
+                # a 24 fps source that skips 23/24 conversions
+                if not cap.grab():
                     break
+                frame = None
                 while (want_pos < len(src_idx)
                        and src_idx[want_pos] == idx):
+                    if frame is None:
+                        ok, frame = cap.retrieve()
+                        if not ok:
+                            break
                     rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                     item = (rgb, float(wanted[want_pos]))
                     while not stop.is_set():
