@@ -363,6 +363,27 @@ def dequantize(qp: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
     return dequantize_int8(qp, dtype)
 
 
+def slice_output_channels(p, ids: jax.Array):
+    """Restrict a weight — plain array or any quantized dict — to a
+    subset of its OUTPUT channels (the last/dout axis).
+
+    Used by constrained decoding: when the sampler's support is a
+    small static id set (the retrieval selector allows ~20 tokens),
+    slicing the lm_head to those columns turns the per-step logits
+    from a full-vocab read (545 MB at int8-7B, ~8% of each decode
+    step's HBM traffic) into a [hidden, K] GEMV. din-indexed leaves
+    (int4 packing, rank-1 ``rscale``, codebook ``code``) are
+    untouched — only dout-indexed leaves slice.
+    """
+    if not isinstance(p, dict):
+        return jnp.take(p, ids, axis=-1)
+    out = dict(p)
+    for k in ("q", "q4", "scale"):      # all dout on the last axis
+        if k in out:
+            out[k] = jnp.take(out[k], ids, axis=-1)
+    return out
+
+
 def quantized_matmul(x: jax.Array, qp: Dict[str, jax.Array],
                      out_dtype=None) -> jax.Array:
     """``x @ W`` for any quantized kernel; the int8 dequant

@@ -151,3 +151,20 @@ def constrained_selector_token_ids(tok) -> List[int]:
     except Exception:
         pass
     return sorted(a for a in allowed if a is not None and a >= 0)
+
+
+def selector_stop_token_ids(tok) -> List[int]:
+    """Token ids that COMPLETE a bracketed selection.
+
+    The selection grammar (``[yes,0,5]``) is finished the moment ``]``
+    is emitted — ``normalize_selection`` discards anything after it, so
+    decoding past the bracket only burns sequential decode steps
+    (~14 ms each at int8-7B). Stopping on ``]`` is the grammar-level
+    analogue of the reference's EOS stop (qaselect_module_predict.py
+    caps at 50 new tokens and parses the bracket out of the text)."""
+    stops = set(tok.encode("]"))
+    try:
+        stops.add(tok.convert_tokens_to_ids(IM_END))
+    except Exception:
+        pass
+    return sorted(s for s in stops if s is not None and s >= 0)

@@ -44,7 +44,7 @@ class GenerateResult(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
                      "top_k", "repetition_penalty", "eos_id",
-                     "lora_scale", "kv_window"),
+                     "lora_scale", "kv_window", "stop_ids", "logit_ids"),
     donate_argnums=(4,),   # cache: update in place, never copy the
                            # whole KV tensor (callers always rebind)
 )
@@ -71,6 +71,8 @@ def generate_tokens(
     active: Optional[jax.Array] = None,       # [B] bool — rows with a real request
     cache_rows: Optional[jax.Array] = None,   # [B] cache row per input row
     kv_window: Optional[int] = None,          # static read window (pooled)
+    stop_ids: Optional[tuple] = None,         # grammar-complete tokens
+    logit_ids: Optional[tuple] = None,        # static sampling support
 ) -> GenerateResult:
     """One compiled prefill+decode. In pooled mode (``write_slots``)
     every batch row is an independent session at its own cache fill
@@ -88,6 +90,48 @@ def generate_tokens(
     the loop, so they are always visible regardless of the window."""
     B = inputs_embeds.shape[0]
     max_len = cache.max_len
+
+    # ``logit_ids``: a STATIC sampling support (constrained decoding,
+    # e.g. the retrieval selector's ~20 allowed tokens). The lm_head is
+    # sliced to those columns ONCE before the loop, so every decode
+    # step computes a [B, K] GEMV instead of reading the full-vocab
+    # head (545 MB/step at int8-7B). Sampling over the sliced logits
+    # is exactly sampling over vocab_mask-ed full logits: softmax /
+    # argmax restricted to the same support.
+    if logit_ids is not None:
+        if repetition_penalty != 1.0:
+            raise ValueError("logit_ids + repetition_penalty unsupported")
+        if vocab_mask is not None:
+            raise ValueError("pass either logit_ids or vocab_mask")
+        from ..ops.quant import slice_output_channels
+
+        lid = jnp.asarray(logit_ids, jnp.int32)
+        head = dict(params["lm_head"])
+        head["kernel"] = slice_output_channels(head["kernel"], lid)
+        if "bias" in head:
+            head["bias"] = jnp.take(head["bias"], lid, axis=-1)
+        lm_params = {"lm_head": head}
+        lm_adapters = None
+        if adapters:
+            lm_adapters = []
+            for t, g in adapters:
+                if isinstance(t, dict) and t.get("lm_head") is not None:
+                    t = {"lm_head": {
+                        "a": t["lm_head"]["a"],
+                        "b": jnp.take(t["lm_head"]["b"], lid, axis=-1)}}
+                lm_adapters.append((t, g))
+
+        def _logits(h):
+            return qwen2.lm_logits(lm_params, h, lm_adapters, lora_scale)
+
+        def _to_vocab(idx):
+            return lid[idx]
+    else:
+        def _logits(h):
+            return qwen2.lm_logits(params, h, adapters, lora_scale)
+
+        def _to_vocab(idx):
+            return idx
 
     # solo windowed mode: the decode loop WRITES to its carried cache,
     # so slice the window up front (prompt + generation land inside it)
@@ -111,7 +155,7 @@ def generate_tokens(
         write_slots=write_slots, cache_rows=cache_rows)
     last_h = jnp.take_along_axis(
         hidden, last_index[:, None, None].astype(jnp.int32), axis=1)  # [B,1,H]
-    logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
+    logits = _logits(last_h)[:, 0]
     key, sk = jax.random.split(key)
     # repetition penalty (HF generation_config parity): a [B, vocab]
     # presence mask of context + generated-so-far tokens, updated in
@@ -128,15 +172,25 @@ def generate_tokens(
                                           repetition_penalty)
     else:
         seen0 = jnp.zeros((B, 1), jnp.bool_)         # dummy carry leaf
-    first_tok = sample_token(logits, sk, temperature, top_p, vocab_mask,
-                             top_k=top_k)
+    first_tok = _to_vocab(sample_token(logits, sk, temperature, top_p,
+                                       vocab_mask, top_k=top_k))
     if use_pen:
         seen0 = seen0.at[jnp.arange(B), first_tok].set(True)
     first_pos = jnp.take_along_axis(positions, last_index[:, None], axis=1)[:, 0] + 1
 
+    # ``stop_ids``: tokens that complete the output grammar (e.g. the
+    # selector's closing ``]``). Unlike eos they are REAL output — the
+    # row keeps the token, then pads with eos — but continuing to
+    # decode past them would only burn sequential weight-bound steps.
+    def _finished(t):
+        d = t == eos_id
+        for s in (stop_ids or ()):
+            d = d | (t == s)
+        return d
+
     tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first_tok)
-    done0 = first_tok == eos_id
+    done0 = _finished(first_tok)
     if active is not None:
         done0 = done0 | ~active
     pooled = write_slots is not None
@@ -200,19 +254,19 @@ def generate_tokens(
                 params, emb, step_pos, cfg, cache=c.cache,
                 adapters=adapters, lora_scale=lora_scale,
                 kv_allowed=kv_allowed)
-        logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)[:, 0]
+        logits = _logits(hidden)[:, 0]
         key, sk = jax.random.split(c.key)
         if use_pen:
             logits = apply_repetition_penalty(logits, c.seen,
                                               repetition_penalty)
-        nxt = sample_token(logits, sk, temperature, top_p, vocab_mask,
-                           top_k=top_k)
+        nxt = _to_vocab(sample_token(logits, sk, temperature, top_p,
+                                     vocab_mask, top_k=top_k))
         nxt = jnp.where(c.done, eos_id, nxt)
         seen = (c.seen.at[jnp.arange(B), nxt].set(True)
                 if use_pen else c.seen)
         tokens = jax.lax.dynamic_update_slice(
             c.tokens, nxt[:, None], (0, c.i))
-        done = c.done | (nxt == eos_id)
+        done = c.done | _finished(nxt)
         return Carry(c.i + 1, cache2, tokens, nxt, c.pos + 1, done, key,
                      seen)
 

@@ -4,8 +4,9 @@ Rebuild of ``qaselect_module_predict``
 (`/root/reference/model/qaselect_module_predict.py:5-127`). The few-shot
 prompt text is a model-facing interface and is kept verbatim; the
 constrained decoding (digits/brackets/yes/no/eos only, ≤50 new tokens,
-greedy) runs as a static vocab mask inside the jitted decode loop
-instead of a per-token host LogitsProcessor.
+greedy) runs inside the jitted decode loop instead of a per-token host
+LogitsProcessor, with the lm_head sliced to the static allowed-id set
+(``logit_ids``) and an early stop at the grammar-closing ``]``.
 """
 
 from __future__ import annotations
@@ -19,9 +20,9 @@ import numpy as np
 from ..config import Qwen2Config
 from ..models import qwen2
 from ..models.qwen2 import init_kv_cache
-from ..processor.tokenizer import constrained_selector_token_ids
+from ..processor.tokenizer import (constrained_selector_token_ids,
+                                   selector_stop_token_ids)
 from .generate import bucket_length, decode_new_tokens, generate_tokens
-from .sampling import build_vocab_mask
 
 # Prompt text mirrors format_example (qaselect_module_predict.py:11-61) —
 # it is the interface the stage-1-trained selector adapter expects.
@@ -104,8 +105,15 @@ class Selector:
         self.adapters = adapters
         self.lora_scale = lora_scale
         self.max_new_tokens = max_new_tokens
-        self.vocab_mask = build_vocab_mask(
-            cfg.vocab_size, constrained_selector_token_ids(tokenizer))
+        # static sampling support: generate_tokens slices the lm_head
+        # to these ~20 columns, so each selector decode step skips the
+        # full-vocab logits read (545 MB at int8-7B) — same greedy
+        # choice as the dense vocab_mask it replaces
+        self.allowed_ids = tuple(constrained_selector_token_ids(tokenizer))
+        # the selection is grammar-complete at ']' — stop there instead
+        # of decoding filler up to the 50-token cap (each decode step
+        # re-reads the full quantized weight set)
+        self.stop_ids = tuple(selector_stop_token_ids(tokenizer))
 
     def select_batch(self, items, include_demo: bool = True,
                      key: Optional[jax.Array] = None) -> List[str]:
@@ -134,8 +142,9 @@ class Selector:
             jnp.asarray(last), cache,
             key if key is not None else jax.random.PRNGKey(0),
             self.cfg, self.max_new_tokens, self.tokenizer.eos_token_id,
-            temperature=0.0, vocab_mask=self.vocab_mask,
-            adapters=self.adapters, lora_scale=self.lora_scale)
+            temperature=0.0, logit_ids=self.allowed_ids,
+            adapters=self.adapters, lora_scale=self.lora_scale,
+            stop_ids=self.stop_ids)
         toks = np.asarray(result.tokens)
         nums = np.asarray(result.num_tokens)
         outs = []
@@ -169,8 +178,9 @@ class Selector:
             jnp.asarray([len(ids) - 1], jnp.int32), cache,
             key if key is not None else jax.random.PRNGKey(0),
             self.cfg, self.max_new_tokens, self.tokenizer.eos_token_id,
-            temperature=0.0, vocab_mask=self.vocab_mask,
-            adapters=self.adapters, lora_scale=self.lora_scale)
+            temperature=0.0, logit_ids=self.allowed_ids,
+            adapters=self.adapters, lora_scale=self.lora_scale,
+            stop_ids=self.stop_ids)
         text = decode_new_tokens(result.tokens, result.num_tokens,
                                  self.tokenizer)
         return normalize_selection(text)

@@ -284,3 +284,34 @@ def test_qlora_train_step_on_nf4_base(tiny_config):
         state, loss = step(params, state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_slice_output_channels_all_schemes(rng):
+    """slice_output_channels(qp)[ids] matmuls identically to slicing
+    the full quantized matmul's output columns — for plain, int8,
+    group-int4 and rank-1 kernels (the constrained-decode lm_head
+    path)."""
+    from cogstream_tpu.ops.quant import (
+        quantize_int8, quantize_int4, quantize_int4_rank1,
+        quantized_matmul, slice_output_channels)
+
+    din, dout, k = 64, 96, 7
+    w = jnp.asarray(rng.normal(size=(din, dout)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, din)), jnp.bfloat16)
+    ids = jnp.asarray(sorted(rng.choice(dout, k, replace=False)),
+                      jnp.int32)
+
+    # plain array
+    plain = slice_output_channels(w, ids)
+    np.testing.assert_array_equal(np.asarray(plain),
+                                  np.asarray(w[:, ids]))
+
+    for qp in (quantize_int8(w),
+               quantize_int4(w, group_size=32),
+               quantize_int4_rank1(w)):
+        full = quantized_matmul(x, qp, jnp.float32)
+        small = quantized_matmul(x, slice_output_channels(qp, ids),
+                                 jnp.float32)
+        np.testing.assert_allclose(np.asarray(full[:, ids]),
+                                   np.asarray(small), rtol=1e-5,
+                                   atol=1e-5)

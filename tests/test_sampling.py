@@ -125,3 +125,106 @@ def test_session_ask_sampling_args(tiny_config):
     r = sess.ask("hello there?", mode="AC", max_new_tokens=8,
                  repetition_penalty=1.05)
     assert isinstance(r["text"], str)
+
+
+def test_generate_tokens_stop_ids(tiny_config):
+    """stop_ids halt the decode right AFTER the stop token: the token
+    is kept in the output (it is real grammar, e.g. the selector's
+    closing bracket), the remainder is eos-padded."""
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens
+
+    cfg = tiny_config.text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    S, NEW = 8, 12
+    ids = rng.integers(3, 200, size=(1, S)).astype(np.int32)
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    pos = jnp.asarray(np.arange(S, dtype=np.int32)[None])
+    last = jnp.asarray([S - 1], jnp.int32)
+
+    def run(stop_ids):
+        cache = init_kv_cache(cfg, 1, S + NEW)
+        r = generate_tokens(
+            params, emb, pos, last, cache, jax.random.PRNGKey(0), cfg,
+            NEW, eos_id=-1, temperature=0.0, stop_ids=stop_ids)
+        return np.asarray(r.tokens)[0], int(np.asarray(r.num_tokens)[0])
+
+    free, _ = run(None)
+    # pick a token the free greedy run emits mid-sequence as the stop
+    k = NEW // 2
+    stop = int(free[k])
+    first = int(np.argmax(free == stop))       # its first occurrence
+    stopped, num = run((stop,))
+    np.testing.assert_array_equal(stopped[:first + 1], free[:first + 1])
+    assert stopped[first] == stop              # stop token is kept
+    assert (stopped[first + 1:] == -1).all()   # eos-padded after
+    assert num == first + 2 or num == NEW      # incl. trailing eos
+
+
+def test_selector_stops_on_closing_bracket(tiny_config):
+    """The Selector's constrained decode halts at ']' instead of
+    decoding filler to the 50-token cap (production turn latency)."""
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.processor.tokenizer import (
+        ByteTokenizer, selector_stop_token_ids)
+    from cogstream_tpu.runtime.retrieval import Selector
+
+    tok = ByteTokenizer(image_token_id=tiny_config.image_token_index)
+    close = tok.encode("]")
+    assert len(close) == 1
+    assert close[0] in selector_stop_token_ids(tok)
+
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0),
+                                     tiny_config.text)
+    sel = Selector(params, tiny_config.text, tok)
+    assert close[0] in sel.stop_ids
+    out = sel.select("what happened?", ["earlier q"], ["earlier a"])
+    # normalized bracket form regardless of where the decode halted
+    assert out.startswith("[") and out.endswith("]")
+    # at most one closing bracket can have been decoded
+    assert out.count("]") == 1
+
+
+def test_logit_ids_matches_vocab_mask(tiny_config):
+    """Constrained decode via the sliced lm_head (static logit_ids)
+    produces exactly the tokens of the dense vocab_mask path."""
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens
+    from cogstream_tpu.runtime.sampling import build_vocab_mask
+
+    cfg = tiny_config.text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    S, NEW = 8, 10
+    allowed = tuple(sorted(rng.choice(cfg.vocab_size, 20,
+                                      replace=False).tolist()))
+    ids = rng.integers(3, 200, size=(2, S)).astype(np.int32)
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    pos = jnp.asarray(np.tile(np.arange(S, dtype=np.int32), (2, 1)))
+    last = jnp.asarray([S - 1, S - 1], jnp.int32)
+
+    def run(temperature=0.0, **kw):
+        cache = init_kv_cache(cfg, 2, S + NEW)
+        r = generate_tokens(
+            params, emb, pos, last, cache, jax.random.PRNGKey(0), cfg,
+            NEW, eos_id=-1, temperature=temperature, **kw)
+        return np.asarray(r.tokens)
+
+    dense = run(vocab_mask=build_vocab_mask(cfg.vocab_size,
+                                            list(allowed)))
+    sliced = run(logit_ids=allowed)
+    np.testing.assert_array_equal(dense, sliced)
+    assert set(sliced.ravel().tolist()) <= set(allowed)
+
+    # sampled (temperature>0) parity: restricted softmax == masked
+    dense_t = run(vocab_mask=build_vocab_mask(cfg.vocab_size,
+                                              list(allowed)),
+                  temperature=0.7)
+    sliced_t = run(logit_ids=allowed, temperature=0.7)
+    assert set(sliced_t.ravel().tolist()) <= set(allowed)
+    # same PRNG key stream, but the categorical draw is over K vs V
+    # categories — distributions match, draws need not; greedy above
+    # is the bitwise contract
