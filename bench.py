@@ -547,6 +547,70 @@ def bench_preprocess():
     return T / prep_s, km_s, T / prep_raw_s
 
 
+def bench_train_stage2():
+    """Stage-2 LoRA train-step throughput at demo scale: real video →
+    processor → GT-COI rewrite → jitted remat multimodal step on a 1x1
+    mesh. train_turn's ``float(loss)`` is the honest sync (scalar
+    fetch). Reports median steps/s over warm repeats of the same shape
+    buckets."""
+    import dataclasses
+    import tempfile
+    import time
+
+    import jax
+
+    try:
+        import cv2
+    except ImportError:
+        return None
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.config import CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.processing import CogStreamProcessor
+    from cogstream_tpu.train.stage2 import (Stage2Config, Stage2Trainer,
+                                            train_stage2_video)
+
+    cfg = dataclasses.replace(
+        presets.demo(), compression=CompressionConfig(
+            frames_per_event=4, keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok, _ = _tokenizer_for(cfg)
+    processor = CogStreamProcessor(tok, cfg.processor)
+
+    segments = [
+        {"timestamp": [0.0, 4.0], "QAs": [
+            {"QA_pairs": [{"Q": "what is shown?", "A": "a pattern."}],
+             "relevance": [], "is_visual": True}]},
+        {"timestamp": [4.0, 8.0], "QAs": [
+            {"QA_pairs": [{"Q": "did it change?", "A": "slightly."}],
+             "relevance": [1], "is_visual": True}]},
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "clip.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (128, 96))
+        rng = np.random.default_rng(3)
+        for _ in range(80):
+            w.write(rng.integers(0, 255, (96, 128, 3), np.uint8))
+        w.release()
+
+        tcfg = Stage2Config(max_seq_len=2048, max_frames=4,
+                            grad_accum=1, save_every=10**9, fps=1)
+        trainer = Stage2Trainer(params, cfg, tok, tcfg,
+                                os.path.join(td, "s2"),
+                                total_steps=100, log=lambda *a: None)
+        train_stage2_video(trainer, processor, path, segments,
+                           log=lambda *a: None)        # compiles
+        times = []
+        for _ in range(3):                             # warm repeats
+            t0 = time.perf_counter()
+            losses = train_stage2_video(trainer, processor, path,
+                                        segments, log=lambda *a: None)
+            times.append((time.perf_counter() - t0) / len(losses))
+        return 1.0 / float(np.median(times))
+
+
 def _sect(fn, *args, retries=2, crash_backoff=90):
     """Run a bench section with retries: the axon TPU worker
     crashes/restarts under cold-compile bursts ('UNAVAILABLE: TPU
@@ -682,6 +746,13 @@ def main():
                        "preprocess_fps_raw": round(r[2], 1)})
     else:
         extras["preprocess_bench_error"] = repr(err)[:300]
+    # training throughput (demo scale) — last: its cold remat compile
+    # is the crash-prone kind, so a failure cannot poison other rows
+    r, err = _sect(bench_train_stage2)
+    if r is not None:
+        extras["stage2_train_steps_per_sec"] = round(r, 3)
+    else:
+        extras["stage2_train_bench_error"] = repr(err)[:300]
 
     out = {
         "metric": "encoder_frames_per_sec_per_chip",
