@@ -392,8 +392,21 @@ def bench_session_7b_quant(use_pallas: bool, bits: int = 8):
         t0 = time.perf_counter()    # (selector + per-bucket decode)
         sess.ask(q, mode="FCC", max_new_tokens=32)
         lat.append(time.perf_counter() - t0)
+
+    # TYPICAL-selector variant: random weights never emit the
+    # grammar-closing ']', so the loop above decodes the full 50-token
+    # selector cap every turn — the honest worst case. A trained
+    # selector emits ']' after ~4-12 tokens (reference outputs are
+    # '[yes,0,5]'-shaped) and generate_tokens stops there; capping the
+    # bench selector at 12 models that typical production turn.
+    sess.selector.max_new_tokens = 12
+    lat_typ = []
+    for i in range(4):              # ask 0 compiles the 12-step decode
+        t0 = time.perf_counter()
+        sess.ask(q, mode="FCC", max_new_tokens=32)
+        lat_typ.append(time.perf_counter() - t0)
     return (float(np.median(lat[3:])), T / float(np.median(ing[3:])),
-            tok_kind)
+            tok_kind, float(np.median(lat_typ[1:])))
 
 
 def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
@@ -651,6 +664,12 @@ def _overlap_in_subprocess(attempts: int = 3) -> dict:
                 [sys.executable, os.path.abspath(__file__),
                  "--overlap-only"],
                 capture_output=True, timeout=1200, text=True)
+            # keep the child's stderr around for post-mortems — the
+            # crash modes here (worker restarts, Mosaic faults) only
+            # ever explain themselves on stderr
+            with open("/tmp/cogstream_overlap_stderr.log", "a") as f:
+                f.write(f"--- attempt {attempt} rc={out.returncode}\n")
+                f.write(out.stderr[-8000:] + "\n")
             line = out.stdout.strip().splitlines()[-1]
             res = json.loads(line)
             if "ingest_overlap_bench_error" not in res:
@@ -737,6 +756,7 @@ def main():
             extras["turn_p50_fcc_7b_int8_s"] = round(r[0], 4)
             extras["session_ingest_fps_7b"] = round(r[1], 1)
             extras["session_7b_tokenizer"] = r[2]
+            extras["turn_p50_fcc_7b_int8_typical_s"] = round(r[3], 4)
         else:
             extras["session_7b_bench_error"] = repr(err)[:300]
     r, err = _sect(bench_preprocess)
