@@ -311,6 +311,218 @@ def generate_tokens(
     return GenerateResult(final.tokens, num.astype(jnp.int32), final.cache)
 
 
+class LookaheadResult(NamedTuple):
+    tokens: jax.Array       # [1, max_new_tokens] int32 (eos-padded)
+    num_tokens: jax.Array   # [1] int32
+    cache: KVCache
+    steps: jax.Array        # scalar int32 — model forwards used
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "lookahead_k",
+                     "lora_scale", "stop_ids", "kv_window"),
+    donate_argnums=(4,),
+)
+def generate_tokens_lookahead(
+    params,
+    inputs_embeds: jax.Array,    # [1, S, H] prompt embeddings (padded)
+    positions: jax.Array,        # [1, S] int32, -1 on padding
+    last_index: jax.Array,       # [1] int32
+    cache: KVCache,
+    prompt_ids: jax.Array,       # [1, S] int32 ids (-1 pad / media slots)
+    cfg: Qwen2Config,
+    max_new_tokens: int,
+    eos_id: int,
+    lookahead_k: int = 4,
+    stop_ids: Optional[tuple] = None,
+    adapters=None,
+    lora_scale: float = 2.0,
+    kv_allowed: Optional[jax.Array] = None,
+    kv_window: Optional[int] = None,   # static read/write window (solo)
+) -> LookaheadResult:
+    """Greedy decode with PROMPT-LOOKUP speculative drafting, fully
+    under jit.
+
+    Each iteration drafts ``lookahead_k`` tokens by matching the last
+    bigram of the running sequence against the id history (prompt +
+    generated) and copying what followed its most recent earlier
+    occurrence, then verifies the draft with ONE (k+1)-token forward.
+    Decode is weights-bound, so the verify forward costs barely more
+    than a single decode step; every accepted draft token is a decode
+    step saved. Output is EXACTLY the vanilla greedy sequence
+    (verification re-derives every token from the model's own argmax;
+    on mismatch the tail is discarded).
+
+    Cache mechanics ride the position-tagged layout: rejected slots
+    are reclaimed by rewinding ``write_index`` — the next iteration's
+    (k+1)-token write overwrites every stale slot before attention
+    reads it — and the exit normalizes the cache to EXACTLY the
+    vanilla path's state (prompt + emissions[:-1], stale positions
+    blanked), so a follow-up turn cannot tell which decoder ran.
+    ``cache.max_len`` (or ``kv_window``) must be ≥ prompt bucket +
+    max_new_tokens + lookahead_k + 1.
+
+    Restrictions: B=1, greedy only (temperature 0), no repetition
+    penalty. The reference has no speculative path — its HF
+    ``generate`` decodes strictly token-by-token
+    (cogreasoner_chat.py:802-807).
+    """
+    B, S, _ = inputs_embeds.shape
+    if B != 1:
+        raise ValueError("lookahead decode is single-row (B=1)")
+    k = int(lookahead_k)
+    if k < 1:
+        raise ValueError("lookahead_k must be >= 1")
+    need = S + max_new_tokens + k + 1
+    if min(cache.max_len, kv_window or cache.max_len) < need:
+        raise ValueError(
+            f"cache window {min(cache.max_len, kv_window or cache.max_len)}"
+            f" < {need} needed for lookahead "
+            f"(prompt {S} + new {max_new_tokens} + k+1)")
+
+    # solo windowed mode (same contract as generate_tokens): all reads
+    # AND writes this call land below kv_window — slice the window up
+    # front, write it back at the end. The caller guarantees
+    # write_index + S + max_new_tokens + k + 1 <= kv_window.
+    full_cache = None
+    if kv_window is not None and kv_window < cache.max_len:
+        full_cache = cache
+        cache = KVCache(
+            jax.lax.slice_in_dim(cache.k, 0, kv_window, axis=2),
+            jax.lax.slice_in_dim(cache.v, 0, kv_window, axis=2),
+            cache.pos[:, :kv_window], cache.write_index)
+        if kv_allowed is not None:
+            kv_allowed = kv_allowed[:, :kv_window]
+
+    def _finished(t):
+        d = t == eos_id
+        for s in (stop_ids or ()):
+            d = d | (t == s)
+        return d
+
+    # ---- prefill (identical to the base path) -----------------------------
+    hidden, cache = qwen2.qwen2_forward(
+        params, inputs_embeds, positions, cfg, cache=cache,
+        adapters=adapters, lora_scale=lora_scale, kv_allowed=kv_allowed)
+    wi_prefill = cache.write_index   # generation slots start here
+    last_h = jnp.take_along_axis(
+        hidden, last_index[:, None, None].astype(jnp.int32), axis=1)
+    logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
+    first_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+
+    L = S + max_new_tokens + k + 1        # id-history buffer
+    hist0 = jnp.full((L,), -1, jnp.int32)
+    hist0 = jax.lax.dynamic_update_slice(hist0, prompt_ids[0], (0,))
+    hlen0 = last_index[0] + 1
+    hist0 = hist0.at[hlen0].set(first_tok)
+    prev0 = prompt_ids[0, last_index[0]]
+
+    buf = max_new_tokens + k + 1          # chunk writes may overhang
+    tokens0 = jnp.full((1, buf), eos_id, jnp.int32)
+    tokens0 = tokens0.at[0, 0].set(first_tok)
+    first_pos = jnp.take_along_axis(
+        positions, last_index[:, None], axis=1)[0, 0] + 1
+
+    class C(NamedTuple):
+        cache: KVCache
+        tokens: jax.Array     # [1, buf]
+        out_idx: jax.Array    # scalar
+        hist: jax.Array       # [L]
+        hlen: jax.Array       # scalar
+        prev: jax.Array       # scalar — token before cur in the stream
+        cur: jax.Array        # scalar — next token to feed
+        pos: jax.Array        # scalar — cur's position
+        done: jax.Array       # scalar bool
+        steps: jax.Array      # scalar
+
+    def cond(c: C):
+        return (c.out_idx < max_new_tokens) & (~c.done)
+
+    def body(c: C):
+        # draft: most recent earlier occurrence of the (prev, cur)
+        # bigram; copy the k tokens that followed it
+        seq = c.hist
+        idx = jnp.arange(L - 1)
+        m = ((seq[:-1] == c.prev) & (seq[1:] == c.cur)
+             & (idx + 1 < c.hlen) & (idx != c.hlen - 2)
+             & (c.prev >= 0))
+        j = jnp.max(jnp.where(m, idx, -1))
+        gidx = jnp.clip(j + 2 + jnp.arange(k), 0, L - 1)
+        draft = jnp.where(j >= 0, jnp.maximum(seq[gidx], 0), c.cur)
+
+        fed = jnp.concatenate([c.cur[None], draft])            # [k+1]
+        fed_pos = c.pos + jnp.arange(k + 1, dtype=jnp.int32)
+        emb = qwen2.embed(params, fed[None])
+        hidden, cache2 = qwen2.qwen2_forward(
+            params, emb, fed_pos[None], cfg, cache=c.cache,
+            adapters=adapters, lora_scale=lora_scale,
+            kv_allowed=kv_allowed)
+        lg = qwen2.lm_logits(params, hidden, adapters, lora_scale)[0]
+        g = jnp.argmax(lg, axis=-1).astype(jnp.int32)          # [k+1]
+
+        match = (fed[1:] == g[:-1]).astype(jnp.int32)
+        a = jnp.sum(jnp.cumprod(match))                        # 0..k
+        fin = _finished(g)
+        prior_fin = (jnp.cumsum(fin.astype(jnp.int32)) - fin) > 0
+        valid = (jnp.arange(k + 1) <= a) & (~prior_fin)
+        n_emit = jnp.sum(valid.astype(jnp.int32))
+        emit = jnp.where(valid, g, eos_id)
+
+        tokens = jax.lax.dynamic_update_slice(
+            c.tokens, emit[None], (0, c.out_idx))
+        hist = jax.lax.dynamic_update_slice(c.hist, emit, (c.hlen,))
+        done = c.done | jnp.any(fin & valid)
+
+        # reclaim rejected slots: next write starts right after the
+        # 1 + a accepted tokens and covers every stale slot
+        cache3 = KVCache(cache2.k, cache2.v, cache2.pos,
+                         cache2.write_index - (k + 1) + 1 + a)
+        return C(cache3, tokens, c.out_idx + n_emit, hist,
+                 c.hlen + n_emit, fed[a], g[a], c.pos + a + 1, done,
+                 c.steps + 1)
+
+    # steps counts verify forwards (loop iterations); the vanilla
+    # greedy equivalent is num_tokens - 1 decode steps after prefill
+    init = C(cache, tokens0, jnp.asarray(1, jnp.int32), hist0, hlen0 + 1,
+             prev0, first_tok, first_pos.astype(jnp.int32),
+             _finished(first_tok), jnp.asarray(0, jnp.int32))
+    f = jax.lax.while_loop(cond, body, init)
+
+    # Exit normalization: leave the cache EXACTLY as the vanilla
+    # greedy path would — prompt + emissions[0..num-2] (the terminal
+    # token is never fed there). Generation slot wi_prefill+i holds
+    # emission i (each accepted draft token both enters the cache and
+    # the output stream in order), so rewinding write_index to
+    # wi_prefill + num - 1 and blanking every slot at/after it drops
+    # both the final iteration's rejected slots AND any fed-but-cut
+    # tokens past an eos/stop (a drafted eos can be ACCEPTED into the
+    # cache when the prompt contains one — e.g. <|im_end|> in chat
+    # templates — and must not stay live). Masked select, not
+    # dynamic_update_slice: that clamps its start at the cache end and
+    # would blank live slots.
+    fc = f.cache
+    out = f.tokens[:, :max_new_tokens]
+    num = jnp.sum(
+        jnp.cumsum((out == eos_id).astype(jnp.int32), axis=1) == 0,
+        axis=1) + 1
+    num = jnp.minimum(num, max_new_tokens)
+    wi_final = wi_prefill + num[0] - 1
+    pos_clear = jnp.where(
+        jnp.arange(fc.pos.shape[1])[None] >= wi_final, -1, fc.pos)
+    out_cache = KVCache(fc.k, fc.v, pos_clear, wi_final)
+    if full_cache is not None:   # write the solo window back
+        out_cache = KVCache(
+            jax.lax.dynamic_update_slice(full_cache.k, out_cache.k,
+                                         (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(full_cache.v, out_cache.v,
+                                         (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(full_cache.pos, out_cache.pos,
+                                         (0, 0)),
+            out_cache.write_index)
+    return LookaheadResult(out, num.astype(jnp.int32), out_cache, f.steps)
+
+
 def decode_new_tokens(tokens, num_tokens, tokenizer, batch_index: int = 0,
                       skip_special_tokens: bool = True) -> str:
     """Host-side: trim at eos and decode."""

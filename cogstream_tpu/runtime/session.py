@@ -50,7 +50,8 @@ import numpy as np
 from ..config import CogReasonerConfig
 from ..models import cogreasoner, qwen2
 from ..models.qwen2 import KVCache, init_kv_cache
-from .generate import decode_new_tokens, generate_tokens
+from .generate import (decode_new_tokens, generate_tokens,
+                       generate_tokens_lookahead)
 from .history import parse_selection
 from .retrieval import Selector
 
@@ -304,6 +305,9 @@ class StreamingSession:
 
         enable_compilation_cache()
         self._key = jax.random.PRNGKey(rng_seed)
+        # device scalar from the last lookahead ask (verify forwards
+        # used); fetched lazily by stats consumers, never in the turn
+        self.last_lookahead_steps = None
 
         self.ranges: List[SlotRange] = []
         self.events: List[EventRecord] = []
@@ -955,7 +959,16 @@ class StreamingSession:
         top_p: float = 1.0,
         top_k: int = 0,
         repetition_penalty: float = 1.0,
+        lookahead_k: int = 0,
     ) -> Dict:
+        # prompt-lookup speculative decoding (generate_tokens_lookahead)
+        # applies only to greedy solo turns: sampling params or pooled
+        # storage fall back to the vanilla decoder silently, so callers
+        # can leave lookahead_k on as a default.
+        use_la = (lookahead_k > 0 and temperature == 0.0
+                  and top_p == 1.0 and top_k == 0
+                  and repetition_penalty == 1.0 and self._pool is None)
+        la_pad = lookahead_k + 1 if use_la else 0
         turn = len(self.hist_qs)
         if mode == "FCC" and self.hist_qs:
             selection = self.selector.select(
@@ -973,12 +986,12 @@ class StreamingSession:
         Sp = self._bucket(S)   # bucketed prefill → stable jit cache
         # evict BEFORE building the visibility mask — compaction moves
         # slots, which would invalidate a pre-built mask
-        self.evict_for(Sp + max_new_tokens)
+        self.evict_for(Sp + max_new_tokens + la_pad)
         allowed = self._allowed_mask(
             if_visual, sel_idx, np.asarray(self.tok.encode(question),
                                            np.int32))
         start = self.write_index
-        if start + Sp + max_new_tokens > self.max_len:
+        if start + Sp + max_new_tokens + la_pad > self.max_len:
             raise RuntimeError("session cache overflow")
         ids_pad = np.zeros((Sp,), np.int32)
         ids_pad[:S] = q_ids
@@ -986,22 +999,41 @@ class StreamingSession:
         positions = jnp.concatenate([
             jnp.arange(self.next_pos, self.next_pos + S, dtype=jnp.int32),
             jnp.full((Sp - S,), -1, jnp.int32)])[None]
-        result = generate_tokens(
-            self.params["text"], emb, positions,
-            jnp.asarray([S - 1], jnp.int32), self.cache, self._next_key(),
-            self.cfg.text, max_new_tokens, self.tok.eos_token_id,
-            temperature=temperature, top_p=top_p, top_k=top_k,
-            repetition_penalty=repetition_penalty,
-            # penalty context: this turn's prompt ids (history K/V lives
-            # in cache; the parity engine passes the full conversation)
-            penalty_ids=(jnp.asarray(
-                np.where(np.arange(Sp) < S, ids_pad, -1))[None]
-                if repetition_penalty != 1.0 else None),
-            adapters=self._full_adapters(),
-            kv_allowed=jnp.asarray(allowed)[None],
-            write_slots=self._row_slots(start, S, Sp),
-            cache_rows=self._cache_rows(),
-            kv_window=self._kv_window(start + Sp + max_new_tokens))
+        if use_la:
+            # consume a key anyway so the session's key stream advances
+            # identically whichever decoder runs (greedy ignores it)
+            self._next_key()
+            result = generate_tokens_lookahead(
+                self.params["text"], emb, positions,
+                jnp.asarray([S - 1], jnp.int32), self.cache,
+                jnp.asarray(ids_pad)[None], self.cfg.text,
+                max_new_tokens, self.tok.eos_token_id,
+                lookahead_k=lookahead_k,
+                adapters=self._full_adapters(),
+                kv_allowed=jnp.asarray(allowed)[None],
+                kv_window=self._kv_window(
+                    start + Sp + max_new_tokens + la_pad))
+            # device scalar, fetched lazily by whoever wants the stat
+            self.last_lookahead_steps = result.steps
+        else:
+            result = generate_tokens(
+                self.params["text"], emb, positions,
+                jnp.asarray([S - 1], jnp.int32), self.cache,
+                self._next_key(),
+                self.cfg.text, max_new_tokens, self.tok.eos_token_id,
+                temperature=temperature, top_p=top_p, top_k=top_k,
+                repetition_penalty=repetition_penalty,
+                # penalty context: this turn's prompt ids (history K/V
+                # lives in cache; the parity engine passes the full
+                # conversation)
+                penalty_ids=(jnp.asarray(
+                    np.where(np.arange(Sp) < S, ids_pad, -1))[None]
+                    if repetition_penalty != 1.0 else None),
+                adapters=self._full_adapters(),
+                kv_allowed=jnp.asarray(allowed)[None],
+                write_slots=self._row_slots(start, S, Sp),
+                cache_rows=self._cache_rows(),
+                kv_window=self._kv_window(start + Sp + max_new_tokens))
         self.cache = result.cache
         n_fed = max(0, int(np.asarray(result.num_tokens)[0]) - 1)
         text = decode_new_tokens(result.tokens, result.num_tokens, self.tok)
