@@ -14,6 +14,7 @@ instead (needs a >=32GB chip).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -338,6 +339,67 @@ def _synthetic_7b_text_params(bits: int):
             },
         },
     }
+
+
+def bench_lookahead_7b(bits: int = 8, K: int = 4):
+    """Prompt-lookup speculative decode at 7B int8. Two honest rows:
+
+    - ``la_verify_vs_decode_step``: time of one (K+1)-token verify
+      forward over one 1-token decode step. Decode is weights-bound at
+      7B, so this ratio is the REAL cost of drafting; with acceptance
+      rate a, wall-clock speedup ~= (1 + a*K) / ratio.
+    - ``la_7b_int8_decode_tok_s``: end-to-end lookahead generate.
+      Synthetic constant weights collapse greedy output to a short
+      cycle, so the bigram draft accepts nearly everything — this is
+      the acceptance CEILING, not a typical-text expectation (real
+      answers accept on echoed spans: names, numbers, phrases from
+      the prompt/history)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens_lookahead
+
+    cfg = presets.cogreasoner_7b().text
+    params = _synthetic_7b_text_params(bits)
+    S, NEW = 512, 64
+    ids = np.zeros((1, S), np.int32)
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    positions = jnp.asarray(np.arange(S, dtype=np.int32)[None])
+    last = jnp.asarray([S - 1], jnp.int32)
+
+    def run():
+        cache = init_kv_cache(cfg, 1, S + NEW + K + 1)
+        return generate_tokens_lookahead(
+            params, emb, positions, last, cache, jnp.asarray(ids), cfg,
+            NEW, eos_id=-1, lookahead_k=K)
+
+    dt = _median_time(run, iters=2, warmup=1)
+    steps = int(np.asarray(run().steps))
+
+    # step-cost ratio on a warm prefilled cache
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def step(params, cache, n):
+        toks = jnp.zeros((1, n), jnp.int32)
+        pos = jnp.asarray(np.arange(S, S + 1, dtype=np.int32)[None]) \
+            if n == 1 else \
+            jnp.asarray(np.arange(S, S + n, dtype=np.int32)[None])
+        emb1 = qwen2.embed(params, toks)
+        hidden, _ = qwen2.qwen2_forward(params, emb1, pos, cfg,
+                                        cache=cache)
+        return qwen2.lm_logits(params, hidden)[:, -1]
+
+    cache0 = init_kv_cache(cfg, 1, S + NEW + K + 1)
+    _, cache0 = qwen2.qwen2_forward(params, emb, positions, cfg,
+                                    cache=cache0)
+    d1 = _median_time(lambda: step(params, cache0, 1), iters=3, warmup=1)
+    dk = _median_time(lambda: step(params, cache0, K + 1), iters=3,
+                      warmup=1)
+    return NEW / dt, steps, dk / d1
 
 
 def bench_session_7b_quant(use_pallas: bool, bits: int = 8):
@@ -749,6 +811,13 @@ def main():
             extras["int4_7b_prefill_tok_s"] = round(r[1], 1)
         else:
             extras["int4_7b_bench_error"] = repr(err)[:300]
+        r, err = _sect(bench_lookahead_7b, 8)
+        if r is not None:
+            extras["la_7b_int8_decode_tok_s"] = round(r[0], 2)
+            extras["la_7b_int8_steps_for_64"] = r[1]
+            extras["la_verify_vs_decode_step"] = round(r[2], 3)
+        else:
+            extras["lookahead_bench_error"] = repr(err)[:300]
         # full-width production turn: 7B int8 session incl. FCC
         # selector decode (BASELINE.md '<1 s p50 per-turn for 7B')
         r, err = _sect(bench_session_7b_quant, True)

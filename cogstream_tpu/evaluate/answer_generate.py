@@ -358,6 +358,12 @@ def main():
                          "production sampling: temperature 0.7, top_k "
                          "20, top_p 0.8, repetition_penalty 1.05); "
                          "'greedy' is deterministic")
+    ap.add_argument("--lookahead-k", type=int, default=0,
+                    help="prompt-lookup speculative decoding draft "
+                         "length (exact greedy output, fewer decode "
+                         "forwards); only takes effect with --sampling "
+                         "greedy — sampled/penalized decodes fall back "
+                         "to the vanilla decoder")
     args = ap.parse_args()
 
     from ..config import load_hf_config
@@ -389,6 +395,10 @@ def main():
         from ..config import load_generation_config
 
         sampling = load_generation_config(args.model_dir).sampling_kwargs
+    if args.lookahead_k > 0:
+        # merged into the per-turn kwargs; the decoders ignore it
+        # whenever sampling params make speculative decode unsound
+        sampling = {**(sampling or {}), "lookahead_k": args.lookahead_k}
     run_eval(engine, processor, args.video_dir, args.query_dir,
              args.save_dir, mode=args.mode,
              session_factory=session_factory, processor_cfg=cfg.processor,

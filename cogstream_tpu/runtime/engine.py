@@ -24,7 +24,8 @@ from ..config import CogReasonerConfig
 from ..models import cogreasoner, qwen2
 from ..models.qwen2 import init_kv_cache
 from ..processor.processing import CogStreamProcessor, ProcessorOutput
-from .generate import bucket_length, decode_new_tokens, generate_tokens
+from .generate import (bucket_length, decode_new_tokens, generate_tokens,
+                       generate_tokens_lookahead)
 from .history import parse_selection, rewrite_history, selection_string
 from .retrieval import Selector
 
@@ -55,10 +56,21 @@ class CogReasonerEngine:
         adapters: Optional[Dict[str, Dict]] = None,
         use_pallas: bool = False,
         rng_seed: int = 0,
+        mesh=None,
     ):
         from ..utils.cache import enable_compilation_cache
 
         enable_compilation_cache()   # 27 unrolled pallas layers: compile once per machine
+        # tensor-parallel serving: place params under the Megatron-style
+        # specs; GSPMD then partitions every jitted stage (see the mesh
+        # note in runtime/session.py)
+        if mesh is not None:
+            from ..parallel.sharding import (cogreasoner_param_specs,
+                                             shard_params)
+            params = shard_params(params,
+                                  cogreasoner_param_specs(cfg, mesh),
+                                  mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -76,6 +88,13 @@ class CogReasonerEngine:
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _new_cache(self, max_len: int):
+        cache = init_kv_cache(self.cfg.text, 1, max_len)
+        if self.mesh is not None:
+            from ..parallel.sharding import place_kv_cache
+            cache = place_kv_cache(cache, self.cfg.text, self.mesh)
+        return cache
 
     # -- C8 + C9 -------------------------------------------------------------
 
@@ -160,6 +179,7 @@ class CogReasonerEngine:
         top_p: float = 1.0,
         top_k: int = 0,
         repetition_penalty: float = 1.0,
+        lookahead_k: int = 0,
     ) -> TurnResult:
         embeds, positions, last_index = self.prepare_multimodal(
             out, sel.input_ids, sel.if_visual)
@@ -170,6 +190,32 @@ class CogReasonerEngine:
             tree = full["text"] if "text" in full else full
             adapters = [(tree, jnp.float32(1.0))]
 
+        # Prompt-lookup speculative decode: exact greedy output, fewer
+        # forwards. Only sound for greedy + no repetition penalty (the
+        # reference defaults penalty 1.05 — callers opting into
+        # lookahead must decode with penalty 1.0). The match corpus is
+        # the rewritten conversation's TEXT ids (media placeholder runs
+        # never match real emissions), bucketed independently of the
+        # spliced embeds.
+        if (lookahead_k > 0 and temperature == 0.0
+                and repetition_penalty == 1.0):
+            C = bucket_length(len(sel.input_ids))
+            pids = np.full((1, C), -1, np.int32)
+            pids[0, :len(sel.input_ids)] = sel.input_ids
+            cache = self._new_cache(
+                embeds.shape[1] + max_new_tokens + lookahead_k + 1)
+            result = generate_tokens_lookahead(
+                self.params["text"], embeds, positions, last_index,
+                cache, jnp.asarray(pids), self.cfg.text, max_new_tokens,
+                self.tokenizer.eos_token_id, lookahead_k=lookahead_k,
+                adapters=adapters,
+                corpus_last=jnp.asarray([len(sel.input_ids) - 1],
+                                        jnp.int32))
+            text = decode_new_tokens(result.tokens, result.num_tokens,
+                                     self.tokenizer)
+            return TurnResult(text, sel.selection, sel.if_visual,
+                              int(np.asarray(result.num_tokens)[0]))
+
         # repetition-penalty context = the full (rewritten) conversation
         # ids, exactly HF generate's input_ids (the reference decodes
         # with penalty 1.05 from generation_config.json)
@@ -178,8 +224,7 @@ class CogReasonerEngine:
             pen_ids = jnp.asarray(
                 np.asarray(sel.input_ids, np.int32))[None]
 
-        cache = init_kv_cache(
-            self.cfg.text, 1, embeds.shape[1] + max_new_tokens)
+        cache = self._new_cache(embeds.shape[1] + max_new_tokens)
         result = generate_tokens(
             self.params["text"], embeds, positions, last_index, cache,
             self._next_key(), self.cfg.text, max_new_tokens,
@@ -203,6 +248,7 @@ class CogReasonerEngine:
         top_p: float = 1.0,
         top_k: int = 0,
         repetition_penalty: float = 1.0,
+        lookahead_k: int = 0,
         select_gt=None,
         if_visual=None,
     ) -> TurnResult:
@@ -213,4 +259,5 @@ class CogReasonerEngine:
         return self.generate(out, sel, max_new_tokens=max_new_tokens,
                              temperature=temperature, top_p=top_p,
                              top_k=top_k,
-                             repetition_penalty=repetition_penalty)
+                             repetition_penalty=repetition_penalty,
+                             lookahead_k=lookahead_k)

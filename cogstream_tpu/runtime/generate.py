@@ -340,6 +340,7 @@ def generate_tokens_lookahead(
     lora_scale: float = 2.0,
     kv_allowed: Optional[jax.Array] = None,
     kv_window: Optional[int] = None,   # static read/write window (solo)
+    corpus_last: Optional[jax.Array] = None,  # [1] last real corpus idx
 ) -> LookaheadResult:
     """Greedy decode with PROMPT-LOOKUP speculative drafting, fully
     under jit.
@@ -348,6 +349,11 @@ def generate_tokens_lookahead(
     bigram of the running sequence against the id history (prompt +
     generated) and copying what followed its most recent earlier
     occurrence, then verifies the draft with ONE (k+1)-token forward.
+    ``prompt_ids`` is the MATCH CORPUS and may be bucketed apart from
+    the embeds (engine case: media splicing changes embed length):
+    pass any ``[1, C]`` id buffer (-1 padded) plus ``corpus_last``
+    marking its last real index; by default it is assumed aligned with
+    the embeds and ``last_index`` is used.
     Decode is weights-bound, so the verify forward costs barely more
     than a single decode step; every accepted draft token is a decode
     step saved. Output is EXACTLY the vanilla greedy sequence
@@ -411,12 +417,19 @@ def generate_tokens_lookahead(
     logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
     first_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
 
-    L = S + max_new_tokens + k + 1        # id-history buffer
+    # The match corpus may be WIDER than the prompt embeds: callers
+    # with spliced media embeddings (engine.chat) pass the full text-id
+    # stream as prompt_ids (length C != S) and corpus_last marks its
+    # last real index. Default: prompt_ids aligns with the embeds.
+    C = prompt_ids.shape[1]
+    cl = (corpus_last[0] if corpus_last is not None
+          else last_index[0]).astype(jnp.int32)
+    L = C + max_new_tokens + k + 1        # id-history buffer
     hist0 = jnp.full((L,), -1, jnp.int32)
     hist0 = jax.lax.dynamic_update_slice(hist0, prompt_ids[0], (0,))
-    hlen0 = last_index[0] + 1
+    hlen0 = cl + 1
     hist0 = hist0.at[hlen0].set(first_tok)
-    prev0 = prompt_ids[0, last_index[0]]
+    prev0 = prompt_ids[0, cl]
 
     buf = max_new_tokens + k + 1          # chunk writes may overhang
     tokens0 = jnp.full((1, buf), eos_id, jnp.int32)

@@ -191,3 +191,23 @@ def test_rewrite_preserves_stream_visuals(engine, tiny_video):
     sel2 = engine.qa_selection(out, mode="gt", select_gt=[0],
                                if_visual=False)
     assert int(np.sum(sel2.input_ids == img_id)) == 0
+
+
+def test_chat_lookahead_greedy_parity(engine, tiny_video):
+    """engine.chat(lookahead_k=4) on a greedy no-penalty turn must emit
+    exactly the vanilla decoder's text (the corpus here is the spliced
+    multimodal prompt: text ids bucketed apart from the embeds)."""
+    conversation = [
+        {"role": "stream", "content": [{"type": "video", "video": {
+            "video_path": tiny_video, "fps": 1, "max_frames": 4}}]},
+        {"role": "user", "content": "what do you see?"},
+    ]
+    base = engine.chat(conversation, mode="AC", max_new_tokens=12)
+    la = engine.chat(conversation, mode="AC", max_new_tokens=12,
+                     lookahead_k=4)
+    assert la.text == base.text
+    assert la.num_tokens == base.num_tokens
+    # sampling / penalty turns silently fall back to the vanilla path
+    pen = engine.chat(conversation, mode="AC", max_new_tokens=12,
+                      repetition_penalty=1.05, lookahead_k=4)
+    assert isinstance(pen.text, str)

@@ -105,6 +105,36 @@ def test_lookahead_stop_ids(tiny_config):
                                   np.asarray(la.tokens))
 
 
+def test_lookahead_decoupled_corpus(tiny_config):
+    """The match corpus (prompt_ids + corpus_last) may be bucketed
+    independently of the embeds: a wider, padded corpus holding the
+    same ids yields byte-identical output — the engine's spliced-media
+    case where text-id length != embed length."""
+    cfg, params, ids, emb, pos, last = _setup(tiny_config, 0)
+    S, NEW, K = ids.shape[1], 24, 4
+
+    aligned = generate_tokens_lookahead(
+        params, emb, pos, last,
+        init_kv_cache(cfg, 1, S + NEW + K + 1), jnp.asarray(ids),
+        cfg, NEW, eos_id=2, lookahead_k=K)
+
+    C = S + 20
+    wide = np.full((1, C), -1, np.int32)
+    wide[0, :S] = ids
+    decoupled = generate_tokens_lookahead(
+        params, emb, pos, last,
+        init_kv_cache(cfg, 1, S + NEW + K + 1), jnp.asarray(wide),
+        cfg, NEW, eos_id=2, lookahead_k=K,
+        corpus_last=jnp.asarray([S - 1], jnp.int32))
+
+    np.testing.assert_array_equal(np.asarray(aligned.tokens),
+                                  np.asarray(decoupled.tokens))
+    np.testing.assert_array_equal(np.asarray(aligned.num_tokens),
+                                  np.asarray(decoupled.num_tokens))
+    assert (int(np.asarray(decoupled.steps))
+            == int(np.asarray(aligned.steps)))
+
+
 def test_lookahead_kv_window(tiny_config):
     """Windowed solo mode: identical output to the unwindowed call, and
     cache slots at/after the window are untouched."""
