@@ -250,3 +250,16 @@ def kv_cache_specs(cfg: Qwen2Config, mesh: Mesh):
         pos=P(b_ax, None),
         write_index=P(),
     )
+
+
+def place_kv_cache(cache, cfg: Qwen2Config, mesh: Mesh):
+    """Place a KVCache onto the mesh under the serving plan. The batch
+    dim must divide the data axis (solo sessions → use a data=1 mesh)."""
+    b = cache.k.shape[1]
+    specs = kv_cache_specs(cfg, mesh)
+    if b % mesh.shape[DATA_AXIS] != 0:
+        specs = jax.tree.map(
+            lambda p: P(*(None if ax == DATA_AXIS else ax for ax in p)),
+            specs, is_leaf=lambda x: isinstance(x, P))
+    return jax.tree.map(jax.device_put, cache,
+                        specs_to_shardings(specs, mesh))

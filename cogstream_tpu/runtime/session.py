@@ -273,7 +273,23 @@ class StreamingSession:
         kv_dtype=None,
         pool=None,
         row: Optional[int] = None,
+        mesh=None,
     ):
+        # ``mesh``: tensor-parallel serving. Params are placed under the
+        # Megatron-style specs (parallel/sharding.py) and the KV cache
+        # under kv_cache_specs; every jitted step then runs SPMD via
+        # GSPMD propagation — no session code changes, XLA inserts the
+        # collectives (one psum per attn/MLP block) over ICI. This is
+        # how 7B bf16 serves on v5e-8 (16 GB/chip): TP=8 holds 1/8th of
+        # the weights per chip and cuts the weights-bound decode time
+        # near-linearly. Use a data=1 mesh for solo sessions.
+        if mesh is not None:
+            from ..parallel.sharding import (cogreasoner_param_specs,
+                                             shard_params)
+            params = shard_params(params,
+                                  cogreasoner_param_specs(cfg, mesh),
+                                  mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -295,6 +311,10 @@ class StreamingSession:
             # existing .astype plumbing in models/qwen2.py
             self._own_cache = init_kv_cache(cfg.text, 1, max_len,
                                             dtype=kv_dtype)
+            if mesh is not None:
+                from ..parallel.sharding import place_kv_cache
+                self._own_cache = place_kv_cache(self._own_cache,
+                                                 cfg.text, mesh)
         else:
             assert row is not None and max_len == pool.max_len
             # clear any previous tenant's slots on this row

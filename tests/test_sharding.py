@@ -115,6 +115,47 @@ def test_session_on_tp_mesh_matches_unsharded(tiny_config):
         got = sess.ask("what is this?", mode="AC", max_new_tokens=6)
     assert got["text"] == want["text"]
 
+    # first-class API: mesh= shards the params itself, places the KV
+    # cache under kv_cache_specs, and needs no mesh context manager
+    sess2 = StreamingSession(params, cfg, tok, max_len=1024,
+                             summary_forward=False, mesh=mesh)
+    qk = sess2.params["text"]["layers"]["attn"]["q_proj"]["kernel"]
+    assert qk.sharding.spec == P(None, None, MODEL_AXIS)
+    assert set(sess2.cache.k.sharding.device_set) \
+        == set(mesh.devices.flat)
+    sess2.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    got2 = sess2.ask("what is this?", mode="AC", max_new_tokens=6)
+    assert got2["text"] == want["text"]
+    # and the speculative decoder rides the same SPMD program
+    got3 = sess2.ask("what is this?", mode="AC", max_new_tokens=6,
+                     lookahead_k=4)
+    assert isinstance(got3["text"], str)
+
+
+def test_engine_on_tp_mesh_text_turn(tiny_config):
+    """CogReasonerEngine(mesh=...) answers a text-only turn identically
+    to the unsharded engine (greedy + lookahead paths)."""
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.engine import CogReasonerEngine
+
+    cfg = tiny_config
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    conversation = [{"role": "user", "content": "hello, what now?"}]
+
+    ref = CogReasonerEngine(params, cfg, tok)
+    want = ref.chat(conversation, mode="AC", max_new_tokens=8)
+
+    mesh = make_mesh(data_parallel=1, model_parallel=4,
+                     devices=jax.devices()[:4])
+    eng = CogReasonerEngine(params, cfg, tok, mesh=mesh)
+    got = eng.chat(conversation, mode="AC", max_new_tokens=8)
+    assert got.text == want.text
+    la = eng.chat(conversation, mode="AC", max_new_tokens=8,
+                  lookahead_k=4)
+    assert la.text == want.text
+
 
 def test_ring_attention_matches_dense(tiny_config):
     """Ring (context-parallel) attention over an 8-device sequence
