@@ -37,7 +37,19 @@ class SessionPool:
                  n_rows: int = 4, max_len: int = 8192,
                  adapters: Optional[Dict] = None,
                  use_pallas: bool = False, summary_forward: bool = True,
-                 kv_dtype=None, seed: int = 0):
+                 kv_dtype=None, seed: int = 0, mesh=None):
+        # tensor-parallel pooled serving: params under the Megatron
+        # specs, the shared cache under kv_cache_specs — with n_rows
+        # divisible by the data axis the rows themselves shard across
+        # it (batch-parallel decode on top of TP). See the mesh note in
+        # runtime/session.py.
+        if mesh is not None:
+            from ..parallel.sharding import (cogreasoner_param_specs,
+                                             shard_params)
+            params = shard_params(params,
+                                  cogreasoner_param_specs(cfg, mesh),
+                                  mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -50,6 +62,9 @@ class SessionPool:
         self._key = jax.random.PRNGKey(seed)
         self.cache = init_kv_cache(cfg.text, n_rows, max_len,
                                    dtype=kv_dtype)
+        if mesh is not None:
+            from ..parallel.sharding import place_kv_cache
+            self.cache = place_kv_cache(self.cache, cfg.text, mesh)
         self.sessions: Dict[int, StreamingSession] = {}
         self._mk = lambda row: StreamingSession(
             params, cfg, tokenizer, adapters=adapters, max_len=max_len,

@@ -5,8 +5,8 @@ JSON-over-HTTP (stdlib only — no server deps in the TPU image):
     POST /session            {"session_id"?}            → creates a session
     POST /ingest             {"session_id", "video_path", "start", "end",
                               "fps"?}                   → decode+encode+cache
-    POST /ask                {"session_id", "question", "mode"?}
-                                                        → answer + latency
+    POST /ask                {"session_id", "question", "mode"?,
+                              "lookahead_k"?}           → answer + latency
     POST /ask_stream         same body → chunked text deltas, then a
                              0x1e record separator + final JSON meta
     POST /save               {"session_id", "path"}     → snapshot to disk
@@ -160,13 +160,26 @@ class BatchingFrontend:
 class SessionServer:
     def __init__(self, params, cfg, tokenizer, adapters=None,
                  max_len: int = 16384, use_pallas: bool = True,
-                 pool_rows: int = 0, ingest_chunk_frames: int = 16):
+                 pool_rows: int = 0, ingest_chunk_frames: int = 16,
+                 mesh=None, lookahead_k: int = 0):
         from ..utils.profiling import StageTimer
         from .session import StreamingSession
 
+        # mesh: TP-sharded serving (params sharded once here; sessions/
+        # pool receive the sharded tree). lookahead_k: server default
+        # for speculative greedy decodes on solo sessions (per-request
+        # "lookahead_k" overrides; pooled batch decode ignores it).
+        if mesh is not None:
+            from ..parallel.sharding import (cogreasoner_param_specs,
+                                             shard_params)
+            params = shard_params(params,
+                                  cogreasoner_param_specs(cfg, mesh),
+                                  mesh)
+        self.mesh = mesh
+        self.lookahead_k = lookahead_k
         self._mk = lambda: StreamingSession(
             params, cfg, tokenizer, adapters=adapters, max_len=max_len,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, mesh=mesh)
         self.sessions: Dict[str, object] = {}
         self.lock = threading.Lock()
         self.timer = StageTimer()
@@ -184,7 +197,7 @@ class SessionServer:
             self.pool = SessionPool(
                 params, cfg, tokenizer, n_rows=pool_rows,
                 max_len=max_len, adapters=adapters,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, mesh=mesh)
             self.frontend = BatchingFrontend(self.pool, lock=self.lock)
 
     def _get(self, session_id: str):
@@ -295,21 +308,26 @@ class SessionServer:
                 "decode_buffered_max": self._decode_stats["buffered_max"]}
 
     def ask(self, session_id: str, question: str, mode: str = "FCC",
-            max_new_tokens: int = 512) -> Dict:
+            max_new_tokens: int = 512,
+            lookahead_k: Optional[int] = None) -> Dict:
         if self.frontend is not None:
             with self.lock:
                 self._get(session_id)
                 row = self._row_of[session_id]
             # block WITHOUT the lock — the collector thread takes it to
             # run the pooled decode; concurrent asks batch together
+            # (batched decode has no speculative path — lookahead_k is
+            # a solo-session lever)
             with self.timer.stage("ask"):
                 return self.frontend.ask(row, question, mode=mode,
                                          max_new_tokens=max_new_tokens)
+        k = self.lookahead_k if lookahead_k is None else lookahead_k
         with self.lock:
             sess = self._get(session_id)
             with self.timer.stage("ask"):
                 out = sess.ask(question, mode=mode,
-                               max_new_tokens=max_new_tokens)
+                               max_new_tokens=max_new_tokens,
+                               lookahead_k=k)
         return out
 
     def ask_stream(self, session_id: str, question: str,
@@ -392,7 +410,8 @@ def make_handler(server: SessionServer):
                     return self._json(200, server.ask(
                         req["session_id"], req["question"],
                         req.get("mode", "FCC"),
-                        req.get("max_new_tokens", 512)))
+                        req.get("max_new_tokens", 512),
+                        lookahead_k=req.get("lookahead_k")))
                 if self.path == "/save":
                     return self._json(200, server.save_session(
                         req["session_id"], req["path"]))

@@ -439,3 +439,28 @@ def test_session_ask_with_active_window(setup):
     small.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
     b = small.ask("what?", mode="AC", max_new_tokens=8)
     assert a["text"] == b["text"]
+
+
+def test_pool_on_tp_mesh_matches_unsharded(setup):
+    """SessionPool(mesh=...) — params under TP specs, the shared cache
+    rows on the data axis — answers a 2-row batched ask with exactly
+    the unsharded pool's greedy texts."""
+    from cogstream_tpu.parallel.mesh import make_mesh
+    from cogstream_tpu.runtime.pool import SessionPool
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(0)
+    t, gh, gw = 2, 4, 4
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+    reqs = [(0, "what is happening?"), (1, "who is there?")]
+
+    outs = []
+    for mesh in (None, make_mesh(data_parallel=2, model_parallel=2,
+                                 devices=jax.devices()[:4])):
+        pool = SessionPool(params, cfg, tok, n_rows=2, max_len=1024,
+                           summary_forward=False, mesh=mesh)
+        for r in (pool.open(), pool.open()):
+            pool.ingest(r, pv, (t, gh, gw), 2, [0.0, 1.0])
+        outs.append(pool.ask_batch(reqs, mode="AC", max_new_tokens=8))
+    assert outs[0][0]["text"] == outs[1][0]["text"]
+    assert outs[0][1]["text"] == outs[1][1]["text"]
