@@ -49,10 +49,93 @@ def _qa_text(qa) -> Tuple[str, str]:
     return str(qa), ""
 
 
+def _first(x):
+    """Published chains store Q/A as 1-element lists."""
+    if isinstance(x, (list, tuple)):
+        return x[0] if x else ""
+    return x
+
+
+def _is_chain_qa(x) -> bool:
+    return isinstance(x, dict) and "info" in x and ("Q" in x or "A" in x)
+
+
+def _chain_group_samples(group: Sequence[Dict]) -> List[SelectorSample]:
+    """One published query chain → selector samples: history is the
+    chain prefix, the target comes from ``info.relevance`` (binary
+    vector over the prefix, sometimes a JSON-encoded string) — the
+    reference's FlattenedQADataset semantics
+    (first_stage_training.py:332-376; ID==0 items carry no history and
+    are skipped)."""
+    samples: List[SelectorSample] = []
+    hist_qs: List[str] = []
+    hist_as: List[str] = []
+    for i, qa in enumerate(group):
+        info = qa.get("info") or {}
+        q, a = _first(qa.get("Q", "")), _first(qa.get("A", ""))
+        rel = info.get("relevance", qa.get("relevance"))
+        if isinstance(rel, str):
+            try:
+                rel = json.loads(rel)
+            except json.JSONDecodeError:
+                rel = []
+        if isinstance(rel, (list, tuple)) and rel and isinstance(
+                rel[0], (list, tuple)):
+            rel = rel[0]
+        rel_idx = [j for j, r in enumerate(rel or []) if int(r)]
+        vis = bool(info.get("is_visual", info.get("if_visual", True)))
+        if i > 0:
+            samples.append(SelectorSample(
+                q, list(hist_qs), list(hist_as), rel_idx, vis))
+        hist_qs.append(q)
+        hist_as.append(a)
+    return samples
+
+
+def _chain_groups(data) -> List[Sequence[Dict]]:
+    """Extract published query-chain groups from a JSON root, if any."""
+    if isinstance(data, dict) and "query_chains" in data:
+        data = data["query_chains"]
+    if not isinstance(data, list):
+        return []
+    groups = []
+    for el in data:
+        if isinstance(el, list) and el:
+            if _is_chain_qa(el[0]):
+                groups.append(el)
+            else:   # one more nesting level (per-video file lists)
+                groups.extend(sub for sub in el
+                              if isinstance(sub, list) and sub
+                              and _is_chain_qa(sub[0]))
+    return groups
+
+
+def load_selector_dir(folder: str) -> List[SelectorSample]:
+    """Load every per-video .json in a folder — the reference trains
+    stage 1 straight off the published dataset directory
+    (first_stage_training.py:39-48,478)."""
+    import os
+
+    samples: List[SelectorSample] = []
+    for fname in sorted(os.listdir(folder)):
+        if fname.endswith(".json"):
+            samples.extend(
+                load_selector_dataset(os.path.join(folder, fname)))
+    return samples
+
+
 def load_selector_dataset(path: str) -> List[SelectorSample]:
-    """Flatten per-video QA chains into selector samples."""
+    """Flatten per-video QA chains into selector samples. Reads both
+    the internal datagen layout (module docstring) and the published
+    query-chain layout (groups of {Q, A, info.relevance} dicts)."""
     with open(path) as f:
         data = json.load(f)
+    chain_groups = _chain_groups(data)
+    if chain_groups:
+        out: List[SelectorSample] = []
+        for g in chain_groups:
+            out.extend(_chain_group_samples(g))
+        return out
     samples: List[SelectorSample] = []
     videos = list(data.values()) if isinstance(data, dict) else data
     flat = []

@@ -285,13 +285,21 @@ def train_stage2_video(
     losses: List[float] = []
 
     for seg in segments:
-        s, e = seg.get("timestamp", [None, None])[:2]
-        video_args = {"video_path": video_path, "fps": tcfg.fps,
-                      "max_frames": tcfg.max_frames}
-        if s is not None:
-            video_args["start_time"] = s
-        if e is not None:
-            video_args["end_time"] = e
+        if "segment_file" in seg:
+            # published layout: each segment is its own file under the
+            # per-video directory (second_stage_training.py:143-152)
+            video_args = {
+                "video_path": os.path.join(video_path,
+                                           seg["segment_file"]),
+                "fps": tcfg.fps, "max_frames": tcfg.max_frames}
+        else:
+            s, e = seg.get("timestamp", [None, None])[:2]
+            video_args = {"video_path": video_path, "fps": tcfg.fps,
+                          "max_frames": tcfg.max_frames}
+            if s is not None:
+                video_args["start_time"] = s
+            if e is not None:
+                video_args["end_time"] = e
         conversation.append({
             "role": "stream",
             "content": [{"type": "video", "video": video_args}],
@@ -347,7 +355,8 @@ def train_stage2_video(
 
 def count_dataset_turns(query_dir: str) -> int:
     """Total QA turns across the query dir — one optimizer micro-step is
-    taken per turn, so turns × epochs is the cosine schedule horizon."""
+    taken per turn, so turns × epochs is the cosine schedule horizon.
+    Reads both the internal spec and the published query-chain layout."""
     n = 0
     for fname in sorted(os.listdir(query_dir)):
         if not fname.endswith(".json"):
@@ -357,8 +366,15 @@ def count_dataset_turns(query_dir: str) -> int:
                 spec = json.load(f)
         except (OSError, ValueError):
             continue
-        n += sum(len(seg.get("QAs", []))
-                 for seg in spec.get("segments", []))
+        if isinstance(spec, dict) and "segments" in spec:
+            n += sum(len(seg.get("QAs", []))
+                     for seg in spec.get("segments", []))
+        else:                       # published chains: chain 0 trains
+            if isinstance(spec, dict):
+                spec = spec.get("query_chains", [])
+            if isinstance(spec, list) and spec:
+                chain = spec[0] if isinstance(spec[0], list) else spec
+                n += sum(1 for qa in chain if isinstance(qa, dict))
     return max(n, 1)
 
 
@@ -400,12 +416,16 @@ def main():
         params, cfg, tok, tcfg, args.out,
         total_steps=count_dataset_turns(args.query_dir) * tcfg.num_epochs)
 
+    from ..evaluate.answer_generate import load_eval_spec
+
     for epoch in range(tcfg.num_epochs):
         for fname in sorted(os.listdir(args.query_dir)):
             if not fname.endswith(".json"):
                 continue
-            with open(os.path.join(args.query_dir, fname)) as f:
-                spec = json.load(f)
+            # both layouts: internal specs pass through; published
+            # query chains map to per-segment files of the video dir
+            spec = load_eval_spec(
+                os.path.join(args.query_dir, fname), args.video_dir)
             video = os.path.join(args.video_dir,
                                  spec.get("video", fname[:-5] + ".mp4"))
             try:

@@ -209,3 +209,55 @@ def test_stage2_curriculum_on_nf4_base(tmp_path, tiny_video):
     losses = train_stage2_video(trainer, processor, tiny_video, segments)
     assert len(losses) == 1 and np.isfinite(losses[0])
     trainer.finish()
+
+
+def test_stage2_published_querychain_layout(tmp_path, tiny_video):
+    """The stage-2 trainer consumes the published dataset directly:
+    query-chain JSON + per-video directory of segment files
+    (second_stage_training.py:75-152)."""
+    import json
+    import os
+    import shutil
+
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.evaluate.answer_generate import load_eval_spec
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.processing import CogStreamProcessor
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.train.stage2 import (
+        Stage2Config, Stage2Trainer, train_stage2_video)
+
+    # published layout: videos/<vid>/segment_k.mp4 + queries/<vid>.json
+    vdir = tmp_path / "videos" / "vidA"
+    vdir.mkdir(parents=True)
+    for k in (1, 2):
+        shutil.copy(tiny_video, str(vdir / f"segment_{k}.mp4"))
+    chain = [
+        {"Q": ["what is shown?"], "A": ["noise."],
+         "info": {"Event_Time": 1, "relevance": [], "is_visual": True}},
+        {"Q": ["and now?"], "A": ["more noise."],
+         "info": {"Event_Time": 7, "relevance": [1],
+                  "is_visual": True}},
+    ]
+    qpath = tmp_path / "queries" / "vidA.json"
+    qpath.parent.mkdir()
+    qpath.write_text(json.dumps([chain]))
+
+    spec = load_eval_spec(str(qpath), str(tmp_path / "videos"))
+    assert [s["segment_file"] for s in spec["segments"]] \
+        == ["segment_1.mp4", "segment_2.mp4"]
+
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    processor = CogStreamProcessor(tok, cfg.processor)
+    tcfg = Stage2Config(max_seq_len=2048, max_frames=4, grad_accum=1,
+                        save_every=10_000, fps=1)
+    trainer = Stage2Trainer(params, cfg, tok, tcfg,
+                            str(tmp_path / "s2"), log=lambda *a: None)
+    losses = train_stage2_video(
+        trainer, processor,
+        os.path.join(str(tmp_path / "videos"), spec["video"]),
+        spec["segments"])
+    assert len(losses) == 2
+    assert all(np.isfinite(l) for l in losses)

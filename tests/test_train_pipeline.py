@@ -156,3 +156,53 @@ def test_train_stage1_smoke(tmp_path, tiny_config, qa_json):
         log=lambda *a: None)
     assert int(np.asarray(state.step)) >= 1
     assert os.path.exists(os.path.join(out, "language_module.npz"))
+
+
+def test_load_selector_dataset_published_chains(tmp_path):
+    """Stage 1 trains straight off the published query-chain files:
+    groups of {Q, A, info.{ID, is_visual, relevance}} dicts, relevance
+    sometimes a JSON-encoded string, Q/A as 1-element lists
+    (first_stage_training.py:332-376 semantics — the first QA of a
+    chain has no history and is skipped)."""
+    import json as _json
+
+    from cogstream_tpu.train.data import load_selector_dir
+
+    chain = [
+        {"Q": ["what color?"], "A": ["red"],
+         "info": {"ID": 0, "is_visual": True, "relevance": []}},
+        {"Q": ["and the object?"], "A": ["a cup"],
+         "info": {"ID": 1, "is_visual": True, "relevance": "[1]"}},
+        {"Q": ["why did it fall?"], "A": ["pushed"],
+         "info": {"ID": 2, "is_visual": False, "relevance": [0, 1]}},
+    ]
+    p = tmp_path / "vidA.json"
+    p.write_text(_json.dumps([chain]))
+
+    samples = load_selector_dataset(str(p))
+    assert len(samples) == 2
+    s1, s2 = samples
+    assert s1.question == "and the object?"
+    assert s1.hist_qs == ["what color?"] and s1.hist_as == ["red"]
+    assert s1.relevance == [0] and s1.if_visual is True
+    assert s1.target == "[yes,0]"
+    assert s2.hist_qs == ["what color?", "and the object?"]
+    assert s2.relevance == [1] and s2.if_visual is False
+    assert s2.target == "[no,1]"
+
+    # folder loader (ref load_json over the dataset directory)
+    (tmp_path / "vidB.json").write_text(_json.dumps([chain]))
+    assert len(load_selector_dir(str(tmp_path))) == 4
+
+
+def test_count_dataset_turns_published_chains(tmp_path):
+    import json as _json
+
+    from cogstream_tpu.train.stage2 import count_dataset_turns
+
+    chain = [{"Q": ["a?"], "A": ["b"],
+              "info": {"Event_Time": 1, "relevance": []}}] * 3
+    (tmp_path / "v.json").write_text(_json.dumps([chain]))
+    (tmp_path / "w.json").write_text(_json.dumps(
+        {"segments": [{"QAs": [1, 2]}]}))
+    assert count_dataset_turns(str(tmp_path)) == 5
