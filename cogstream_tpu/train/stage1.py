@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import time
 from typing import Dict, Optional
 
@@ -132,7 +133,11 @@ def evaluate_selector(engine_selector, samples, limit: int = 100) -> Dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--qa-json", required=True)
+    ap.add_argument("--qa-json", required=True,
+                    help="dataset JSON, or a directory of per-video "
+                         "query-chain JSONs (the published layout the "
+                         "reference trains from, "
+                         "first_stage_training.py:478)")
     ap.add_argument("--model-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--epochs", type=int, default=8)
@@ -147,7 +152,12 @@ def main():
     cfg = load_hf_config(f"{args.model_dir}/config.json")
     params = load_cogreasoner_from_hf(args.model_dir, cfg)
     tokenizer = HFTokenizer(args.model_dir)
-    samples = load_selector_dataset(args.qa_json)
+    if os.path.isdir(args.qa_json):
+        from .data import load_selector_dir
+
+        samples = load_selector_dir(args.qa_json)
+    else:
+        samples = load_selector_dataset(args.qa_json)
     print(f"{len(samples)} selector samples")
     train_stage1(params, cfg, tokenizer, samples, args.out,
                  Stage1Config(epochs=args.epochs,
