@@ -1,10 +1,14 @@
 """Final dataset formatting (C24).
 
 Rebuild of dataset_gen_pipeline/data_formating.py: converts dialogue
-streams into the two consumed layouts — the per-video flat QA list with
+streams into the consumed layouts — the per-video flat QA list with
 binary ``relevance`` vectors (COG_Dataset_simply; what stage-1 training
-reads, train/data.py) and the merged full-dataset JSON
-(COG_streamv_dataset.json).
+reads, train/data.py), the merged full-dataset JSON
+(COG_streamv_dataset.json), and the published per-video **query-chain**
+test-set layout (the format the reference eval consumes,
+evaluate/answer_generate.py:98-143: ``Q``/``A`` alternative lists plus
+``info.Event_Time`` / ``info.relevance``), so a dataset generated here
+feeds ``answer-generate`` directly.
 """
 
 from __future__ import annotations
@@ -50,6 +54,49 @@ def stream_to_simple(video_name: str, stream: Dict,
     return {"video": video_name, "QAs": qas_out}
 
 
+def stream_to_query_chain(stream: Dict,
+                          segments: Sequence[Dict]) -> List[Dict]:
+    """One stream → one published-format query chain.
+
+    Each QA becomes ``{"Q": [q], "A": [a], "info": {...}}``. Distinct
+    ``info.Event_Time`` values must sort in segment order because the
+    eval loader zips sorted times with naturally-sorted segment files
+    (answer_generate.load_eval_spec); we use the segment END time when
+    the segment spec carries timestamps and the segment index otherwise.
+    ``info.relevance`` is the binary prefix vector the stage-1 loader
+    and COI metrics read.
+    """
+    chain: List[Dict] = []
+    seen: List[int] = []
+    for qa in stream.get("QAs", []):
+        pairs = qa.get("QA_pairs") or []
+        if isinstance(pairs, dict):
+            pairs = [pairs]
+        if not pairs:
+            continue
+        deps = set(qa.get("coi", []))
+        rel = [1 if i in deps else 0 for i in range(len(seen))]
+        sp = int(qa.get("segment_path", 0))
+        t = float(sp)
+        if 0 <= sp < len(segments):
+            ts = segments[sp].get("timestamp")
+            if isinstance(ts, (list, tuple)) and len(ts) == 2:
+                t = float(ts[1])
+        chain.append({
+            "Q": [p.get("Q", "") for p in pairs],
+            "A": [p.get("A", "") for p in pairs],
+            "info": {
+                "Event_Time": t,
+                "relevance": rel,
+                "label": qa.get("label", "Basic"),
+                "class": qa.get("class"),
+                "if_visual": bool(qa.get("is_visual", True)),
+            },
+        })
+        seen.append(sp)
+    return chain
+
+
 def format_dataset(streams_dir: str, qa_dir: str, out_dir: str,
                    merged_name: str = "COG_streamv_dataset.json",
                    log=print) -> Dict:
@@ -68,10 +115,19 @@ def format_dataset(streams_dir: str, qa_dir: str, out_dir: str,
                 segments = json.load(f).get("segments", [])
         video = spec.get("video", fname[:-5])
         simple_all = []
+        chains = []
         for stream in spec.get("streams", []):
             simple = stream_to_simple(video, stream, segments)
             simple_all.append(simple)
+            chain = stream_to_query_chain(stream, segments)
+            if chain:
+                chains.append(chain)
         atomic_write_json(os.path.join(out_dir, fname), simple_all)
+        vname = os.path.splitext(os.path.basename(str(video)))[0]
+        chain_dir = os.path.join(out_dir, "query_chains")
+        os.makedirs(chain_dir, exist_ok=True)
+        atomic_write_json(os.path.join(chain_dir, f"{vname}.json"),
+                          {"query_chains": chains}, indent=1)
         merged[video] = simple_all
         log(f"{fname}: {sum(len(s['QAs']) for s in simple_all)} QAs")
     merged_path = os.path.join(out_dir, merged_name)
@@ -81,6 +137,7 @@ def format_dataset(streams_dir: str, qa_dir: str, out_dir: str,
         "qas": sum(len(s["QAs"]) for streams in merged.values()
                    for s in streams),
         "merged_path": merged_path,
+        "query_chain_dir": os.path.join(out_dir, "query_chains"),
     }
     log(f"dataset: {stats['videos']} videos / {stats['qas']} QAs")
     return stats

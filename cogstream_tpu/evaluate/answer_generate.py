@@ -296,6 +296,7 @@ def run_eval(
     processor_cfg=None,
     video_role: str = "stream",
     sampling: dict = None,
+    max_new_tokens: int = 512,
     log=print,
 ) -> None:
     import jax
@@ -321,11 +322,12 @@ def run_eval(
                 result = generate_for_video_streaming(
                     session_factory, processor_cfg, video,
                     spec.get("segments", []), mode=mode,
-                    sampling=sampling)
+                    sampling=sampling, max_new_tokens=max_new_tokens)
             else:
                 result = generate_for_video(
                     engine, processor, video, spec.get("segments", []),
-                    mode=mode, video_role=video_role, sampling=sampling)
+                    mode=mode, video_role=video_role, sampling=sampling,
+                    max_new_tokens=max_new_tokens)
             atomic_write_json(out_path, result, indent=1)
             lat = [q["latency_s"] for q in result["QAs"]]
             log(f"{fname}: {len(lat)} turns, p50 latency "
@@ -358,6 +360,7 @@ def main():
                          "production sampling: temperature 0.7, top_k "
                          "20, top_p 0.8, repetition_penalty 1.05); "
                          "'greedy' is deterministic")
+    ap.add_argument("--max-new-tokens", type=int, default=512)
     ap.add_argument("--lookahead-k", type=int, default=0,
                     help="prompt-lookup speculative decoding draft "
                          "length (exact greedy output, fewer decode "
@@ -369,13 +372,14 @@ def main():
     from ..config import load_hf_config
     from ..models.checkpoint import load_cogreasoner_from_hf
     from ..processor.processing import CogStreamProcessor
-    from ..processor.tokenizer import HFTokenizer
+    from ..processor.tokenizer import load_tokenizer
     from ..runtime.engine import CogReasonerEngine
     from ..train.checkpoint import load_lora_adapter
 
     cfg = load_hf_config(os.path.join(args.model_dir, "config.json"))
     params = load_cogreasoner_from_hf(args.model_dir, cfg)
-    tok = HFTokenizer(args.model_dir)
+    tok = load_tokenizer(args.model_dir, cfg.image_token_index,
+                         cfg.text.vocab_size)
     adapters = {}
     if args.lora_adapter_1:
         adapters["language_module"] = load_lora_adapter(args.lora_adapter_1)
@@ -402,7 +406,8 @@ def main():
     run_eval(engine, processor, args.video_dir, args.query_dir,
              args.save_dir, mode=args.mode,
              session_factory=session_factory, processor_cfg=cfg.processor,
-             video_role=args.video_role, sampling=sampling)
+             video_role=args.video_role, sampling=sampling,
+             max_new_tokens=args.max_new_tokens)
 
 
 if __name__ == "__main__":

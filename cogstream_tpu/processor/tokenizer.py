@@ -133,6 +133,32 @@ class HFTokenizer:
         return self._tok.convert_tokens_to_ids(token)
 
 
+def load_tokenizer(path: str, image_token_id: Optional[int] = None,
+                   vocab_size: Optional[int] = None):
+    """Load the checkpoint directory's tokenizer.
+
+    Wraps the HF fast tokenizer when the directory ships vocab files
+    (every real Qwen2 checkpoint does); falls back to ``ByteTokenizer``
+    for checkpoints without them — tiny smoke checkpoints written by
+    ``save_cogreasoner_to_hf``, whose config still records the byte
+    vocab size and image-token id this passes through.
+    """
+    import os
+
+    if any(os.path.exists(os.path.join(path, f))
+           for f in ("tokenizer.json", "vocab.json",
+                     "tokenizer_config.json")):
+        return HFTokenizer(path)
+    kwargs = {}
+    if image_token_id is not None:
+        kwargs["image_token_id"] = image_token_id
+    if vocab_size is not None:
+        kwargs["vocab"] = vocab_size
+    print(f"[cogstream] {path} ships no tokenizer files; "
+          "using the byte-level fallback tokenizer")
+    return ByteTokenizer(**kwargs)
+
+
 def constrained_selector_token_ids(tok) -> List[int]:
     """Token ids allowed during historic-dialogue-retrieval decoding.
 

@@ -476,11 +476,12 @@ def main():
 
     from ..config import load_hf_config
     from ..models.checkpoint import load_cogreasoner_from_hf
-    from ..processor.tokenizer import HFTokenizer
+    from ..processor.tokenizer import load_tokenizer
 
     cfg = load_hf_config(f"{args.model_dir}/config.json")
     params = load_cogreasoner_from_hf(args.model_dir, cfg)
-    tok = HFTokenizer(args.model_dir)
+    tok = load_tokenizer(args.model_dir, cfg.image_token_index,
+                         cfg.text.vocab_size)
     print(f"serving on :{args.port}"
           + (f" (pooled x{args.pool_rows})" if args.pool_rows else ""))
     serve(SessionServer(params, cfg, tok, max_len=args.max_len,

@@ -147,11 +147,12 @@ def main():
 
     from ..config import load_hf_config
     from ..models.checkpoint import load_cogreasoner_from_hf
-    from ..processor.tokenizer import HFTokenizer
+    from ..processor.tokenizer import load_tokenizer
 
     cfg = load_hf_config(f"{args.model_dir}/config.json")
     params = load_cogreasoner_from_hf(args.model_dir, cfg)
-    tokenizer = HFTokenizer(args.model_dir)
+    tokenizer = load_tokenizer(args.model_dir, cfg.image_token_index,
+                               cfg.text.vocab_size)
     if os.path.isdir(args.qa_json):
         from .data import load_selector_dir
 

@@ -398,7 +398,7 @@ def main():
     from ..config import load_hf_config
     from ..models.checkpoint import load_cogreasoner_from_hf
     from ..processor.processing import CogStreamProcessor
-    from ..processor.tokenizer import HFTokenizer
+    from ..processor.tokenizer import load_tokenizer
 
     cfg = load_hf_config(os.path.join(args.model_dir, "config.json"))
     params = load_cogreasoner_from_hf(args.model_dir, cfg)
@@ -409,7 +409,8 @@ def main():
             params,
             bits=8 if args.quantize_base == "int8" else 4,
             nf4=args.quantize_base != "int4")
-    tok = HFTokenizer(args.model_dir)
+    tok = load_tokenizer(args.model_dir, cfg.image_token_index,
+                         cfg.text.vocab_size)
     processor = CogStreamProcessor(tok, cfg.processor)
     tcfg = Stage2Config(num_epochs=args.num_epochs, baseline=args.baseline)
     trainer = Stage2Trainer(
