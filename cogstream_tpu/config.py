@@ -249,12 +249,21 @@ class GenerationConfig:
 
     @property
     def sampling_kwargs(self) -> dict:
-        """kwargs for runtime.generate.generate_tokens / session.ask."""
-        if not self.do_sample:
-            return {"temperature": 0.0}
-        return {"temperature": self.temperature, "top_p": self.top_p,
-                "top_k": self.top_k,
-                "repetition_penalty": self.repetition_penalty}
+        """kwargs for engine.chat / session.ask.
+
+        HF applies the repetition-penalty logits PROCESSOR to greedy
+        search too (only the top-k/top-p warpers are sampling-gated),
+        and stops at every id in ``eos_token_id`` — both carry over
+        regardless of ``do_sample``.
+        """
+        kw = ({"temperature": self.temperature, "top_p": self.top_p,
+               "top_k": self.top_k} if self.do_sample
+              else {"temperature": 0.0})
+        if self.repetition_penalty != 1.0:
+            kw["repetition_penalty"] = self.repetition_penalty
+        if self.eos_token_ids:
+            kw["extra_eos_ids"] = tuple(self.eos_token_ids)
+        return kw
 
 
 def load_generation_config(model_dir: str) -> GenerationConfig:

@@ -40,16 +40,12 @@ def init_projector_params(key, vision_hidden: int, lm_hidden: int,
 
 
 def projector_forward(params: Dict, x: jax.Array) -> jax.Array:
+    from ..ops.quant import materialize_kernel
+
     layers = params["layers"]
     for i, layer in enumerate(layers):
         if i > 0:
             x = jax.nn.gelu(x, approximate=False)
-        kern = layer["kernel"]
-        if isinstance(kern, dict):    # quantized base (ops/quant.py)
-            from ..ops.quant import dequantize
-
-            w = dequantize(kern, x.dtype)
-        else:
-            w = kern.astype(x.dtype)
+        w = materialize_kernel(layer["kernel"], x.dtype)
         x = x @ w + layer["bias"].astype(x.dtype)
     return x

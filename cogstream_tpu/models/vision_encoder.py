@@ -119,15 +119,8 @@ def _layernorm(x, p, eps):
 
 
 def _dense(x, p):
-    kern = p["kernel"]
-    if isinstance(kern, dict):   # quantized base (ops/quant.py) — the
-        # dequant fuses into the GEMM prologue
-        from ..ops.quant import dequantize
-
-        w = dequantize(kern, x.dtype)
-    else:
-        w = kern.astype(x.dtype)
-    return (x @ w) + p["bias"].astype(x.dtype)
+    return (x @ _materialize_kernel(p, x.dtype)) \
+        + p["bias"].astype(x.dtype)
 
 
 def _attn_block(x, p, rope_csp, segment_ids, cfg, attn_impl):
@@ -144,12 +137,9 @@ def _attn_block(x, p, rope_csp, segment_ids, cfg, attn_impl):
 
 
 def _materialize_kernel(p, dtype):
-    kern = p["kernel"]
-    if isinstance(kern, dict):
-        from ..ops.quant import dequantize
+    from ..ops.quant import materialize_kernel
 
-        return dequantize(kern, dtype)
-    return kern.astype(dtype)
+    return materialize_kernel(p["kernel"], dtype)
 
 
 def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):

@@ -363,6 +363,16 @@ def dequantize(qp: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
     return dequantize_int8(qp, dtype)
 
 
+def materialize_kernel(kern: Any, dtype) -> jax.Array:
+    """A weight leaf as a dense ``dtype`` array, whether it is stored
+    plain or quantized. The single dispatch point every consumer GEMM
+    uses (projector, vision tower, multimodal LoRA path); under jit the
+    dequant fuses into the consuming matmul's prologue."""
+    if isinstance(kern, dict):
+        return dequantize(kern, dtype)
+    return kern.astype(dtype)
+
+
 def slice_output_channels(p, ids: jax.Array):
     """Restrict a weight — plain array or any quantized dict — to a
     subset of its OUTPUT channels (the last/dout axis).

@@ -237,6 +237,28 @@ def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+def ensure_cogreasoner_sharded(params: Any,
+                               cfg: CogReasonerConfig,
+                               mesh: Optional[Mesh]) -> Any:
+    """Place a CogReasoner tree under its serving specs — idempotent.
+
+    The one entry point every serving construct uses (engine, session,
+    pool, server): a server shards once and hands the tree to the
+    sessions/pools it creates, whose own calls then short-circuit
+    instead of sweeping the full tree through device_put again. All
+    placements go through shard_params (whole-tree consistent), so the
+    first leaf's sharding decides.
+    """
+    if mesh is None:
+        return params
+    leaf = next(iter(jax.tree.leaves(params)), None)
+    if (leaf is not None and hasattr(leaf, "sharding")
+            and isinstance(getattr(leaf, "sharding", None), NamedSharding)
+            and leaf.sharding.mesh == mesh):
+        return params
+    return shard_params(params, cogreasoner_param_specs(cfg, mesh), mesh)
+
+
 def kv_cache_specs(cfg: Qwen2Config, mesh: Mesh):
     """KVCache sharding: batch on data; KV heads on model when divisible
     (they are not for Qwen2-7B at TP=8 → replicated, matching Megatron)."""

@@ -195,10 +195,16 @@ def _cv2_stream(path: str, start: Optional[float], end: Optional[float],
                 idx += 1
         finally:
             cap.release()
-            try:
-                q.put(None, timeout=1.0)     # EOF sentinel
-            except queue.Full:
-                pass
+            # EOF sentinel: must never be dropped — a consumer stalled
+            # on a long device dispatch keeps the queue full for far
+            # longer than any fixed timeout, and a lost sentinel leaves
+            # frame_iter blocked on q.get() forever.
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     th = threading.Thread(target=reader, daemon=True)
     th.start()

@@ -64,12 +64,9 @@ class CogReasonerEngine:
         # tensor-parallel serving: place params under the Megatron-style
         # specs; GSPMD then partitions every jitted stage (see the mesh
         # note in runtime/session.py)
-        if mesh is not None:
-            from ..parallel.sharding import (cogreasoner_param_specs,
-                                             shard_params)
-            params = shard_params(params,
-                                  cogreasoner_param_specs(cfg, mesh),
-                                  mesh)
+        from ..parallel.sharding import ensure_cogreasoner_sharded
+
+        params = ensure_cogreasoner_sharded(params, cfg, mesh)
         self.mesh = mesh
         self.params = params
         self.cfg = cfg
@@ -180,9 +177,11 @@ class CogReasonerEngine:
         top_k: int = 0,
         repetition_penalty: float = 1.0,
         lookahead_k: int = 0,
+        extra_eos_ids: tuple = (),
     ) -> TurnResult:
         embeds, positions, last_index = self.prepare_multimodal(
             out, sel.input_ids, sel.if_visual)
+        xeos = tuple(extra_eos_ids) or None
 
         full = self.adapters.get("full_module")
         adapters = None
@@ -199,6 +198,9 @@ class CogReasonerEngine:
         # spliced embeds.
         if (lookahead_k > 0 and temperature == 0.0
                 and repetition_penalty == 1.0):
+            # consume a key so the engine's key stream advances
+            # identically whichever decoder runs (greedy ignores it)
+            self._next_key()
             C = bucket_length(len(sel.input_ids))
             pids = np.full((1, C), -1, np.int32)
             pids[0, :len(sel.input_ids)] = sel.input_ids
@@ -208,7 +210,7 @@ class CogReasonerEngine:
                 self.params["text"], embeds, positions, last_index,
                 cache, jnp.asarray(pids), self.cfg.text, max_new_tokens,
                 self.tokenizer.eos_token_id, lookahead_k=lookahead_k,
-                adapters=adapters,
+                adapters=adapters, extra_eos_ids=xeos,
                 corpus_last=jnp.asarray([len(sel.input_ids) - 1],
                                         jnp.int32))
             text = decode_new_tokens(result.tokens, result.num_tokens,
@@ -231,7 +233,7 @@ class CogReasonerEngine:
             self.tokenizer.eos_token_id, temperature=temperature,
             top_p=top_p, top_k=top_k,
             repetition_penalty=repetition_penalty, penalty_ids=pen_ids,
-            adapters=adapters)
+            adapters=adapters, extra_eos_ids=xeos)
         text = decode_new_tokens(result.tokens, result.num_tokens,
                                  self.tokenizer)
         return TurnResult(text, sel.selection, sel.if_visual,
@@ -249,6 +251,7 @@ class CogReasonerEngine:
         top_k: int = 0,
         repetition_penalty: float = 1.0,
         lookahead_k: int = 0,
+        extra_eos_ids: tuple = (),
         select_gt=None,
         if_visual=None,
     ) -> TurnResult:
@@ -260,4 +263,5 @@ class CogReasonerEngine:
                              temperature=temperature, top_p=top_p,
                              top_k=top_k,
                              repetition_penalty=repetition_penalty,
-                             lookahead_k=lookahead_k)
+                             lookahead_k=lookahead_k,
+                             extra_eos_ids=extra_eos_ids)

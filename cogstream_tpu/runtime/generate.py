@@ -44,7 +44,8 @@ class GenerateResult(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
                      "top_k", "repetition_penalty", "eos_id",
-                     "lora_scale", "kv_window", "stop_ids", "logit_ids"),
+                     "lora_scale", "kv_window", "stop_ids", "logit_ids",
+                     "extra_eos_ids"),
     donate_argnums=(4,),   # cache: update in place, never copy the
                            # whole KV tensor (callers always rebind)
 )
@@ -73,6 +74,7 @@ def generate_tokens(
     kv_window: Optional[int] = None,          # static read window (pooled)
     stop_ids: Optional[tuple] = None,         # grammar-complete tokens
     logit_ids: Optional[tuple] = None,        # static sampling support
+    extra_eos_ids: Optional[tuple] = None,    # secondary terminators
 ) -> GenerateResult:
     """One compiled prefill+decode. In pooled mode (``write_slots``)
     every batch row is an independent session at its own cache fill
@@ -172,8 +174,19 @@ def generate_tokens(
                                           repetition_penalty)
     else:
         seen0 = jnp.zeros((B, 1), jnp.bool_)         # dummy carry leaf
-    first_tok = _to_vocab(sample_token(logits, sk, temperature, top_p,
-                                       vocab_mask, top_k=top_k))
+    # Secondary terminators (HF checkpoints list several eos ids in
+    # generation_config.json, e.g. <|im_end|> AND <|endoftext|>): map
+    # them to the primary eos at emission, which reproduces HF's
+    # stop-and-strip exactly while keeping every downstream count
+    # (num_tokens, fed-slot bookkeeping, cache rewind) on the single
+    # ``== eos_id`` convention.
+    def _map_eos(t):
+        for s in (extra_eos_ids or ()):
+            t = jnp.where(t == s, eos_id, t)
+        return t
+
+    first_tok = _map_eos(_to_vocab(sample_token(
+        logits, sk, temperature, top_p, vocab_mask, top_k=top_k)))
     if use_pen:
         seen0 = seen0.at[jnp.arange(B), first_tok].set(True)
     first_pos = jnp.take_along_axis(positions, last_index[:, None], axis=1)[:, 0] + 1
@@ -259,8 +272,8 @@ def generate_tokens(
         if use_pen:
             logits = apply_repetition_penalty(logits, c.seen,
                                               repetition_penalty)
-        nxt = _to_vocab(sample_token(logits, sk, temperature, top_p,
-                                     vocab_mask, top_k=top_k))
+        nxt = _map_eos(_to_vocab(sample_token(
+            logits, sk, temperature, top_p, vocab_mask, top_k=top_k)))
         nxt = jnp.where(c.done, eos_id, nxt)
         seen = (c.seen.at[jnp.arange(B), nxt].set(True)
                 if use_pen else c.seen)
@@ -321,7 +334,8 @@ class LookaheadResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_id", "lookahead_k",
-                     "lora_scale", "stop_ids", "kv_window"),
+                     "lora_scale", "stop_ids", "kv_window",
+                     "extra_eos_ids"),
     donate_argnums=(4,),
 )
 def generate_tokens_lookahead(
@@ -341,6 +355,7 @@ def generate_tokens_lookahead(
     kv_allowed: Optional[jax.Array] = None,
     kv_window: Optional[int] = None,   # static read/write window (solo)
     corpus_last: Optional[jax.Array] = None,  # [1] last real corpus idx
+    extra_eos_ids: Optional[tuple] = None,    # secondary terminators
 ) -> LookaheadResult:
     """Greedy decode with PROMPT-LOOKUP speculative drafting, fully
     under jit.
@@ -407,6 +422,12 @@ def generate_tokens_lookahead(
             d = d | (t == s)
         return d
 
+    def _map_eos(t):
+        # secondary eos ids → primary (see generate_tokens)
+        for s in (extra_eos_ids or ()):
+            t = jnp.where(t == s, eos_id, t)
+        return t
+
     # ---- prefill (identical to the base path) -----------------------------
     hidden, cache = qwen2.qwen2_forward(
         params, inputs_embeds, positions, cfg, cache=cache,
@@ -415,7 +436,8 @@ def generate_tokens_lookahead(
     last_h = jnp.take_along_axis(
         hidden, last_index[:, None, None].astype(jnp.int32), axis=1)
     logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
-    first_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+    first_tok = _map_eos(
+        jnp.argmax(logits, axis=-1).astype(jnp.int32)[0])
 
     # The match corpus may be WIDER than the prompt embeds: callers
     # with spliced media embeddings (engine.chat) pass the full text-id
@@ -437,7 +459,7 @@ def generate_tokens_lookahead(
     first_pos = jnp.take_along_axis(
         positions, last_index[:, None], axis=1)[0, 0] + 1
 
-    class C(NamedTuple):
+    class LaCarry(NamedTuple):
         cache: KVCache
         tokens: jax.Array     # [1, buf]
         out_idx: jax.Array    # scalar
@@ -449,10 +471,10 @@ def generate_tokens_lookahead(
         done: jax.Array       # scalar bool
         steps: jax.Array      # scalar
 
-    def cond(c: C):
+    def cond(c: LaCarry):
         return (c.out_idx < max_new_tokens) & (~c.done)
 
-    def body(c: C):
+    def body(c: LaCarry):
         # draft: most recent earlier occurrence of the (prev, cur)
         # bigram; copy the k tokens that followed it
         seq = c.hist
@@ -472,7 +494,7 @@ def generate_tokens_lookahead(
             adapters=adapters, lora_scale=lora_scale,
             kv_allowed=kv_allowed)
         lg = qwen2.lm_logits(params, hidden, adapters, lora_scale)[0]
-        g = jnp.argmax(lg, axis=-1).astype(jnp.int32)          # [k+1]
+        g = _map_eos(jnp.argmax(lg, axis=-1).astype(jnp.int32))  # [k+1]
 
         match = (fed[1:] == g[:-1]).astype(jnp.int32)
         a = jnp.sum(jnp.cumprod(match))                        # 0..k
@@ -491,15 +513,16 @@ def generate_tokens_lookahead(
         # 1 + a accepted tokens and covers every stale slot
         cache3 = KVCache(cache2.k, cache2.v, cache2.pos,
                          cache2.write_index - (k + 1) + 1 + a)
-        return C(cache3, tokens, c.out_idx + n_emit, hist,
-                 c.hlen + n_emit, fed[a], g[a], c.pos + a + 1, done,
-                 c.steps + 1)
+        return LaCarry(cache3, tokens, c.out_idx + n_emit, hist,
+                       c.hlen + n_emit, fed[a], g[a], c.pos + a + 1,
+                       done, c.steps + 1)
 
     # steps counts verify forwards (loop iterations); the vanilla
     # greedy equivalent is num_tokens - 1 decode steps after prefill
-    init = C(cache, tokens0, jnp.asarray(1, jnp.int32), hist0, hlen0 + 1,
-             prev0, first_tok, first_pos.astype(jnp.int32),
-             _finished(first_tok), jnp.asarray(0, jnp.int32))
+    init = LaCarry(cache, tokens0, jnp.asarray(1, jnp.int32), hist0,
+                   hlen0 + 1, prev0, first_tok,
+                   first_pos.astype(jnp.int32), _finished(first_tok),
+                   jnp.asarray(0, jnp.int32))
     f = jax.lax.while_loop(cond, body, init)
 
     # Exit normalization: leave the cache EXACTLY as the vanilla
@@ -520,7 +543,15 @@ def generate_tokens_lookahead(
         jnp.cumsum((out == eos_id).astype(jnp.int32), axis=1) == 0,
         axis=1) + 1
     num = jnp.minimum(num, max_new_tokens)
-    wi_final = wi_prefill + num[0] - 1
+    # Slots fed = emissions strictly before the FIRST terminal token
+    # (vanilla never feeds the terminal). For an eos terminal that is
+    # num-1; for a stop_ids terminal the row pads one eos AFTER the
+    # kept stop token, so num-1 would leave one extra slot live — and
+    # in the j==a verify-bonus case that slot holds a REJECTED draft
+    # token. Derive the count from the terminal's position instead.
+    fin_out = _finished(out[0])
+    wi_final = wi_prefill + jnp.where(
+        jnp.any(fin_out), jnp.argmax(fin_out), num[0] - 1)
     pos_clear = jnp.where(
         jnp.arange(fc.pos.shape[1])[None] >= wi_final, -1, fc.pos)
     out_cache = KVCache(fc.k, fc.v, pos_clear, wi_final)

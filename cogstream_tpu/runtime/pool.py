@@ -43,12 +43,9 @@ class SessionPool:
         # divisible by the data axis the rows themselves shard across
         # it (batch-parallel decode on top of TP). See the mesh note in
         # runtime/session.py.
-        if mesh is not None:
-            from ..parallel.sharding import (cogreasoner_param_specs,
-                                             shard_params)
-            params = shard_params(params,
-                                  cogreasoner_param_specs(cfg, mesh),
-                                  mesh)
+        from ..parallel.sharding import ensure_cogreasoner_sharded
+
+        params = ensure_cogreasoner_sharded(params, cfg, mesh)
         self.mesh = mesh
         self.params = params
         self.cfg = cfg

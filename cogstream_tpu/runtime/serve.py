@@ -169,12 +169,9 @@ class SessionServer:
         # pool receive the sharded tree). lookahead_k: server default
         # for speculative greedy decodes on solo sessions (per-request
         # "lookahead_k" overrides; pooled batch decode ignores it).
-        if mesh is not None:
-            from ..parallel.sharding import (cogreasoner_param_specs,
-                                             shard_params)
-            params = shard_params(params,
-                                  cogreasoner_param_specs(cfg, mesh),
-                                  mesh)
+        from ..parallel.sharding import ensure_cogreasoner_sharded
+
+        params = ensure_cogreasoner_sharded(params, cfg, mesh)
         self.mesh = mesh
         self.lookahead_k = lookahead_k
         self._mk = lambda: StreamingSession(
@@ -187,7 +184,6 @@ class SessionServer:
         # frames per chunked-ingest dispatch; the decoder streams ahead
         # of the TPU encode between dispatches
         self.ingest_chunk_frames = ingest_chunk_frames
-        self._decode_stats = {"backend": "none", "buffered_max": 0}
         self.pool = None
         self.frontend = None
         self._row_of: Dict[str, int] = {}
@@ -286,7 +282,7 @@ class SessionServer:
                                 num_frames_override=total)
                         self._dispatch_segment(session_id, sess, proc,
                                                chunk, ts, target)
-                self._decode_stats = {
+                decode_stats = {
                     "backend": stream.backend,
                     "buffered_max": stream.buffered_max,
                 }
@@ -300,12 +296,14 @@ class SessionServer:
                 self._dispatch_segment(session_id, sess,
                                        proc, np.stack(frames),
                                        timestamps)
-                self._decode_stats = {"backend": "buffered",
-                                      "buffered_max": 0}
+                decode_stats = {"backend": "buffered",
+                                "buffered_max": 0}
                 n_frames = len(frames)
+        # request-local (NOT server state): concurrent ingests for
+        # different sessions must not cross-contaminate response stats
         return {"frames": n_frames, "cache_tokens": sess.write_index,
-                "decode_backend": self._decode_stats["backend"],
-                "decode_buffered_max": self._decode_stats["buffered_max"]}
+                "decode_backend": decode_stats["backend"],
+                "decode_buffered_max": decode_stats["buffered_max"]}
 
     def ask(self, session_id: str, question: str, mode: str = "FCC",
             max_new_tokens: int = 512,

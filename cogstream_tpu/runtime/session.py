@@ -283,12 +283,9 @@ class StreamingSession:
         # how 7B bf16 serves on v5e-8 (16 GB/chip): TP=8 holds 1/8th of
         # the weights per chip and cuts the weights-bound decode time
         # near-linearly. Use a data=1 mesh for solo sessions.
-        if mesh is not None:
-            from ..parallel.sharding import (cogreasoner_param_specs,
-                                             shard_params)
-            params = shard_params(params,
-                                  cogreasoner_param_specs(cfg, mesh),
-                                  mesh)
+        from ..parallel.sharding import ensure_cogreasoner_sharded
+
+        params = ensure_cogreasoner_sharded(params, cfg, mesh)
         self.mesh = mesh
         self.params = params
         self.cfg = cfg
@@ -980,6 +977,7 @@ class StreamingSession:
         top_k: int = 0,
         repetition_penalty: float = 1.0,
         lookahead_k: int = 0,
+        extra_eos_ids: tuple = (),
     ) -> Dict:
         # prompt-lookup speculative decoding (generate_tokens_lookahead)
         # applies only to greedy solo turns: sampling params or pooled
@@ -1032,7 +1030,8 @@ class StreamingSession:
                 adapters=self._full_adapters(),
                 kv_allowed=jnp.asarray(allowed)[None],
                 kv_window=self._kv_window(
-                    start + Sp + max_new_tokens + la_pad))
+                    start + Sp + max_new_tokens + la_pad),
+                extra_eos_ids=tuple(extra_eos_ids) or None)
             # device scalar, fetched lazily by whoever wants the stat
             self.last_lookahead_steps = result.steps
         else:
@@ -1053,7 +1052,8 @@ class StreamingSession:
                 kv_allowed=jnp.asarray(allowed)[None],
                 write_slots=self._row_slots(start, S, Sp),
                 cache_rows=self._cache_rows(),
-                kv_window=self._kv_window(start + Sp + max_new_tokens))
+                kv_window=self._kv_window(start + Sp + max_new_tokens),
+                extra_eos_ids=tuple(extra_eos_ids) or None)
         self.cache = result.cache
         n_fed = max(0, int(np.asarray(result.num_tokens)[0]) - 1)
         text = decode_new_tokens(result.tokens, result.num_tokens, self.tok)

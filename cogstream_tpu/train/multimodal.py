@@ -92,12 +92,9 @@ def multimodal_loss_fn(
         if dropout_rng is not None and dropout_rate > 0.0:
             k0, k1 = jax.random.split(jax.random.fold_in(dropout_rng, 100))
         def kern(layer, dtype):
-            k = layer["kernel"]
-            if isinstance(k, dict):     # quantized base (ops/quant.py)
-                from ..ops.quant import dequantize
+            from ..ops.quant import materialize_kernel
 
-                return dequantize(k, dtype)
-            return k.astype(dtype)
+            return materialize_kernel(layer["kernel"], dtype)
 
         x0 = feats.astype(cfg.text.jnp_dtype)
         h0 = x0 @ kern(proj_params["layers"][0], x0.dtype) \

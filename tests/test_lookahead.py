@@ -103,6 +103,16 @@ def test_lookahead_stop_ids(tiny_config):
         stop_ids=(stop,))
     np.testing.assert_array_equal(np.asarray(base.tokens),
                                   np.asarray(la.tokens))
+    # stop-terminal cache parity: vanilla never feeds the stop token,
+    # so exactly the pre-stop emissions occupy generation slots; the
+    # lookahead exit must not leave the extra slot (possibly a rejected
+    # verify-bonus draft) live
+    wi = int(np.asarray(la.cache.write_index))
+    assert wi == int(np.asarray(base.cache.write_index))
+    cpos = np.asarray(la.cache.pos)[0]
+    assert (cpos[wi:] == -1).all()
+    np.testing.assert_array_equal(cpos[:wi],
+                                  np.asarray(base.cache.pos)[0][:wi])
 
 
 def test_lookahead_decoupled_corpus(tiny_config):

@@ -53,12 +53,17 @@ def test_generation_config_loader(tmp_path):
     gc = load_generation_config(str(d))
     assert gc.sampling_kwargs == {"temperature": 0.7, "top_p": 0.8,
                                   "top_k": 20,
-                                  "repetition_penalty": 1.05}
-    # greedy when do_sample is false
+                                  "repetition_penalty": 1.05,
+                                  "extra_eos_ids": (151645, 151643)}
+    # greedy when do_sample is false — but the repetition-penalty
+    # PROCESSOR and the secondary eos ids still apply (HF runs both in
+    # greedy search; only top-k/top-p are sampling-gated)
     with open(d / "generation_config.json", "w") as f:
-        json.dump({"do_sample": False, "temperature": 0.7}, f)
+        json.dump({"do_sample": False, "temperature": 0.7,
+                   "repetition_penalty": 1.05}, f)
     assert load_generation_config(str(d)).sampling_kwargs == {
-        "temperature": 0.0}
+        "temperature": 0.0, "repetition_penalty": 1.05,
+        "extra_eos_ids": (151645, 151643)}
     # absent file → reference defaults
     assert load_generation_config(str(tmp_path)).top_k == 20
 
@@ -228,3 +233,39 @@ def test_logit_ids_matches_vocab_mask(tiny_config):
     # same PRNG key stream, but the categorical draw is over K vs V
     # categories — distributions match, draws need not; greedy above
     # is the bitwise contract
+
+
+def test_generate_tokens_extra_eos_stops_and_maps(tiny_config):
+    """A secondary terminator (generation_config eos_token_id list)
+    stops decode exactly where the token appears and is recorded AS the
+    primary eos, so num_tokens / fed-slot bookkeeping stay on the
+    single ``== eos_id`` convention."""
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens
+
+    cfg = tiny_config.text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    S, NEW = 12, 24
+    ids = rng.integers(3, 200, size=(1, S)).astype(np.int32)
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    pos = jnp.asarray(np.arange(S, dtype=np.int32)[None])
+    last = jnp.asarray([S - 1], jnp.int32)
+
+    def run(**kw):
+        r = generate_tokens(
+            params, emb, pos, last, init_kv_cache(cfg, 1, S + NEW),
+            jax.random.PRNGKey(0), cfg, NEW, eos_id=2,
+            temperature=0.0, **kw)
+        return np.asarray(r.tokens)[0], int(np.asarray(r.num_tokens)[0])
+
+    free, n_free = run()
+    assert n_free == NEW, "tiny greedy run should not hit eos"
+    xe = int(free[NEW // 2])
+    i = int(np.argmax(free == xe))          # first occurrence
+
+    toks, n = run(extra_eos_ids=(xe,))
+    np.testing.assert_array_equal(toks[:i], free[:i])
+    assert toks[i] == 2 and n == i + 1      # mapped to primary eos
+    assert (toks[i:] == 2).all()

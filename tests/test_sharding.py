@@ -235,3 +235,21 @@ def test_qwen2_forward_sp_matches_dense(tiny_config):
     np.testing.assert_allclose(np.asarray(got)[valid],
                                np.asarray(want)[valid],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ensure_cogreasoner_sharded_idempotent(tiny_config, mesh8):
+    """The serving entry point shards once; a second call (session
+    created from an already-sharded server tree) must short-circuit
+    and return the SAME tree, not sweep it through device_put again."""
+    import jax
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.parallel.sharding import ensure_cogreasoner_sharded
+
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), tiny_config)
+    sharded = ensure_cogreasoner_sharded(params, tiny_config, mesh8)
+    leaf = jax.tree.leaves(sharded)[0]
+    assert leaf.sharding.mesh == mesh8
+    again = ensure_cogreasoner_sharded(sharded, tiny_config, mesh8)
+    assert again is sharded
+    # mesh=None is a no-op
+    assert ensure_cogreasoner_sharded(params, tiny_config, None) is params
