@@ -109,3 +109,87 @@ def test_jit_compatible():
     res = run(x, t, jax.random.PRNGKey(0))
     assert isinstance(res, KMeansResult)
     assert res.assignments.shape == (32,)
+
+
+# --- golden parity vs the ACTUAL reference implementation ---------------
+# (pattern of test_image_processor / test_vision_encoder: importlib-load
+# the torch module from /root/reference and compare behavior)
+
+REF_KMEANS = "/root/reference/model/kmeans_with_time.py"
+
+
+def _load_reference_kmeans():
+    import importlib.util
+    import os
+
+    if not os.path.exists(REF_KMEANS):
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location("ref_kmeans", REF_KMEANS)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod, torch
+
+
+def _partition(assign):
+    """Cluster assignment → label-permutation-invariant partition."""
+    groups = {}
+    for i, a in enumerate(np.asarray(assign).ravel().tolist()):
+        groups.setdefault(int(a), []).append(i)
+    return sorted(tuple(v) for v in groups.values())
+
+
+def test_partition_parity_with_reference_on_separable_data():
+    """On clearly separated (feature, time) blobs both implementations
+    must converge to the SAME partition and the same per-cluster means,
+    whatever their (different) random inits — the behavioral contract
+    of C6 (kmeans_with_time.py:4-137)."""
+    mod, torch = _load_reference_kmeans()
+    rng = np.random.default_rng(0)
+    proto = 5.0 * rng.standard_normal((4, 6))
+    x, t = _blobs(rng, proto, per=8, dim=6)
+    T = x.shape[0]
+
+    torch.manual_seed(0)
+    ref_c, ref_t, ref_a = mod.kmeans_with_time_min_max(
+        torch.tensor(x.reshape(T, 1, 6)), torch.tensor(t), 4, alpha=2)
+    ours = kmeans_with_time(jnp.asarray(x), jnp.asarray(t), 4,
+                            jax.random.PRNGKey(0), alpha=2.0)
+
+    ref_part = _partition(ref_a)
+    assert ref_part == _partition(ours.assignments)
+
+    # matched clusters agree on centers (mean of members) and times
+    ref_groups = {tuple(v): k for k, v in enumerate(
+        [list(g) for g in ref_part])}
+    ref_c = ref_c.reshape(4, 6).numpy()
+    for group in ref_part:
+        ri = int(np.asarray(ref_a)[group[0]])
+        oi = int(np.asarray(ours.assignments)[group[0]])
+        np.testing.assert_allclose(ref_c[ri],
+                                   np.asarray(ours.centers)[oi],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(ref_t[ri]),
+                                   float(ours.center_times[oi]),
+                                   rtol=1e-4)
+
+
+def test_time_weight_parity_with_reference():
+    """Identical features at far-apart times: BOTH implementations must
+    split by time alone (the alpha·time term of the combined metric,
+    ref :76-101) — and with alpha=0 neither may."""
+    mod, torch = _load_reference_kmeans()
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((1, 6)).astype(np.float32)
+    x = np.repeat(base, 16, axis=0) \
+        + 0.01 * rng.standard_normal((16, 6)).astype(np.float32)
+    t = np.concatenate([np.zeros(8), np.full(8, 100.0)]).astype(np.float32)
+
+    torch.manual_seed(0)
+    _, _, ref_a = mod.kmeans_with_time_min_max(
+        torch.tensor(x.reshape(16, 1, 6)), torch.tensor(t), 2, alpha=2)
+    ours = kmeans_with_time(jnp.asarray(x), jnp.asarray(t), 2,
+                            jax.random.PRNGKey(1), alpha=2.0)
+    time_split = sorted([tuple(range(8)), tuple(range(8, 16))])
+    assert _partition(ref_a) == time_split
+    assert _partition(ours.assignments) == time_split
