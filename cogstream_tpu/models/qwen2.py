@@ -367,7 +367,11 @@ def qwen2_forward(
         xs = ((params["layers"], ad_trees, layer_keys) if train_drop
               else (params["layers"], ad_trees))
         x, _ = jax.lax.scan(body, x, xs)
-        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        # A params dict without "final_norm" runs the blocks only — the
+        # pipeline-parallel path (parallel/pipeline.py) feeds each stage
+        # its layer shard and applies the norm once after the last stage.
+        if "final_norm" in params:
+            x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         return x, None
 
     if side_cache is not None:

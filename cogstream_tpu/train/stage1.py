@@ -53,6 +53,11 @@ class Stage1Config:
     log_every: int = 20
     data_parallel: Optional[int] = None
     model_parallel: Optional[int] = None
+    # >1: GPipe pipeline parallelism over a (data, pipe) mesh instead
+    # of TP — layers shard by stage, microbatch activations hop the
+    # ring (parallel/pipeline.py). num_hidden_layers must divide it.
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 4
     seed: int = 0
 
 
@@ -67,13 +72,37 @@ def train_stage1(
     log=print,
 ):
     """Train the selector LoRA; returns the final TrainState."""
-    mesh = make_mesh(tcfg.data_parallel, tcfg.model_parallel)
-    text_specs = qwen2_param_specs(cfg.text, mesh)
-    params_text = shard_params(params["text"], text_specs, mesh)
+    pipeline = None
+    if tcfg.pipeline_stages > 1:
+        from jax.sharding import PartitionSpec as P
 
-    lora_cfg = LoRAConfig()
-    lora = init_qwen2_lora(jax.random.PRNGKey(tcfg.seed), cfg.text, lora_cfg)
-    lora = shard_params(lora, lora_specs_like(lora, text_specs), mesh)
+        from ..parallel.pipeline import (
+            PIPE_AXIS, _stage_specs, make_pipeline_mesh)
+
+        mesh = make_pipeline_mesh(tcfg.pipeline_stages,
+                                  tcfg.data_parallel or 1)
+        pipeline = (mesh, tcfg.pipeline_microbatches)
+        n_layers = cfg.text.num_hidden_layers
+        text_specs = {
+            k: (_stage_specs(v, n_layers, PIPE_AXIS) if k == "layers"
+                else jax.tree.map(lambda _: P(), v))
+            for k, v in params["text"].items()}
+        params_text = shard_params(params["text"], text_specs, mesh)
+        lora_cfg = LoRAConfig()
+        lora = init_qwen2_lora(jax.random.PRNGKey(tcfg.seed), cfg.text,
+                               lora_cfg)
+        lora = shard_params(
+            lora, {"layers": _stage_specs(lora["layers"], n_layers,
+                                          PIPE_AXIS)}, mesh)
+    else:
+        mesh = make_mesh(tcfg.data_parallel, tcfg.model_parallel)
+        text_specs = qwen2_param_specs(cfg.text, mesh)
+        params_text = shard_params(params["text"], text_specs, mesh)
+
+        lora_cfg = LoRAConfig()
+        lora = init_qwen2_lora(jax.random.PRNGKey(tcfg.seed), cfg.text,
+                               lora_cfg)
+        lora = shard_params(lora, lora_specs_like(lora, text_specs), mesh)
 
     steps_per_epoch = max(1, (len(samples) * tcfg.shuffle_copies)
                           // tcfg.batch_size)
@@ -84,7 +113,8 @@ def train_stage1(
 
     vm = np.zeros((cfg.text.vocab_size,), bool)
     vm[constrained_selector_token_ids(tokenizer)] = True
-    loss_fn = bind_text_loss(cfg.text, lora_cfg, vocab_mask=vm, remat=True)
+    loss_fn = bind_text_loss(cfg.text, lora_cfg, vocab_mask=vm, remat=True,
+                             pipeline=pipeline)
     # reference recipe: LoRA dropout 0.1 during training
     # (first_stage_training.py:458-465); seeded → reproducible
     drop_rng = (jax.random.PRNGKey(tcfg.seed ^ 0x5EED)
@@ -143,6 +173,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--pipeline-stages", type=int, default=1,
+                    help=">1 trains with GPipe pipeline parallelism "
+                         "over a (data, pipe) mesh instead of tensor "
+                         "parallelism (parallel/pipeline.py); "
+                         "num_hidden_layers must divide it")
+    ap.add_argument("--data-parallel", type=int, default=None)
     args = ap.parse_args()
 
     from ..config import load_hf_config
@@ -163,7 +199,9 @@ def main():
     train_stage1(params, cfg, tokenizer, samples, args.out,
                  Stage1Config(epochs=args.epochs,
                               batch_size=args.batch_size,
-                              learning_rate=args.lr))
+                              learning_rate=args.lr,
+                              data_parallel=args.data_parallel,
+                              pipeline_stages=args.pipeline_stages))
 
 
 if __name__ == "__main__":

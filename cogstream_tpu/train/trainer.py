@@ -124,18 +124,34 @@ def text_loss_fn(
     remat: bool = True,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    pipeline: Optional[Tuple[Any, int]] = None,  # (pp mesh, microbatches)
 ) -> jax.Array:
-    """Stage-1 objective: text-only selector training (C12)."""
+    """Stage-1 objective: text-only selector training (C12).
+
+    ``pipeline=(mesh, M)`` runs the decoder through the GPipe
+    pipeline-parallel schedule (parallel/pipeline.py) instead of the
+    dense scan — same numerics, layers sharded by stage over the mesh's
+    ``pipe`` axis."""
     ids = batch["input_ids"]
     positions = batch.get("positions")
     if positions is None:
         positions = positions_from_ids(ids)
     emb = qwen2.embed(params, ids)
     adapters = [(lora, jnp.float32(1.0))]
-    hidden, _ = qwen2.qwen2_forward(
-        params, emb, positions, cfg, adapters=adapters,
-        lora_scale=lora_scale, remat=remat,
-        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+    if pipeline is not None:
+        from ..parallel.pipeline import pipeline_decoder_forward
+
+        pp_mesh, n_mb = pipeline
+        hidden = pipeline_decoder_forward(
+            params, emb, positions, cfg, pp_mesh,
+            num_microbatches=n_mb, adapters=adapters,
+            lora_scale=lora_scale, remat=remat,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+    else:
+        hidden, _ = qwen2.qwen2_forward(
+            params, emb, positions, cfg, adapters=adapters,
+            lora_scale=lora_scale, remat=remat,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     logits = qwen2.lm_logits(params, hidden, adapters, lora_scale)
     loss, _ = masked_cross_entropy(logits, batch["labels"], vocab_mask)
     return loss
@@ -168,14 +184,16 @@ def embeds_loss_fn(
 
 def bind_text_loss(cfg: Qwen2Config, lora_cfg: Optional[LoRAConfig] = None,
                    vocab_mask: Optional[np.ndarray] = None,
-                   remat: bool = True) -> Callable:
+                   remat: bool = True,
+                   pipeline: Optional[Tuple[Any, int]] = None) -> Callable:
     lc = lora_cfg or LoRAConfig()
     vm = jnp.asarray(vocab_mask) if vocab_mask is not None else None
 
     def loss(params, lora, batch, rng=None):
         return text_loss_fn(params, lora, batch, cfg, lc.scale,
                             vocab_mask=vm, remat=remat,
-                            dropout_rate=lc.dropout, dropout_rng=rng)
+                            dropout_rate=lc.dropout, dropout_rng=rng,
+                            pipeline=pipeline)
     return loss
 
 

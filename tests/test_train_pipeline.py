@@ -158,6 +158,34 @@ def test_train_stage1_smoke(tmp_path, tiny_config, qa_json):
     assert os.path.exists(os.path.join(out, "language_module.npz"))
 
 
+def test_train_stage1_pipeline_parallel(tmp_path, tiny_config, qa_json):
+    """Stage 1 with --pipeline-stages: the decoder runs the GPipe
+    schedule over a (data=2, pipe=2) mesh, layers sharded by stage
+    (parallel/pipeline.py); loss must be finite and the adapter export
+    identical in structure to the dense path's."""
+    from cogstream_tpu.train.data import load_selector_dataset
+    from cogstream_tpu.train.stage1 import Stage1Config, train_stage1
+
+    params = {"text": __import__("cogstream_tpu.models.qwen2",
+                                 fromlist=["init_qwen2_params"])
+              .init_qwen2_params(jax.random.PRNGKey(0), tiny_config.text)}
+    tok = ByteTokenizer(image_token_id=tiny_config.image_token_index)
+    samples = load_selector_dataset(qa_json)
+    out = str(tmp_path / "s1pp")
+    state = train_stage1(
+        params, tiny_config, tok, samples, out,
+        Stage1Config(epochs=1, batch_size=4, max_len=2048,
+                     grad_accum=1, warmup_steps=1, save_every=1000,
+                     log_every=1000, shuffle_copies=1,
+                     data_parallel=2, pipeline_stages=2,
+                     pipeline_microbatches=2),
+        log=lambda *a: None)
+    assert int(np.asarray(state.step)) >= 1
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(state.lora))
+    assert os.path.exists(os.path.join(out, "language_module.npz"))
+
+
 def test_load_selector_dataset_published_chains(tmp_path):
     """Stage 1 trains straight off the published query-chain files:
     groups of {Q, A, info.{ID, is_visual, relevance}} dicts, relevance
