@@ -106,11 +106,12 @@ def init_vision_params(key: jax.Array, cfg: VisionEncoderConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 def _layernorm(x, p, eps):
-    # fp32 stats/normalize like the reference (torch upcasts LN). Note:
-    # an MXU ones-dot reduction variant was measured IDENTICAL in
-    # runtime (~83 ms/forward across the tower's 55 norms at 32x1024
-    # tokens, both forms) — LN here is bound by the f32 elementwise
-    # streams, not the cross-lane reduce — so the simple form stays.
+    # fp32 stats/normalize like the reference (torch upcasts LN). The
+    # packed encoder path uses the fused Pallas kernel instead
+    # (ops/layernorm.py, ~6 ms/forward win at 32x1024 tokens); this jnp
+    # form serves the eager fallback, the post-LN after the pad slice,
+    # and CPU tests. An MXU ones-dot reduction variant measured
+    # identical — LN is bound by elementwise streams, not the reduce.
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
@@ -273,13 +274,22 @@ def vision_encoder_core(
         cs = jnp.pad(cos2, ((0, extra), (0, 0), (0, Dp - D)))
         sn = jnp.pad(sin2, ((0, extra), (0, 0), (0, Dp - D)))
         flash = (flash_kv[0], flash_kv[1], flash_kmax, bq)
+        # fused single-pass LN (ops/layernorm.py): ~6 ms/forward over
+        # the jnp form at 32x1024 tokens (see the kernel's docstring)
+        from ..ops.layernorm import pallas_layernorm
+
+        interp = jax.default_backend() != "tpu"
+
+        def ln(t, p):
+            return pallas_layernorm(t, p["scale"], p["bias"],
+                                    cfg.layer_norm_eps,
+                                    interpret=interp)
+
         for layer in params["layers"]:
             x = x + _attn_block_packed(
-                _layernorm(x, layer["ln1"], cfg.layer_norm_eps),
+                ln(x, layer["ln1"]),
                 layer["attn"], (cs, sn, perm128), seg_row, cfg, flash)
-            x = x + _mlp_block(
-                _layernorm(x, layer["ln2"], cfg.layer_norm_eps),
-                layer["mlp"])
+            x = x + _mlp_block(ln(x, layer["ln2"]), layer["mlp"])
         x = x[:N0]
     else:
         rope_csp = (cos2, sin2, rope_half_permutation(cfg.head_dim))

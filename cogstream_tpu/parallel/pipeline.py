@@ -132,10 +132,10 @@ def pipeline_decoder_forward(
         raise ValueError(f"B={B} must divide microbatches M={M}")
     mb = B // M
 
-    dp = int(mesh.shape.get(DATA_AXIS, 1)) if DATA_AXIS in mesh.shape \
-        else 1
-    if mb % max(dp, 1):
-        raise ValueError(f"microbatch size {mb} must divide data={dp}")
+    dp = int(mesh.shape.get(DATA_AXIS, 1))
+    if mb % dp:
+        raise ValueError(
+            f"data axis {dp} must divide microbatch size {mb}")
 
     emb_mb = inputs_embeds.reshape(M, mb, S, H)
     pos_mb = positions.reshape(M, mb, S)
