@@ -440,6 +440,8 @@ def qwen2_forward_sp(
     adapters: Optional[List[Tuple[Dict, jax.Array]]] = None,
     lora_scale: float = 2.0,
     remat: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """SEQUENCE-PARALLEL decoder forward (cache-free): activations shard
     [B, S/P, H] along mesh axis ``axis`` and attention runs the ICI
@@ -470,9 +472,17 @@ def qwen2_forward_sp(
             return ring_causal_gqa_attention(
                 q, k, v, q_positions, q_positions, axis, n)
 
+        # LoRA dropout: the adapter input is sequence-sharded, so each
+        # shard needs its own mask draw — fold in the ring position
+        # (without it every shard would repeat the same pattern)
+        dkey = None
+        if dropout_rng is not None and dropout_rate > 0.0:
+            dkey = jax.random.fold_in(dropout_rng,
+                                      jax.lax.axis_index(axis))
         hidden, _ = qwen2_forward(
             p, emb, pos, cfg, adapters=ad, lora_scale=lora_scale,
-            remat=remat, attn_override=ring)
+            remat=remat, attn_override=ring,
+            dropout_rate=dropout_rate, dropout_rng=dkey)
         return hidden
 
     return shard_map(

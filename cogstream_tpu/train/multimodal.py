@@ -78,7 +78,18 @@ def multimodal_loss_fn(
     remat: bool = True,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    sp: Optional[Any] = None,       # (mesh, axis): ring sequence parallel
 ) -> jax.Array:
+    """``sp=(mesh, axis)`` runs the decoder SEQUENCE-PARALLEL
+    (qwen2_forward_sp): activations shard [B, S/P, H] along the mesh
+    axis and attention rides the ICI ring — the long-turn stage-2
+    curriculum (180 frames ≈ 16k+ tokens, second_stage_training.py:149)
+    stops being bounded by one chip's activation memory. Weights stay
+    replicated along the axis (pair with the NF4 base for footprint);
+    S must divide the axis size — the trainer pads turns up
+    (stage2.Stage2Trainer). The vision/projector prologue is
+    token-parallel-free (replicated compute) — it is a few percent of
+    a long turn's FLOPs."""
     feats = vision_encoder_core(
         params["vision"], batch["pixel_values"], batch["vis_pos"],
         batch["vis_seg"], batch["vis_grp"], num_vis_tokens, cfg.vision)
@@ -119,10 +130,18 @@ def multimodal_loss_fn(
 
     text_lora = lora.get("text", lora) if isinstance(lora, dict) else lora
     adapters = [(text_lora, jnp.float32(1.0))]
-    hidden, _ = qwen2.qwen2_forward(
-        params["text"], spliced, batch["positions"], cfg.text,
-        adapters=adapters, lora_scale=lora_scale, remat=remat,
-        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+    if sp is not None:
+        sp_mesh, sp_axis = sp
+        hidden = qwen2.qwen2_forward_sp(
+            params["text"], spliced, batch["positions"], cfg.text,
+            sp_mesh, axis=sp_axis, adapters=adapters,
+            lora_scale=lora_scale, remat=remat,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+    else:
+        hidden, _ = qwen2.qwen2_forward(
+            params["text"], spliced, batch["positions"], cfg.text,
+            adapters=adapters, lora_scale=lora_scale, remat=remat,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     logits = qwen2.lm_logits(params["text"], hidden, adapters, lora_scale)
     loss, _ = masked_cross_entropy(logits, batch["labels"])
     return loss

@@ -69,6 +69,14 @@ class Stage2Config:
     fps: int = 1
     data_parallel: Optional[int] = None
     model_parallel: Optional[int] = None
+    # >1: ring sequence parallelism — the decoder's activations shard
+    # [1, S/P, H] over an "sp" mesh axis and attention rides the ICI
+    # ring (ops/ring_attention.py). The fit for stage 2's B=1 long
+    # turns (180 frames ≈ 16k+ tokens): batch can't shard, sequence
+    # can. Weights replicate along sp (pair with --quantize-base).
+    # Power of two (turn lengths bucket to powers of two ≥ 64);
+    # exclusive with model_parallel.
+    sequence_parallel: int = 1
     seed: int = 0
     baseline: bool = False         # C14: skip selection/compression
 
@@ -192,14 +200,39 @@ class Stage2Trainer:
         self.out_dir = out_dir
         self.log = log
 
-        self.mesh = make_mesh(tcfg.data_parallel, tcfg.model_parallel)
-        specs = cogreasoner_param_specs(cfg, self.mesh)
-        self.params = shard_params(params, specs, self.mesh)
+        self.sp = None
+        if tcfg.sequence_parallel > 1:
+            if tcfg.model_parallel and tcfg.model_parallel > 1:
+                raise ValueError("sequence_parallel is exclusive with "
+                                 "model_parallel (weights replicate "
+                                 "along the sp axis)")
+            n = tcfg.sequence_parallel
+            if n & (n - 1):
+                raise ValueError(f"sequence_parallel={n} must be a "
+                                 "power of two (turn lengths bucket to "
+                                 "powers of two)")
+            from jax.sharding import Mesh, PartitionSpec as P
 
-        self.lora_cfg = LoRAConfig(include_projector=not tcfg.baseline)
-        lora = init_cogreasoner_lora(
-            jax.random.PRNGKey(tcfg.seed), cfg, self.lora_cfg)
-        lora = shard_params(lora, lora_specs_like(lora, specs), self.mesh)
+            self.mesh = Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+            self.sp = (self.mesh, "sp")
+            specs = jax.tree.map(lambda _: P(), params)
+            self.params = shard_params(params, specs, self.mesh)
+            self.lora_cfg = LoRAConfig(
+                include_projector=not tcfg.baseline)
+            lora = init_cogreasoner_lora(
+                jax.random.PRNGKey(tcfg.seed), cfg, self.lora_cfg)
+            lora = shard_params(lora, jax.tree.map(lambda _: P(), lora),
+                                self.mesh)
+        else:
+            self.mesh = make_mesh(tcfg.data_parallel, tcfg.model_parallel)
+            specs = cogreasoner_param_specs(cfg, self.mesh)
+            self.params = shard_params(params, specs, self.mesh)
+
+            self.lora_cfg = LoRAConfig(include_projector=not tcfg.baseline)
+            lora = init_cogreasoner_lora(
+                jax.random.PRNGKey(tcfg.seed), cfg, self.lora_cfg)
+            lora = shard_params(lora, lora_specs_like(lora, specs),
+                                self.mesh)
 
         # cosine horizon = real run length (dataset turns × epochs), as
         # stage 1 derives it from its sample count — an unknown horizon
@@ -229,11 +262,13 @@ class Stage2Trainer:
             cfg = self.cfg
             scale, rate = self.lora_cfg.scale, self.lora_cfg.dropout
 
+            sp = self.sp
+
             def loss(p, l, b, rng=None):
                 return multimodal_loss_fn(p, l, b, cfg, scale,
                                           num_vis_tokens=num_vis_tokens,
                                           remat=True, dropout_rate=rate,
-                                          dropout_rng=rng)
+                                          dropout_rng=rng, sp=sp)
             self._steps[key] = make_train_step(
                 self.tx, loss, donate=False,
                 dropout_rng=self._dropout_rng)
@@ -393,6 +428,12 @@ def main():
                          "trains full precision (the reference's QLoRA "
                          "recipe, second_stage_training.py:266-271; "
                          "nf4 is its exact scheme)")
+    ap.add_argument("--sequence-parallel", type=int, default=1,
+                    help=">1: shard each turn's sequence over an sp "
+                         "mesh axis with ring attention — long-turn "
+                         "activation memory splits across chips "
+                         "(power of two; weights replicate, pair with "
+                         "--quantize-base)")
     args = ap.parse_args()
 
     from ..config import load_hf_config
@@ -412,7 +453,8 @@ def main():
     tok = load_tokenizer(args.model_dir, cfg.image_token_index,
                          cfg.text.vocab_size)
     processor = CogStreamProcessor(tok, cfg.processor)
-    tcfg = Stage2Config(num_epochs=args.num_epochs, baseline=args.baseline)
+    tcfg = Stage2Config(num_epochs=args.num_epochs, baseline=args.baseline,
+                        sequence_parallel=args.sequence_parallel)
     trainer = Stage2Trainer(
         params, cfg, tok, tcfg, args.out,
         total_steps=count_dataset_turns(args.query_dir) * tcfg.num_epochs)

@@ -261,3 +261,92 @@ def test_stage2_published_querychain_layout(tmp_path, tiny_video):
         spec["segments"])
     assert len(losses) == 2
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_multimodal_loss_sequence_parallel_parity():
+    """sp=(mesh, axis) routes the decoder through ring attention
+    (qwen2_forward_sp): loss and LoRA gradients must match the dense
+    forward — stage 2's long-turn scaling axis cannot change numerics."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import __graft_entry__ as ge
+    from cogstream_tpu.config import CogReasonerConfig, LoRAConfig
+    from cogstream_tpu.models.lora import init_cogreasoner_lora
+    from cogstream_tpu.train.multimodal import multimodal_loss_fn
+
+    cfg = CogReasonerConfig.tiny()
+    params, batch, n_vis = ge._example(cfg, tiny=True)
+    lora = init_cogreasoner_lora(jax.random.PRNGKey(1), cfg,
+                                 LoRAConfig(include_projector=True))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+
+    def loss_fn(sp):
+        return lambda l: multimodal_loss_fn(
+            params, l, batch, cfg, 2.0, num_vis_tokens=n_vis,
+            remat=True, sp=sp)
+
+    # jit is load-bearing: shard_map with remat'd inner scans only
+    # traces under jit (the trainer's make_train_step jits too)
+    dense, g_dense = jax.jit(jax.value_and_grad(loss_fn(None)))(lora)
+    spv, g_sp = jax.jit(jax.value_and_grad(loss_fn((mesh, "sp"))))(lora)
+    np.testing.assert_allclose(float(dense), float(spv), rtol=2e-4)
+    scale = max(float(jnp.max(jnp.abs(x)))
+                for x in jax.tree.leaves(g_dense))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=max(scale * 2e-2, 1e-7)),
+        g_dense, g_sp)
+
+
+def test_stage2_sequence_parallel_trainer(tmp_path, tiny_video):
+    """--sequence-parallel end-to-end: the trainer builds the sp mesh,
+    replicates weights, and the curriculum trains through ring
+    attention."""
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.processing import CogStreamProcessor
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.train.stage2 import (
+        Stage2Config, Stage2Trainer, train_stage2_video)
+
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    processor = CogStreamProcessor(tok, cfg.processor)
+    tcfg = Stage2Config(max_seq_len=2048, max_frames=4, grad_accum=1,
+                        save_every=10_000, fps=1, sequence_parallel=4)
+    trainer = Stage2Trainer(params, cfg, tok, tcfg,
+                            str(tmp_path / "s2sp"), log=lambda *a: None)
+    segments = [
+        {"timestamp": [0.0, 2.0], "QAs": [
+            {"QA_pairs": [{"Q": "what is shown?", "A": "noise."}],
+             "relevance": [], "is_visual": True},
+        ]},
+        {"timestamp": [2.0, 4.0], "QAs": [
+            {"QA_pairs": [{"Q": "and now?", "A": "more noise."}],
+             "relevance": [1], "is_visual": True},
+        ]},
+    ]
+    losses = train_stage2_video(trainer, processor, tiny_video, segments)
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
+def test_stage2_sequence_parallel_rejects_bad_config():
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.train.stage2 import Stage2Config, Stage2Trainer
+
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    with pytest.raises(ValueError, match="power of two"):
+        Stage2Trainer(params, cfg, tok,
+                      Stage2Config(sequence_parallel=3), "/tmp/x",
+                      log=lambda *a: None)
+    with pytest.raises(ValueError, match="exclusive"):
+        Stage2Trainer(params, cfg, tok,
+                      Stage2Config(sequence_parallel=2, model_parallel=2),
+                      "/tmp/x", log=lambda *a: None)
