@@ -232,6 +232,7 @@ def qwen2_forward(
     attn_override=None,   # cache-free attention impl: f(q, k, v, positions)
     dropout_rate: float = 0.0,                # LoRA dropout (train only)
     dropout_rng: Optional[jax.Array] = None,
+    apply_final_norm: bool = True,   # False: pipeline stages (blocks only)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden [B, S, H], updated cache).
 
@@ -367,10 +368,10 @@ def qwen2_forward(
         xs = ((params["layers"], ad_trees, layer_keys) if train_drop
               else (params["layers"], ad_trees))
         x, _ = jax.lax.scan(body, x, xs)
-        # A params dict without "final_norm" runs the blocks only — the
-        # pipeline-parallel path (parallel/pipeline.py) feeds each stage
-        # its layer shard and applies the norm once after the last stage.
-        if "final_norm" in params:
+        # apply_final_norm=False runs the blocks only — the pipeline-
+        # parallel path (parallel/pipeline.py) feeds each stage its
+        # layer shard and applies the norm once after the last stage.
+        if apply_final_norm:
             x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         return x, None
 

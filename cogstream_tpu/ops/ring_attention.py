@@ -31,15 +31,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _mark_varying(x, axis_name: str):
-    """Mark a constant as varying over the ring axis (newer shard_map
-    tracks varying-manual-axes types; the scan carry must match the
-    fold outputs, which vary through q). pcast is pvary's replacement."""
+def mark_varying(x, axis_name: str):
+    """Mark a constant as varying over a shard_map axis (newer
+    shard_map tracks varying-manual-axes types; scan carries must match
+    the per-device values they fold with). pcast is pvary's
+    replacement. Shared by the ring fold here and the GPipe schedule
+    (parallel/pipeline.py)."""
     if hasattr(jax.lax, "pcast"):
         return jax.lax.pcast(x, axis_name, to="varying")
     if hasattr(jax.lax, "pvary"):
         return jax.lax.pvary(x, (axis_name,))
     return x
+
+
+_mark_varying = mark_varying  # internal call sites predate the rename
 
 
 def ring_causal_gqa_attention(

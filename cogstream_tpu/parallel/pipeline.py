@@ -10,8 +10,9 @@ a ``shard_map`` runs the classic GPipe schedule: microbatches enter at
 stage 0, activations hop stage→stage over the ICI ring via
 ``ppermute``, and stage P-1 collects final hidden states. Each stage
 runs its layer shard with the SAME scanned block code as the single
--device path (``qwen2_forward`` on a params dict without
-``final_norm``), so PP composes with LoRA adapters (their stacked
+-device path (``qwen2_forward`` with ``apply_final_norm=False``; the
+norm runs once after the last stage), so PP composes with LoRA
+adapters (their stacked
 ``layers`` leaves shard identically) and remat for free.
 
 Schedule: with M microbatches and P stages the loop runs M+P-1 ticks;
@@ -45,14 +46,14 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import qwen2
-from ..ops.ring_attention import _mark_varying
+from ..ops.ring_attention import mark_varying
+from .mesh import DATA_AXIS
 
 try:
     from jax import shard_map
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-DATA_AXIS = "data"
 PIPE_AXIS = "pipe"
 
 
@@ -68,6 +69,13 @@ def make_pipeline_mesh(
         raise ValueError(
             f"pipeline mesh {data_parallel}x{n_stages} needs {need} "
             f"devices, have {len(devices)}")
+    if len(devices) > need:
+        import warnings
+
+        warnings.warn(
+            f"pipeline mesh {data_parallel}x{n_stages} uses {need} of "
+            f"{len(devices)} devices; the rest idle — raise "
+            "data_parallel (or stages) to cover them", stacklevel=2)
     arr = np.asarray(devices[:need]).reshape(data_parallel, n_stages)
     return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
 
@@ -129,7 +137,7 @@ def pipeline_decoder_forward(
     B, S, H = inputs_embeds.shape
     M = num_microbatches or min(B, 4 * n_stages)
     if B % M:
-        raise ValueError(f"B={B} must divide microbatches M={M}")
+        raise ValueError(f"microbatches M={M} must divide B={B}")
     mb = B // M
 
     dp = int(mesh.shape.get(DATA_AXIS, 1))
@@ -146,8 +154,8 @@ def pipeline_decoder_forward(
     def fwd(layers_local, fnorm, ads, emb_mb, pos_mb):
         stage = jax.lax.axis_index(axis)
         zero = jnp.zeros_like(emb_mb[0])
-        state0 = _mark_varying(zero, axis)
-        out0 = _mark_varying(jnp.zeros_like(emb_mb), axis)
+        state0 = mark_varying(zero, axis)
+        out0 = mark_varying(jnp.zeros_like(emb_mb), axis)
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
         def tick(carry, t):
@@ -168,7 +176,7 @@ def pipeline_decoder_forward(
                 {"layers": layers_local}, x_in, pos, cfg,
                 adapters=ads or None, lora_scale=lora_scale,
                 remat=remat, dropout_rate=dropout_rate,
-                dropout_rng=dkey)
+                dropout_rng=dkey, apply_final_norm=False)
             dst = jnp.clip(t - (n_stages - 1), 0, M - 1)
             write = (stage == n_stages - 1) & (t >= n_stages - 1)
             cur = jax.lax.dynamic_index_in_dim(out, dst, keepdims=False)

@@ -55,9 +55,13 @@ class Stage1Config:
     model_parallel: Optional[int] = None
     # >1: GPipe pipeline parallelism over a (data, pipe) mesh instead
     # of TP — layers shard by stage, microbatch activations hop the
-    # ring (parallel/pipeline.py). num_hidden_layers must divide it.
+    # ring (parallel/pipeline.py). num_hidden_layers must divide it;
+    # exclusive with model_parallel (a stage replicates at full width).
     pipeline_stages: int = 1
-    pipeline_microbatches: int = 4
+    # 0 = auto: the smallest divisor of batch_size >= 4*stages (<20%
+    # bubble without shrinking microbatch GEMMs more than needed; a
+    # fixed default would crash batch sizes it doesn't divide)
+    pipeline_microbatches: int = 0
     seed: int = 0
 
 
@@ -72,8 +76,16 @@ def train_stage1(
     log=print,
 ):
     """Train the selector LoRA; returns the final TrainState."""
+    lora_cfg = LoRAConfig()
+    lora = init_qwen2_lora(jax.random.PRNGKey(tcfg.seed), cfg.text,
+                           lora_cfg)
     pipeline = None
     if tcfg.pipeline_stages > 1:
+        if tcfg.model_parallel and tcfg.model_parallel > 1:
+            raise ValueError(
+                "pipeline_stages is exclusive with model_parallel (a "
+                "pipeline stage replicates its layers at full width; "
+                "pick TP or PP for weight distribution, SCALING.md)")
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.pipeline import (
@@ -81,28 +93,25 @@ def train_stage1(
 
         mesh = make_pipeline_mesh(tcfg.pipeline_stages,
                                   tcfg.data_parallel or 1)
-        pipeline = (mesh, tcfg.pipeline_microbatches)
+        m = tcfg.pipeline_microbatches
+        if m <= 0:  # auto: smallest divisor of B >= 4*stages
+            B = tcfg.batch_size
+            m = next((c for c in range(min(B, 4 * tcfg.pipeline_stages),
+                                       B + 1) if B % c == 0), B)
+        pipeline = (mesh, m)
         n_layers = cfg.text.num_hidden_layers
         text_specs = {
             k: (_stage_specs(v, n_layers, PIPE_AXIS) if k == "layers"
                 else jax.tree.map(lambda _: P(), v))
             for k, v in params["text"].items()}
-        params_text = shard_params(params["text"], text_specs, mesh)
-        lora_cfg = LoRAConfig()
-        lora = init_qwen2_lora(jax.random.PRNGKey(tcfg.seed), cfg.text,
-                               lora_cfg)
-        lora = shard_params(
-            lora, {"layers": _stage_specs(lora["layers"], n_layers,
-                                          PIPE_AXIS)}, mesh)
+        lora_specs = {"layers": _stage_specs(lora["layers"], n_layers,
+                                             PIPE_AXIS)}
     else:
         mesh = make_mesh(tcfg.data_parallel, tcfg.model_parallel)
         text_specs = qwen2_param_specs(cfg.text, mesh)
-        params_text = shard_params(params["text"], text_specs, mesh)
-
-        lora_cfg = LoRAConfig()
-        lora = init_qwen2_lora(jax.random.PRNGKey(tcfg.seed), cfg.text,
-                               lora_cfg)
-        lora = shard_params(lora, lora_specs_like(lora, text_specs), mesh)
+        lora_specs = lora_specs_like(lora, text_specs)
+    params_text = shard_params(params["text"], text_specs, mesh)
+    lora = shard_params(lora, lora_specs, mesh)
 
     steps_per_epoch = max(1, (len(samples) * tcfg.shuffle_copies)
                           // tcfg.batch_size)
@@ -178,6 +187,10 @@ def main():
                          "over a (data, pipe) mesh instead of tensor "
                          "parallelism (parallel/pipeline.py); "
                          "num_hidden_layers must divide it")
+    ap.add_argument("--pipeline-microbatches", type=int, default=0,
+                    help="GPipe microbatches per step; must divide "
+                         "--batch-size. 0 = auto (smallest divisor "
+                         ">= 4*stages)")
     ap.add_argument("--data-parallel", type=int, default=None)
     args = ap.parse_args()
 
@@ -201,7 +214,9 @@ def main():
                               batch_size=args.batch_size,
                               learning_rate=args.lr,
                               data_parallel=args.data_parallel,
-                              pipeline_stages=args.pipeline_stages))
+                              pipeline_stages=args.pipeline_stages,
+                              pipeline_microbatches=(
+                                  args.pipeline_microbatches)))
 
 
 if __name__ == "__main__":

@@ -200,6 +200,9 @@ class Stage2Trainer:
         self.out_dir = out_dir
         self.log = log
 
+        self.lora_cfg = LoRAConfig(include_projector=not tcfg.baseline)
+        lora = init_cogreasoner_lora(
+            jax.random.PRNGKey(tcfg.seed), cfg, self.lora_cfg)
         self.sp = None
         if tcfg.sequence_parallel > 1:
             if tcfg.model_parallel and tcfg.model_parallel > 1:
@@ -211,28 +214,30 @@ class Stage2Trainer:
                 raise ValueError(f"sequence_parallel={n} must be a "
                                  "power of two (turn lengths bucket to "
                                  "powers of two)")
+            if tcfg.max_seq_len % n:
+                # buckets are powers of two UNTIL the max_seq_len cap —
+                # a non-divisible cap would hit qwen2_forward_sp's
+                # shape assert mid-run and skip-drop whole videos
+                raise ValueError(
+                    f"sequence_parallel={n} must divide "
+                    f"max_seq_len={tcfg.max_seq_len}")
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"sequence_parallel={n} needs {n} devices, have "
+                    f"{len(jax.devices())} — a silent 1-device sp "
+                    "mesh would defeat the long-turn memory split")
             from jax.sharding import Mesh, PartitionSpec as P
 
             self.mesh = Mesh(np.asarray(jax.devices()[:n]), ("sp",))
             self.sp = (self.mesh, "sp")
             specs = jax.tree.map(lambda _: P(), params)
-            self.params = shard_params(params, specs, self.mesh)
-            self.lora_cfg = LoRAConfig(
-                include_projector=not tcfg.baseline)
-            lora = init_cogreasoner_lora(
-                jax.random.PRNGKey(tcfg.seed), cfg, self.lora_cfg)
-            lora = shard_params(lora, jax.tree.map(lambda _: P(), lora),
-                                self.mesh)
+            lora_specs = jax.tree.map(lambda _: P(), lora)
         else:
             self.mesh = make_mesh(tcfg.data_parallel, tcfg.model_parallel)
             specs = cogreasoner_param_specs(cfg, self.mesh)
-            self.params = shard_params(params, specs, self.mesh)
-
-            self.lora_cfg = LoRAConfig(include_projector=not tcfg.baseline)
-            lora = init_cogreasoner_lora(
-                jax.random.PRNGKey(tcfg.seed), cfg, self.lora_cfg)
-            lora = shard_params(lora, lora_specs_like(lora, specs),
-                                self.mesh)
+            lora_specs = lora_specs_like(lora, specs)
+        self.params = shard_params(params, specs, self.mesh)
+        lora = shard_params(lora, lora_specs, self.mesh)
 
         # cosine horizon = real run length (dataset turns × epochs), as
         # stage 1 derives it from its sample count — an unknown horizon

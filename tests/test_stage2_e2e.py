@@ -350,3 +350,20 @@ def test_stage2_sequence_parallel_rejects_bad_config():
         Stage2Trainer(params, cfg, tok,
                       Stage2Config(sequence_parallel=2, model_parallel=2),
                       "/tmp/x", log=lambda *a: None)
+
+
+def test_stage2_sequence_parallel_rejects_bad_seq_len():
+    """A max_seq_len cap the sp axis doesn't divide would trip shape
+    asserts mid-run (videos silently skip-dropped) — reject up front."""
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.train.stage2 import Stage2Config, Stage2Trainer
+
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    with pytest.raises(ValueError, match="must divide"):
+        Stage2Trainer(params, cfg, tok,
+                      Stage2Config(sequence_parallel=16, max_seq_len=3000),
+                      "/tmp/x", log=lambda *a: None)

@@ -234,3 +234,21 @@ def test_count_dataset_turns_published_chains(tmp_path):
     (tmp_path / "w.json").write_text(_json.dumps(
         {"segments": [{"QAs": [1, 2]}]}))
     assert count_dataset_turns(str(tmp_path)) == 5
+
+
+def test_train_stage1_pipeline_rejects_tp_combo(tmp_path, tiny_config, qa_json):
+    """PP and TP are exclusive (a stage replicates at full width)."""
+    from cogstream_tpu.train.data import load_selector_dataset
+    from cogstream_tpu.train.stage1 import Stage1Config, train_stage1
+    import pytest as _pytest
+
+    params = {"text": __import__("cogstream_tpu.models.qwen2",
+                                 fromlist=["init_qwen2_params"])
+              .init_qwen2_params(jax.random.PRNGKey(0), tiny_config.text)}
+    tok = ByteTokenizer(image_token_id=tiny_config.image_token_index)
+    samples = load_selector_dataset(qa_json)
+    with _pytest.raises(ValueError, match="exclusive"):
+        train_stage1(params, tiny_config, tok, samples,
+                     str(tmp_path / "x"),
+                     Stage1Config(pipeline_stages=2, model_parallel=2),
+                     log=lambda *a: None)
