@@ -69,3 +69,57 @@ def test_parse_selection_matches_reference_semantics():
     assert parse_selection("[no,2]") == (False, [2])
     assert parse_selection("[yes]") == (True, [])
     assert parse_selection("[yes,x,3]") == (True, [3])
+
+
+@pytest.mark.parametrize("include_demo,n_hist", [
+    (True, 3), (False, 3), (True, 0),
+])
+def test_selector_prompt_matches_reference(include_demo, n_hist):
+    """C8: build_selector_prompt is byte-identical with the reference
+    format_example (qaselect_module_predict.py:5-61) — a stage-1-trained
+    adapter must see the exact serialization it was trained on."""
+    if "refmodel" not in sys.modules:
+        pkg = types.ModuleType("refmodel")
+        pkg.__path__ = [REF_DIR]
+        sys.modules["refmodel"] = pkg
+    ref_fmt = importlib.import_module(
+        "refmodel.qaselect_module_predict").format_example
+
+    from cogstream_tpu.runtime.retrieval import build_selector_prompt
+
+    qs = [f"question {i}?" for i in range(n_hist)]
+    as_ = [f"answer {i}." for i in range(n_hist)]
+    cur = "what happens next?"
+    want = ref_fmt({"current_Q": cur, "hist_Qs": qs, "hist_As": as_},
+                   include_demo=include_demo)
+    got = build_selector_prompt(cur, qs, as_, include_demo=include_demo)
+    assert got == want
+
+
+def test_summary_prompt_matches_reference():
+    """C7: the event-summary prompt our batch builder tokenizes is
+    byte-identical with the reference create_visual_summary_prompt
+    (cogreasoner_chat.py:93-119) — compared in token space through the
+    1-token-per-char ByteTokenizer, which makes id equality text
+    equality."""
+    import numpy as np
+
+    if "refmodel" not in sys.modules:
+        pkg = types.ModuleType("refmodel")
+        pkg.__path__ = [REF_DIR]
+        sys.modules["refmodel"] = pkg
+    ref_prompt = importlib.import_module(
+        "refmodel.cogreasoner_chat").create_visual_summary_prompt
+
+    from cogstream_tpu.models.cogreasoner import build_summary_batch
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer(image_token_id=300)
+    P = 4                                   # patches per frame
+    ts = np.array([0.0, 1.5, 3.0], np.float64)
+    batch = build_summary_batch(tok, np.zeros((3,), np.int64), ts, P, 1)
+
+    want_text = ref_prompt(P * len(ts), [float(t) for t in ts])
+    want_ids = tok.encode(want_text)
+    n = int((batch.positions[0] >= 0).sum())
+    assert batch.input_ids[0][:n].tolist() == want_ids
