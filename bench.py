@@ -123,15 +123,22 @@ def bench_decoder(full: bool):
     positions = jnp.asarray(np.arange(S, dtype=np.int32)[None])
     last = jnp.asarray([S - 1], jnp.int32)
 
-    def run():
+    def run(new):
+        # cache sized to the LARGER run so per-step attention work is
+        # identical at both points
         cache = init_kv_cache(cfg, 1, S + NEW)
         return generate_tokens(
             params, emb, positions, last, cache, jax.random.PRNGKey(0),
-            cfg, NEW, eos_id=-1, temperature=0.0)
+            cfg, new, eos_id=-1, temperature=0.0)
 
-    dt = _median_time(run, iters=3, warmup=1)
-    # eos_id=-1 is never sampled → exactly NEW tokens generated
-    decode_tok_s = NEW / dt
+    # MARGINAL decode rate: two run lengths, difference the times — a
+    # single NEW/dt quietly charges the prefill to "decode" and
+    # understates step throughput ~15-20% at these shapes
+    short = NEW // 4
+    dt_s = _median_time(lambda: run(short), iters=3, warmup=1)
+    dt = _median_time(lambda: run(NEW), iters=3, warmup=1)
+    # eos_id=-1 is never sampled → exactly `new` tokens generated
+    decode_tok_s = (NEW - short) / max(dt - dt_s, 1e-9)
 
     # params must be ARGUMENTS, not closure constants — the axon remote
     # compiler rejects HLO with GBs of baked-in weights (HTTP 413)
@@ -256,14 +263,19 @@ def bench_7b_quantized(bits: int = 8):
     emb = qwen2.embed(params, jnp.asarray(ids))
     positions = jnp.asarray(np.arange(S, dtype=np.int32)[None])
 
-    def run():
+    def run(new):
         cache = init_kv_cache(cfg, 1, S + NEW)
         return generate_tokens(params, emb, positions,
                                jnp.asarray([S - 1], jnp.int32), cache,
-                               jax.random.PRNGKey(0), cfg, NEW,
+                               jax.random.PRNGKey(0), cfg, new,
                                eos_id=-1, temperature=0.0)
 
-    dt = _median_time(run, iters=2, warmup=1)
+    # marginal decode rate (see bench_decoder): difference two run
+    # lengths so the prefill doesn't get charged to decode
+    short = NEW // 4
+    dt_s = _median_time(lambda: run(short), iters=2, warmup=1)
+    dt_l = _median_time(lambda: run(NEW), iters=2, warmup=1)
+    decode_tok_s = (NEW - short) / max(dt_l - dt_s, 1e-9)
 
     @jax.jit
     def pf(params, emb, positions):
@@ -274,7 +286,7 @@ def bench_7b_quantized(bits: int = 8):
 
     dt_p = _median_time(lambda: pf(params, emb, positions),
                         iters=2, warmup=1)
-    return NEW / dt, S / dt_p
+    return decode_tok_s, S / dt_p
 
 
 def _synthetic_7b_text_params(bits: int):
