@@ -384,13 +384,17 @@ def bench_lookahead_7b(bits: int = 8, K: int = 4):
     positions = jnp.asarray(np.arange(S, dtype=np.int32)[None])
     last = jnp.asarray([S - 1], jnp.int32)
 
-    def run():
+    def run(new=NEW):
         cache = init_kv_cache(cfg, 1, S + NEW + K + 1)
         return generate_tokens_lookahead(
             params, emb, positions, last, cache, jnp.asarray(ids), cfg,
-            NEW, eos_id=-1, lookahead_k=K)
+            new, eos_id=-1, lookahead_k=K)
 
-    dt = _median_time(run, iters=2, warmup=1)
+    # marginal rate (see bench_decoder): prefill isn't charged to decode
+    short = NEW // 4
+    dt_s = _median_time(lambda: run(short), iters=2, warmup=1)
+    dt_l = _median_time(run, iters=2, warmup=1)
+    dt = max(dt_l - dt_s, 1e-9) / (NEW - short) * NEW  # s for NEW tokens
     steps = int(np.asarray(run().steps))
 
     # step-cost ratio on a warm prefilled cache

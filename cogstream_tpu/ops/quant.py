@@ -31,10 +31,11 @@ the loaded bytes and the dot operand, which is the difference between
 XLA fusing the dequant into the GEMM prologue and materializing a
 full-precision copy of the weights.
 
-Measured ceiling (v5e): int8 decode streams at ~615 GB/s (near the
-HBM roofline); the 4-bit scheme reads half the bytes but XLA still
-materializes the unpacked-int8 nibbles as an intermediate, so its
-step time lands at ~1.6x int8 rather than 0.5x — 4-bit is the
+Measured ceiling (v5e, marginal step rate — prefill not charged to
+decode): int8 7B decodes at ~105 tok/s ≈ 745 GB/s of weight reads,
+~90% of the HBM roofline; the 4-bit scheme reads half the bytes but
+XLA still materializes the unpacked-int8 nibbles as an intermediate,
+so its step time lands at ~2x int8 rather than 0.5x — 4-bit is the
 CAPACITY scheme (7B layer weights in ~3.8 GB), int8 the speed scheme.
 A Pallas fused-unpack GEMV was probed and rejected: Mosaic cannot
 lower int8 vector shifts (unpack must widen to i32 in VMEM), and at
