@@ -543,6 +543,67 @@ def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
     return n_rows * NEW / float(np.median(dts)), ingest_agg_fps
 
 
+def bench_pool_7b(use_pallas: bool, bits: int = 8, n_rows: int = 4):
+    """PRODUCTION-scale pooled serving: n_rows streams share ONE
+    int8-7B on one chip (single-storage pool rows). Decode is
+    weights-bound, so the lockstep batched decode multiplies aggregate
+    tokens/sec nearly for free — this is the number a deployment sizes
+    against. Two rows: the MARGINAL aggregate decode rate (two ask
+    lengths differenced — prefill/selector not charged to decode) and
+    the blended full-ask aggregate."""
+    import dataclasses
+    import time
+
+    import jax
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.config import CompressionConfig
+    from cogstream_tpu.models.projector import init_projector_params
+    from cogstream_tpu.models.vision_encoder import init_vision_params
+    from cogstream_tpu.runtime.pool import SessionPool
+
+    cfg = dataclasses.replace(
+        presets.cogreasoner_7b(), compression=CompressionConfig(
+            frames_per_event=8, keyframes_per_event=2))
+    params = {
+        "vision": init_vision_params(jax.random.PRNGKey(0), cfg.vision),
+        "projector": init_projector_params(
+            jax.random.PRNGKey(1), cfg.vision.hidden_size,
+            cfg.text.hidden_size, cfg.mm_projector_type,
+            dtype=cfg.text.jnp_dtype),
+        "text": _synthetic_7b_text_params(bits),
+    }
+    tok, _ = _tokenizer_for(cfg)
+    pool = SessionPool(params, cfg, tok, n_rows=n_rows, max_len=2048,
+                       use_pallas=use_pallas, summary_forward=False)
+    rows = [pool.open() for _ in range(n_rows)]
+
+    rng = np.random.default_rng(0)
+    T, gh, gw = 8, 16, 16
+    pv = rng.integers(0, 255, size=(T * gh * gw,
+                                    3 * cfg.vision.patch_size ** 2),
+                      dtype=np.uint8)
+    pool.ingest_batch([(r, pv, (T, gh, gw), 2,
+                        list(np.arange(T, dtype=float))) for r in rows])
+
+    reqs = [(r, "what is happening in the video right now?")
+            for r in rows]
+
+    def ask(new):
+        t0 = time.perf_counter()
+        pool.ask_batch(reqs, mode="AC", max_new_tokens=new)
+        return time.perf_counter() - t0
+
+    SHORT, NEW = 8, 32
+    ask(SHORT), ask(NEW)                       # compiles
+    dts_s = [ask(SHORT) for _ in range(3)]
+    dts_l = [ask(NEW) for _ in range(3)]
+    d_s, d_l = float(np.median(dts_s)), float(np.median(dts_l))
+    marginal = n_rows * (NEW - SHORT) / max(d_l - d_s, 1e-9)
+    blended = n_rows * NEW / d_l
+    return marginal, blended
+
+
 def bench_ingest_overlap(use_pallas: bool):
     """End-to-end serving ingest through the chunked decode-ahead path
     (N2 integration): a real video decodes chunk-by-chunk while the TPU
@@ -844,6 +905,12 @@ def main():
             extras["turn_p50_fcc_7b_int8_typical_s"] = round(r[3], 4)
         else:
             extras["session_7b_bench_error"] = repr(err)[:300]
+        r, err = _sect(bench_pool_7b, True)
+        if r is not None:
+            extras["pooled_7b_int8_decode_tok_s_b4"] = round(r[0], 1)
+            extras["pooled_7b_int8_ask_tok_s_b4"] = round(r[1], 1)
+        else:
+            extras["pool_7b_bench_error"] = repr(err)[:300]
     r, err = _sect(bench_preprocess)
     if r is not None:
         extras.update({"preprocess_fps": round(r[0], 1),
