@@ -63,10 +63,14 @@ class SessionPool:
             from ..parallel.sharding import place_kv_cache
             self.cache = place_kv_cache(self.cache, cfg.text, mesh)
         self.sessions: Dict[int, StreamingSession] = {}
+        # per-row seed: all rows sharing rng_seed=0 would make
+        # temperature>0 solo asks sample IDENTICAL streams across
+        # sessions; folding the row keeps runs reproducible per (seed,
+        # row) yet independent across rows
         self._mk = lambda row: StreamingSession(
             params, cfg, tokenizer, adapters=adapters, max_len=max_len,
             use_pallas=use_pallas, summary_forward=summary_forward,
-            pool=self, row=row)
+            pool=self, row=row, rng_seed=(seed << 16) ^ (row + 1))
 
     # -- row plumbing --------------------------------------------------------
 
@@ -247,7 +251,11 @@ class SessionPool:
             if b in selections:
                 selection = selections[b]
                 if_visual, sel_idx = parse_selection(selection)
-            else:
+            elif mode == "NC":
+                # no-context ablation: past turns invisible — the same
+                # semantics as StreamingSession.ask(mode="NC")
+                selection, if_visual, sel_idx = "[yes]", True, []
+            else:  # AC / first turn: everything visible
                 selection, if_visual = "[yes]", True
                 sel_idx = list(range(len(sess.hist_qs)))
             q_text = (f"<|im_start|>user\n{q}<|im_end|>\n"
@@ -284,9 +292,9 @@ class SessionPool:
             m.update(start=start, n=n)
 
         emb = qwen2.embed(self.params["text"], jnp.asarray(ids))
-        full = self.adapters.get("full_module")
-        adapters = [( (full.get("text", full)), jnp.float32(1.0))] \
-            if full else None
+        # one adapter-unwrapping convention (session._full_adapters) —
+        # any session in the pool shares the pool's adapter dict
+        adapters = next(iter(self.sessions.values()))._full_adapters()
         # decode-read window: bound per-step K/V reads to the deepest
         # row's live extent (bucketed) instead of the full max_len
         needed = max(m["start"] + Sp for m in metas.values()) \

@@ -81,6 +81,48 @@ Historical QA Pairs (ordered by time):"""
             f"<|im_start|>assistant\n")
 
 
+def window_selector_history(
+    tokenizer,
+    current_question: str,
+    hist_qs: List[str],
+    hist_as: List[str],
+    max_prompt_tokens: int,
+    include_demo: bool = True,
+):
+    """Trim history to the most recent turns whose serialized selector
+    prompt fits ``max_prompt_tokens``. Returns (qs, as, offset): the
+    windowed lists plus how many oldest turns were dropped — selection
+    indices decoded against the window map back as ``i + offset``.
+
+    The reference serializes ALL history every turn and would
+    eventually exceed the model context on an unbounded stream
+    (qaselect_module_predict.py:63-127 has no cap); sessions here run
+    indefinitely (compaction/eviction), so the selector prompt must be
+    bounded too. Recency is the right truncation: the selector's own
+    training data orders pairs by time."""
+    qs, as_ = list(hist_qs), list(hist_as)
+    offset = 0
+    while qs:
+        prompt = build_selector_prompt(current_question, qs, as_,
+                                       include_demo)
+        if len(tokenizer.encode(prompt)) <= max_prompt_tokens:
+            break
+        drop = max(1, len(qs) // 8)
+        qs, as_ = qs[drop:], as_[drop:]
+        offset += drop
+    return qs, as_, offset
+
+
+def _remap_selection(selection: str, offset: int) -> str:
+    """Shift windowed selection indices back to absolute turn ids."""
+    if not offset:
+        return selection
+    from .history import parse_selection, selection_string
+
+    if_visual, idx = parse_selection(selection)
+    return selection_string(if_visual, [i + offset for i in idx])
+
+
 def normalize_selection(text: str) -> str:
     """Bracket-normalize the raw decode (ref :120-127)."""
     text = text.strip()
@@ -105,6 +147,12 @@ class Selector:
         self.adapters = adapters
         self.lora_scale = lora_scale
         self.max_new_tokens = max_new_tokens
+        # unbounded-stream guard: history serialized into the selector
+        # prompt windows to the newest turns that fit (the largest pad
+        # bucket minus decode headroom; window_selector_history)
+        from .generate import PAD_BUCKETS
+
+        self.max_prompt_tokens = PAD_BUCKETS[-1] - max_new_tokens
         # static sampling support: generate_tokens slices the lm_head
         # to these ~20 columns, so each selector decode step skips the
         # full-vocab logits read (545 MB at int8-7B) — same greedy
@@ -122,8 +170,11 @@ class Selector:
         all of them (used by the pooled serving path)."""
         import numpy as np
 
+        windowed = [window_selector_history(
+            self.tokenizer, q, hq, ha, self.max_prompt_tokens,
+            include_demo) for q, hq, ha in items]
         prompts = [build_selector_prompt(q, hq, ha, include_demo)
-                   for q, hq, ha in items]
+                   for (q, _, _), (hq, ha, _) in zip(items, windowed)]
         ids_list = [np.asarray(self.tokenizer.encode(p), np.int32)
                     for p in prompts]
         B = len(ids_list)
@@ -152,13 +203,18 @@ class Selector:
             ids_out = toks[b, :int(nums[b])].tolist()
             if ids_out and ids_out[-1] == self.tokenizer.eos_token_id:
                 ids_out = ids_out[:-1]
-            outs.append(normalize_selection(
-                self.tokenizer.decode(ids_out, skip_special_tokens=True)))
+            outs.append(_remap_selection(
+                normalize_selection(self.tokenizer.decode(
+                    ids_out, skip_special_tokens=True)),
+                windowed[b][2]))
         return outs
 
     def select(self, current_question: str, hist_qs: List[str],
                hist_as: List[str], include_demo: bool = True,
                key: Optional[jax.Array] = None) -> str:
+        hist_qs, hist_as, offset = window_selector_history(
+            self.tokenizer, current_question, hist_qs, hist_as,
+            self.max_prompt_tokens, include_demo)
         prompt = build_selector_prompt(current_question, hist_qs, hist_as,
                                        include_demo)
         ids = np.asarray(self.tokenizer.encode(prompt), np.int32)
@@ -183,4 +239,4 @@ class Selector:
             stop_ids=self.stop_ids)
         text = decode_new_tokens(result.tokens, result.num_tokens,
                                  self.tokenizer)
-        return normalize_selection(text)
+        return _remap_selection(normalize_selection(text), offset)

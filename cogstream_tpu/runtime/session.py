@@ -60,6 +60,20 @@ SYSTEM_PROMPT = (
     "answering the user's questions about it.")
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _compact_solo_device(cache, gidx, valid, n_new):
+    """Solo-session compaction as ONE donated jitted program: the
+    donated old cache frees buffer-by-buffer as the gathers consume
+    them (the eager jnp.take form held the full old cache across three
+    dispatches while allocating the full new one — ~2x cache HBM peak
+    at exactly the moment eviction runs on a loaded chip, plus 3+
+    tunnel round trips)."""
+    k = jnp.take(cache.k, gidx, axis=2)
+    v = jnp.take(cache.v, gidx, axis=2)
+    pos = jnp.where(valid[None], jnp.take(cache.pos, gidx, axis=1), -1)
+    return KVCache(k, v, pos.astype(jnp.int32), n_new)
+
+
 @functools.partial(jax.jit, static_argnames=("row",), donate_argnums=(0,))
 def _compact_row_device(cache, gidx, valid, row):
     """Pooled-session compaction: move row ``row``'s surviving slots to
@@ -179,7 +193,6 @@ def flush_event_reps(sessions) -> None:
     for sess in sessions:
         for ev, frames in sess._rep_pending:
             work.append((sess, ev, sess._event_summary_pack(frames)))
-        sess._rep_pending = []
     if not work:
         return
     groups: Dict[Tuple[int, ...], List] = {}
@@ -222,6 +235,11 @@ def flush_event_reps(sessions) -> None:
             jnp.stack(feats), jnp.asarray(pos), sess0.cfg.text)
         for i, (_, ev, _) in enumerate(items):
             ev.rep = reps[i]
+    # clear pending only after every rep is assigned — a transient
+    # dispatch failure (remote-compile hiccup) leaves the work queued
+    # and the flush retryable instead of stranding rep=None events
+    for sess in sessions:
+        sess._rep_pending = []
 
 
 @dataclass
@@ -778,7 +796,11 @@ class StreamingSession:
                                              start + S, turn))
                 self.ranges.append(SlotRange("answer", start + stride,
                                              self._wi, turn))
-                self.next_pos = next_pos + produced
+                # positions advance by FED tokens only — the final
+                # sampled token (eos or cap) never re-enters the cache,
+                # exactly as ask()'s n_fed = num - 1; counting it here
+                # would open a 1-position RoPE gap per streamed turn
+                self.next_pos = next_pos + max(0, produced - 1)
                 self.hist_qs.append(question)
                 self.hist_as.append(emitted)
         yield {"text": emitted, "selection": selection,
@@ -831,12 +853,8 @@ class StreamingSession:
         gidx = jnp.asarray(idx)
         valid = jnp.asarray(np.arange(self.max_len) < n_new)
         if self._pool is None:
-            k = jnp.take(self.cache.k, gidx, axis=2)
-            v = jnp.take(self.cache.v, gidx, axis=2)
-            pos = jnp.where(valid[None],
-                            jnp.take(self.cache.pos, gidx, axis=1), -1)
-            self.cache = KVCache(k, v, pos.astype(jnp.int32),
-                                 jnp.asarray(n_new, jnp.int32))
+            self.cache = _compact_solo_device(
+                self.cache, gidx, valid, jnp.asarray(n_new, jnp.int32))
         else:
             self.cache = _compact_row_device(self.cache, gidx, valid,
                                              self._row)
@@ -902,6 +920,17 @@ class StreamingSession:
                 nxt = live[i + 1]
                 dropped.add(id(nxt))
                 freed += sizes[id(nxt)]
+            # a QA turn is atomic: evicting the question without its
+            # answer would let a later selection surface an orphaned
+            # answer with no preceding user turn (the reference drops
+            # QA pairs whole)
+            if r.kind == "question":
+                for other in live[i + 1:]:
+                    if other.kind == "answer" and other.turn == r.turn:
+                        if id(other) not in dropped:
+                            dropped.add(id(other))
+                            freed += sizes[id(other)]
+                        break
         self.compact(lambda r: id(r) not in dropped)
         return True
 
@@ -1130,8 +1159,12 @@ class StreamingSession:
             if jnp.issubdtype(self._key.dtype, jax.dtypes.prng_key)
             else self._key)
         if self.events:
-            put("event_reps", np.stack(
-                [np.asarray(ev.rep, np.float32) for ev in self.events]))
+            # ONE device->host transfer for all reps: per-event
+            # np.asarray costs a ~30 ms tunnel round trip each while
+            # the serving lock is held
+            put("event_reps", np.asarray(
+                jnp.stack([jnp.asarray(ev.rep) for ev in self.events]),
+                np.float32))
         for i, f in enumerate(self._pending_frames):
             put(f"pend_feat_{i}", np.asarray(f.feat, np.float32))
             put(f"pend_rows_{i}", f.frame_rows)

@@ -464,3 +464,45 @@ def test_pool_on_tp_mesh_matches_unsharded(setup):
         outs.append(pool.ask_batch(reqs, mode="AC", max_new_tokens=8))
     assert outs[0][0]["text"] == outs[1][0]["text"]
     assert outs[0][1]["text"] == outs[1][1]["text"]
+
+
+def test_pool_nc_mode_masks_history(setup):
+    """ask_batch(mode="NC") must match StreamingSession.ask's NC
+    semantics — past turns INVISIBLE — not fall through to the
+    everything-visible AC branch."""
+    from cogstream_tpu.runtime.pool import SessionPool
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(3)
+    t, gh, gw = 2, 4, 4
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+
+    pool = SessionPool(params, cfg, tok, n_rows=2, max_len=1024,
+                       summary_forward=False)
+    r = pool.open()
+    pool.ingest(r, pv, (t, gh, gw), 2, [0.0, 1.0])
+    pool.ask_batch([(r, "first question?")], mode="AC", max_new_tokens=6)
+    got = pool.ask_batch([(r, "and now?")], mode="NC",
+                         max_new_tokens=8)[r]
+
+    solo = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False)
+    solo.append_stream_segment(pv, (t, gh, gw), 2, [0.0, 1.0])
+    solo.ask("first question?", mode="AC", max_new_tokens=6)
+    want = solo.ask("and now?", mode="NC", max_new_tokens=8)
+    assert got["text"] == want["text"]
+
+
+def test_pool_rows_sample_independently(setup):
+    """Two rows asking the same question at temperature>0 must draw
+    from DIFFERENT key streams (per-row rng seed)."""
+    from cogstream_tpu.runtime.pool import SessionPool
+
+    cfg, params, tok = setup
+    pool = SessionPool(params, cfg, tok, n_rows=2, max_len=1024,
+                       summary_forward=False)
+    r0, r1 = pool.open(), pool.open()
+    k0 = np.asarray(jax.random.key_data(pool.sessions[r0]._key))
+    k1 = np.asarray(jax.random.key_data(pool.sessions[r1]._key))
+    assert not np.array_equal(k0, k1)

@@ -269,3 +269,43 @@ def test_generate_tokens_extra_eos_stops_and_maps(tiny_config):
     np.testing.assert_array_equal(toks[:i], free[:i])
     assert toks[i] == 2 and n == i + 1      # mapped to primary eos
     assert (toks[i:] == 2).all()
+
+
+def test_selector_windows_unbounded_history(tiny_config):
+    """An unbounded stream's history must window to the newest turns
+    that fit the prompt budget (window_selector_history), with decoded
+    indices remapped to ABSOLUTE turn ids — without the window, the
+    serialized prompt eventually exceeds the largest pad bucket and
+    every FCC ask crashes."""
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.retrieval import (
+        Selector, build_selector_prompt, window_selector_history,
+        _remap_selection)
+
+    tok = ByteTokenizer(image_token_id=tiny_config.image_token_index)
+    qs = [f"question number {i} about the scene?" for i in range(40)]
+    as_ = [f"answer number {i} with some detail." for i in range(40)]
+
+    wq, wa, off = window_selector_history(
+        tok, "current?", qs, as_, max_prompt_tokens=2000)
+    assert off > 0 and wq == qs[off:] and wa == as_[off:]
+    prompt = build_selector_prompt("current?", wq, wa)
+    assert len(tok.encode(prompt)) <= 2000
+    # most-recent turns survive; indices shift back by the offset
+    assert _remap_selection("[yes,0,2]", off) == \
+        f"[yes,{off},{off + 2}]"
+    assert _remap_selection("[no]", off) == "[no]"
+
+    # end-to-end: select() on the oversized history must not crash
+    # (without the window, bucket_length would raise once the prompt
+    # passed the largest bucket) and must return a valid bracket form.
+    # Random weights may decode arbitrary digit VALUES — the grammar
+    # constrains characters, not magnitude — and out-of-range indices
+    # are harmless downstream (_allowed_mask matches by turn id).
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0),
+                                     tiny_config.text)
+    sel = Selector(params, tiny_config.text, tok)
+    sel.max_prompt_tokens = 2000
+    out = sel.select("current?", qs, as_)
+    assert out.startswith("[") and out.endswith("]")

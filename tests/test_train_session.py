@@ -316,9 +316,16 @@ def test_ask_stream_matches_ask(session_setup):
     assert "".join(deltas) == final["text"]
     # greedy streaming must equal the one-shot answer
     assert final["text"] == want["text"]
-    # follow-up turn still works after a streamed turn
-    r2 = sess.ask("and again?", mode="AC", max_new_tokens=4)
+    # position bookkeeping must match ask() exactly — the terminal
+    # sampled token is never fed back, so counting it would open a
+    # 1-position RoPE gap per streamed turn
+    assert sess.next_pos == ref.next_pos
+    assert sess._wi == ref._wi
+    # follow-up turn must also produce identical text on both paths
+    want2 = ref.ask("and again?", mode="AC", max_new_tokens=8)
+    r2 = sess.ask("and again?", mode="AC", max_new_tokens=8)
     assert r2["turn"] == 1
+    assert r2["text"] == want2["text"]
 
 
 def test_ask_stream_truncated_keeps_wi_in_sync(session_setup):
