@@ -138,6 +138,36 @@ def _segment_video_args(video_path: str, seg: Dict, fps: int,
     return args
 
 
+def _qa_pair(qa: dict) -> dict:
+    """First QA pair of a spec entry (both layouts)."""
+    return qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \
+        else qa.get("QA_pairs", qa)
+
+
+def _qa_result(qa: dict, pair: dict, prediction: str, selection: str,
+               pred_visual: bool, n_hist: int, latency_s: float,
+               **extra) -> dict:
+    """One per-QA output record — single schema for BOTH eval paths
+    (the judges/aggregation consume these fields; a field added to one
+    path but not the other would silently skew C16/C17)."""
+    _, pred_coi = parse_selection(selection)
+    return {
+        "question": pair.get("Q", ""),
+        "answer": pair.get("A", ""),
+        "prediction": prediction,
+        "pred_coi": pred_coi,
+        "pred_visual": pred_visual,
+        "relevance": qa.get("relevance"),
+        "coi": qa.get("coi", []),
+        "is_visual": qa.get("is_visual", True),
+        "label": qa.get("label", ""),
+        "class": qa.get("class", qa.get("type")),
+        "n_hist": n_hist,
+        "latency_s": round(latency_s, 3),
+        **extra,
+    }
+
+
 def generate_for_video(
     engine,
     processor,
@@ -170,8 +200,7 @@ def generate_for_video(
             conversation.append({"role": "stream", "content": pending_video})
             pending_video = None
         for qa in seg.get("QAs", []):
-            pair = qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \
-                else qa.get("QA_pairs", qa)
+            pair = _qa_pair(qa)
             q = pair.get("Q", "")
             if pending_video is not None:   # user-role: video rides turn 1
                 conversation.append({
@@ -193,21 +222,8 @@ def generate_for_video(
                                max_new_tokens=max_new_tokens,
                                **(sampling or {}), **gt_kwargs)
             dt = time.time() - t0
-            _, pred_coi = parse_selection(turn.selection)
-            results.append({
-                "question": q,
-                "answer": pair.get("A", ""),
-                "prediction": turn.text,
-                "pred_coi": pred_coi,
-                "pred_visual": turn.if_visual,
-                "relevance": qa.get("relevance"),
-                "coi": qa.get("coi", []),
-                "is_visual": qa.get("is_visual", True),
-                "label": qa.get("label", ""),
-                "class": qa.get("class", qa.get("type")),
-                "n_hist": n_hist,
-                "latency_s": round(dt, 3),
-            })
+            results.append(_qa_result(qa, pair, turn.text, turn.selection,
+                                      turn.if_visual, n_hist, dt))
             conversation.append({"role": "assistant", "content": turn.text})
             n_hist += 1
         if pending_video is not None:   # QA-less segment: keep the video
@@ -247,8 +263,14 @@ def generate_for_video_streaming(
             end_time=args.get("end_time"),
             fps=args["fps"], max_frames=args["max_frames"])
         if frames:
-            base = timestamps[0] if timestamps else 0.0
-            stamps = [t - base + seg_time_end for t in timestamps]
+            # NO rebase — the parity path (processor.load_multimodal,
+            # mirroring ref :461-507) accumulates ts + seg_time_end on
+            # the loader's own timestamps. Published per-segment FILES
+            # start at ~0 so this is identical there; internal specs
+            # that slice one file by [start, end) would otherwise get a
+            # different global timeline between --streaming and parity
+            # runs of the same spec
+            stamps = [t + seg_time_end for t in timestamps]
             batch = image_processor([np.stack(frames)], modals=["video"])
             t, gh, gw = (int(x) for x in batch.grid_sizes[0])
             sess.append_stream_segment(
@@ -256,29 +278,15 @@ def generate_for_video_streaming(
                 int(batch.merge_sizes[0]), stamps)
             seg_time_end = (max(stamps) if stamps else seg_time_end) + 1.0
         for qa in seg.get("QAs", []):
-            pair = qa["QA_pairs"][0] if isinstance(qa.get("QA_pairs"), list) \
-                else qa.get("QA_pairs", qa)
+            pair = _qa_pair(qa)
             q = pair.get("Q", "")
             t0 = time.time()
             r = sess.ask(q, mode=mode, max_new_tokens=max_new_tokens,
                          **(sampling or {}))
             dt = time.time() - t0
-            _, pred_coi = parse_selection(r["selection"])
-            results.append({
-                "question": q,
-                "answer": pair.get("A", ""),
-                "prediction": r["text"],
-                "pred_coi": pred_coi,
-                "pred_visual": r["if_visual"],
-                "relevance": qa.get("relevance"),
-                "coi": qa.get("coi", []),
-                "is_visual": qa.get("is_visual", True),
-                "label": qa.get("label", ""),
-                "class": qa.get("class", qa.get("type")),
-                "n_hist": n_hist,
-                "latency_s": round(dt, 3),
-                "cache_tokens": r["cache_tokens"],
-            })
+            results.append(_qa_result(qa, pair, r["text"], r["selection"],
+                                      r["if_visual"], n_hist, dt,
+                                      cache_tokens=r["cache_tokens"]))
             n_hist += 1
     return {"video": video_path, "QAs": results, "streaming": True}
 
@@ -385,7 +393,11 @@ def main():
         adapters["language_module"] = load_lora_adapter(args.lora_adapter_1)
     if args.lora_adapter_2:
         adapters["full_module"] = load_lora_adapter(args.lora_adapter_2)
-    engine = CogReasonerEngine(params, cfg, tok, adapters=adapters)
+    # the production vision kernel on both eval paths — defaulting the
+    # parity engine to the jnp fallback made the two configs run
+    # different attention kernels (and the parity run ~3x slower)
+    engine = CogReasonerEngine(params, cfg, tok, adapters=adapters,
+                               use_pallas=True)
     processor = CogStreamProcessor(tok, cfg.processor)
     session_factory = None
     if args.streaming:
@@ -394,11 +406,17 @@ def main():
         def session_factory():
             return StreamingSession(params, cfg, tok, adapters=adapters,
                                     use_pallas=True)
-    sampling = None
-    if args.sampling == "config":
-        from ..config import load_generation_config
+    from ..config import load_generation_config
 
+    if args.sampling == "config":
         sampling = load_generation_config(args.model_dir).sampling_kwargs
+    else:
+        # greedy still honors the checkpoint's FULL terminator set — HF
+        # stops at every id in generation_config eos_token_id whether
+        # or not do_sample is on; dropping the secondary ids would run
+        # greedy decodes to the token cap past the real end
+        eos = load_generation_config(args.model_dir).eos_token_ids
+        sampling = {"extra_eos_ids": tuple(eos)} if eos else None
     if args.lookahead_k > 0:
         # merged into the per-turn kwargs; the decoders ignore it
         # whenever sampling params make speculative decode unsound

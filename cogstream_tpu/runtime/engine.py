@@ -104,6 +104,11 @@ class CogReasonerEngine:
     ) -> SelectionResult:
         """History retrieval + prompt rewrite (ref qa_selection :809-865)."""
         if mode == "AC" or not out.hist_qs:
+            # empty history short-circuits to if_visual=True in EVERY
+            # mode including gt — reference parity, not an oversight:
+            # cogreasoner_chat.py:853-857 sets if_visual = True on the
+            # len(hist_qs)==0 branch even when the caller teacher-forces
+            # if_visual=False
             return SelectionResult(out.input_ids, "", True)
         if mode == "FCC":
             selection = self.selector.select(
@@ -119,8 +124,9 @@ class CogReasonerEngine:
             raise ValueError(f"unknown qa_selection mode: {mode}")
 
         visual, indices = parse_selection(selection)
-        kept_qs = [out.hist_qs[i] for i in indices if i < len(out.hist_qs)]
-        kept_as = [out.hist_as[i] for i in indices if i < len(out.hist_qs)]
+        n_hist = min(len(out.hist_qs), len(out.hist_as))
+        kept_qs = [out.hist_qs[i] for i in indices if i < n_hist]
+        kept_as = [out.hist_as[i] for i in indices if i < n_hist]
         new_text = rewrite_history(out.original_text, visual, kept_qs,
                                    kept_as, out.current_question)
         new_ids = np.asarray(self.tokenizer.encode(new_text), np.int32)

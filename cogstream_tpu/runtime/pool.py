@@ -93,9 +93,15 @@ class SessionPool:
 
     def open_restored(self, path: str) -> int:
         """Open a session on a free row and restore a ``session.save``
-        snapshot into it — serving restart without re-ingesting."""
+        snapshot into it — serving restart without re-ingesting. A
+        failed restore (bad/corrupt snapshot) releases the row again
+        instead of leaking it."""
         b = self.open()
-        self.sessions[b].load_state(path)
+        try:
+            self.sessions[b].load_state(path)
+        except Exception:
+            self.close(b)
+            raise
         return b
 
     # -- per-session ops (write the shared rows directly) ---------------------
@@ -217,6 +223,7 @@ class SessionPool:
         mode: str = "FCC",
         max_new_tokens: int = 256,
         temperature: float = 0.0,
+        extra_eos_ids: tuple = (),
     ) -> Dict[int, Dict]:
         """Answer several sessions' questions in ONE prefill+decode.
 
@@ -309,7 +316,8 @@ class SessionPool:
             write_slots=jnp.asarray(slots),
             active=jnp.asarray(active),
             kv_window=StreamingSession.kv_window_for(needed,
-                                                     self.max_len))
+                                                     self.max_len),
+            extra_eos_ids=tuple(extra_eos_ids) or None)
         self.cache = result.cache     # sessions see it via their binding
 
         out: Dict[int, Dict] = {}

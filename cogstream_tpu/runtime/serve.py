@@ -45,8 +45,10 @@ class BatchingFrontend:
     decode step for the whole batch and N streams' segments encode in
     one program."""
 
-    def __init__(self, pool, flush_ms: float = 15.0, lock=None):
+    def __init__(self, pool, flush_ms: float = 15.0, lock=None,
+                 extra_eos_ids: tuple = ()):
         self.pool = pool
+        self.extra_eos_ids = tuple(extra_eos_ids)
         self.lock = lock or threading.Lock()   # serializes vs ingest
         self.flush_ms = flush_ms
         self._queue: list = []
@@ -143,7 +145,8 @@ class BatchingFrontend:
                     with self.lock:
                         out = self.pool.ask_batch(
                             [(it["row"], it["q"]) for it in items],
-                            mode=mode, max_new_tokens=new)
+                            mode=mode, max_new_tokens=new,
+                            extra_eos_ids=self.extra_eos_ids)
                     for it in items:
                         it["result"] = out[it["row"]]
                 except Exception as e:  # noqa: BLE001
@@ -161,7 +164,8 @@ class SessionServer:
     def __init__(self, params, cfg, tokenizer, adapters=None,
                  max_len: int = 16384, use_pallas: bool = True,
                  pool_rows: int = 0, ingest_chunk_frames: int = 16,
-                 mesh=None, lookahead_k: int = 0):
+                 mesh=None, lookahead_k: int = 0,
+                 extra_eos_ids: tuple = ()):
         from ..utils.profiling import StageTimer
         from .session import StreamingSession
 
@@ -174,6 +178,9 @@ class SessionServer:
         params = ensure_cogreasoner_sharded(params, cfg, mesh)
         self.mesh = mesh
         self.lookahead_k = lookahead_k
+        # the checkpoint's full terminator set (generation_config
+        # eos_token_id list) — applied to every decode, as HF does
+        self.extra_eos_ids = tuple(extra_eos_ids)
         self._mk = lambda: StreamingSession(
             params, cfg, tokenizer, adapters=adapters, max_len=max_len,
             use_pallas=use_pallas, mesh=mesh)
@@ -187,6 +194,7 @@ class SessionServer:
         self.pool = None
         self.frontend = None
         self._row_of: Dict[str, int] = {}
+        self._next_sid = 0
         if pool_rows > 0:
             from .pool import SessionPool
 
@@ -194,16 +202,29 @@ class SessionServer:
                 params, cfg, tokenizer, n_rows=pool_rows,
                 max_len=max_len, adapters=adapters,
                 use_pallas=use_pallas, mesh=mesh)
-            self.frontend = BatchingFrontend(self.pool, lock=self.lock)
+            self.frontend = BatchingFrontend(
+                self.pool, lock=self.lock,
+                extra_eos_ids=tuple(extra_eos_ids))
 
     def _get(self, session_id: str):
         if session_id not in self.sessions:
             raise UnknownSession(f"unknown session {session_id!r}")
         return self.sessions[session_id]
 
-    def create(self, session_id: str) -> Dict:
+    def create(self, session_id: Optional[str] = None) -> Dict:
+        """Create a session. Without an id one is minted under the lock
+        (a monotonic counter — deriving it from len(sessions) outside
+        the lock let concurrent creates collide on the same id).
+        Creating over an existing id replaces it, releasing the old
+        pool row (a retried POST /session must not leak rows)."""
         with self.lock:
+            if session_id is None:
+                session_id = f"s{self._next_sid}"
+                self._next_sid += 1
             if self.pool is not None:
+                old = self._row_of.pop(session_id, None)
+                if old is not None:
+                    self.pool.close(old)
                 row = self.pool.open()
                 self._row_of[session_id] = row
                 self.sessions[session_id] = self.pool.sessions[row]
@@ -325,7 +346,8 @@ class SessionServer:
             with self.timer.stage("ask"):
                 out = sess.ask(question, mode=mode,
                                max_new_tokens=max_new_tokens,
-                               lookahead_k=k)
+                               lookahead_k=k,
+                               extra_eos_ids=self.extra_eos_ids)
         return out
 
     def ask_stream(self, session_id: str, question: str,
@@ -340,7 +362,8 @@ class SessionServer:
             sess = self._get(session_id)
             with self.timer.stage("ask"):
                 yield from sess.ask_stream(
-                    question, mode=mode, max_new_tokens=max_new_tokens)
+                    question, mode=mode, max_new_tokens=max_new_tokens,
+                    extra_eos_ids=self.extra_eos_ids)
 
     def save_session(self, session_id: str, path: str) -> Dict:
         """Snapshot a live session to disk (atomic npz)."""
@@ -352,14 +375,17 @@ class SessionServer:
 
     def restore_session(self, session_id: str, path: str) -> Dict:
         """Recreate a session from a snapshot (restart recovery).
-        Restoring over an existing id replaces it (its pool row is
-        released first — a retried /restore must not leak rows)."""
+        Restoring over an existing id replaces it. TRANSACTIONAL: the
+        snapshot loads onto a fresh row FIRST; only on success is the
+        old row released and the mapping swapped — a failed restore
+        leaves the original session fully usable and leaks nothing
+        (briefly needs one spare row)."""
         with self.lock:
             if self.pool is not None:
+                row = self.pool.open_restored(path)   # raises → no change
                 old = self._row_of.pop(session_id, None)
                 if old is not None:
                     self.pool.close(old)
-                row = self.pool.open_restored(path)
                 self._row_of[session_id] = row
                 self.sessions[session_id] = self.pool.sessions[row]
             else:
@@ -397,8 +423,8 @@ def make_handler(server: SessionServer):
                 return self._json(400, {"error": "bad json"})
             try:
                 if self.path == "/session":
-                    sid = req.get("session_id") or f"s{len(server.sessions)}"
-                    return self._json(200, server.create(sid))
+                    return self._json(200, server.create(
+                        req.get("session_id")))
                 if self.path == "/ingest":
                     return self._json(200, server.ingest(
                         req["session_id"], req["video_path"],
@@ -437,12 +463,23 @@ def make_handler(server: SessionServer):
                             else:
                                 self.wfile.write(item.encode())
                             self.wfile.flush()
+                    except (BrokenPipeError, ConnectionError, OSError):
+                        # the CLIENT went away mid-stream — nothing to
+                        # tell it, and writing the in-band record (or
+                        # letting the outer handler send a second HTTP
+                        # status line into a half-open socket) would
+                        # only corrupt the protocol. Session state was
+                        # committed by ask_stream's finally block.
+                        pass
                     except Exception as e:  # headers already sent:
                         # emit an in-band error record, never a second
                         # status line
-                        self.wfile.write(b"\x1e" + json.dumps(
-                            {"error": f"{type(e).__name__}: {e}"}
-                        ).encode())
+                        try:
+                            self.wfile.write(b"\x1e" + json.dumps(
+                                {"error": f"{type(e).__name__}: {e}"}
+                            ).encode())
+                        except OSError:
+                            pass    # died while reporting — drop it
                     return None
                 return self._json(404, {"error": "unknown path"})
             except UnknownSession as e:
@@ -472,7 +509,7 @@ def main():
                     help=">0 enables pooled batched serving")
     args = ap.parse_args()
 
-    from ..config import load_hf_config
+    from ..config import load_generation_config, load_hf_config
     from ..models.checkpoint import load_cogreasoner_from_hf
     from ..processor.tokenizer import load_tokenizer
 
@@ -482,8 +519,10 @@ def main():
                          cfg.text.vocab_size)
     print(f"serving on :{args.port}"
           + (f" (pooled x{args.pool_rows})" if args.pool_rows else ""))
+    eos = load_generation_config(args.model_dir).eos_token_ids
     serve(SessionServer(params, cfg, tok, max_len=args.max_len,
-                        pool_rows=args.pool_rows),
+                        pool_rows=args.pool_rows,
+                        extra_eos_ids=tuple(eos or ())),
           args.port)
 
 

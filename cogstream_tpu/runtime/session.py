@@ -692,7 +692,8 @@ class StreamingSession:
 
     def ask_stream(self, question: str, mode: str = "FCC",
                    max_new_tokens: int = 512, chunk: int = 16,
-                   temperature: float = 0.0):
+                   temperature: float = 0.0,
+                   extra_eos_ids: tuple = ()):
         """Generator variant of ``ask``: yields text deltas as decode
         chunks complete. Each chunk is one jitted prefill+decode whose
         1-token "prompt" is the previous chunk's last sampled token —
@@ -751,7 +752,8 @@ class StreamingSession:
                     adapters=self._full_adapters(), kv_allowed=allowed,
                     write_slots=write_slots,
                     cache_rows=self._cache_rows(),
-                    kv_window=kv_window)
+                    kv_window=kv_window,
+                    extra_eos_ids=tuple(extra_eos_ids) or None)
                 self.cache = result.cache
                 wrote_any = True
                 toks = np.asarray(result.tokens)[0]

@@ -209,3 +209,41 @@ def test_restore_twice_does_not_leak_rows(tmp_path):
     assert len(server.pool.sessions) == 1
     server.create("b")     # a free row still exists
     assert len(server.pool.sessions) == 2
+
+
+def test_pool_row_lifecycle_no_leaks():
+    """Row accounting under retries/failures: duplicate create releases
+    the old row; a failed restore is transactional (original session
+    intact, no row leaked)."""
+    from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.serve import SessionServer
+
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    server = SessionServer(params, cfg, tok, max_len=512,
+                           use_pallas=False, pool_rows=2)
+
+    # retried create over the same id must not burn rows
+    for _ in range(4):
+        server.create("a")
+    assert len(server.pool.sessions) == 1
+
+    # minted ids are unique under the lock (no len()-based collision)
+    sid = server.create()["session_id"]
+    assert sid != "a" and sid in server.sessions
+    assert len(server.pool.sessions) == 2
+
+    # failed restore: transactional — nothing leaked, old session alive
+    old_row = server._row_of["a"]
+    with pytest.raises(Exception):
+        server.restore_session("a", "/nonexistent/snapshot.npz")
+    assert server._row_of["a"] == old_row
+    assert len(server.pool.sessions) == 2
+    r = server.ask("a", "still alive?", mode="AC", max_new_tokens=4)
+    assert isinstance(r["text"], str)
