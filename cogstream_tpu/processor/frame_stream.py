@@ -115,8 +115,10 @@ def _native_stream(path: str, start: Optional[float],
     t1 = min(end, stream_start + duration) if end is not None \
         else stream_start + duration
     window = max(0.0, t1 - t0)
-    if max_frames is not None and fps and fps * window > max_frames:
-        # uniform subsampling needs the whole set — buffered path wins
+    if max_frames is not None and fps and fps * window >= max_frames:
+        # uniform subsampling needs the whole set — buffered path wins.
+        # >= not >: ffmpeg's fps round=up can emit one frame past
+        # fps*window, which would overrun max_frames uncapped
         return None
 
     stream = native_video.NativeVideoStream(
@@ -146,23 +148,22 @@ def _cv2_stream(path: str, start: Optional[float], end: Optional[float],
         import cv2
     except ImportError:
         return None
+    from .video_loader import cv2_frame_plan, cv2_source_count
+
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         cap.release()
         return None
-    src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-    n_src = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
-    file_duration = n_src / src_fps if n_src else 0.0
-    t0 = start or 0.0
-    t1 = min(end, file_duration) if end is not None else file_duration
-    step = 1.0 / fps if fps else 1.0 / src_fps
-    wanted = np.arange(t0, max(t1, t0 + 1e-6), step)
-    if max_frames is not None and len(wanted) > max_frames:
-        # pre-select the same indices load_video subsamples post-hoc
-        sel = np.linspace(0, len(wanted) - 1, max_frames, dtype=int)
-        wanted = wanted[sel]
-    src_idx = np.minimum((wanted * src_fps).astype(int),
-                         max(n_src - 1, 0))
+    n_src, src_fps = cv2_source_count(cap)
+    if n_src <= 0:
+        # unknown frame count — no plan possible; the buffered loader
+        # (which counts by grab) wins
+        cap.release()
+        return None
+    # the SAME selection plan as the buffered _load_video_cv2 — chunked
+    # ingest must see identical frames/labels to a buffered load
+    src_idx, wanted, _ = cv2_frame_plan(
+        n_src, src_fps, start, end, fps, max_frames)
 
     q: "queue.Queue" = queue.Queue(maxsize=ring_frames)
     stop = threading.Event()
@@ -182,6 +183,13 @@ def _cv2_stream(path: str, start: Optional[float], end: Optional[float],
                     if frame is None:
                         ok, frame = cap.retrieve()
                         if not ok:
+                            # corrupt frame: SKIP its wanted entries —
+                            # stalling want_pos here would mismatch
+                            # every later index and silently drop the
+                            # rest of the video
+                            while (want_pos < len(src_idx)
+                                   and src_idx[want_pos] == idx):
+                                want_pos += 1
                             break
                     rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                     item = (rgb, float(wanted[want_pos]))
@@ -239,14 +247,23 @@ def open_frame_stream(
     max_frames: Optional[int] = None,
 ) -> Optional[FrameChunkStream]:
     """Open a chunked decode-ahead stream, or None when only the
-    buffered ``load_video`` path applies (frame dirs; native path with
-    more frames than ``max_frames``, which needs post-hoc uniform
-    subsampling)."""
+    buffered ``load_video`` path applies (frame dirs; ffmpeg hosts
+    whose window exceeds ``max_frames`` — there the buffered load
+    decodes via ffmpeg and subsamples post-hoc, and streaming through
+    cv2 instead would select DIFFERENT frames than the buffered path
+    on the same host)."""
     if os.path.isdir(path):
         return None
+    from .video_loader import have_ffmpeg
+
     s = _native_stream(path, start, end, fps, chunk_frames, ring_frames,
                        max_frames)
     if s is not None:
         return s
+    if have_ffmpeg():
+        # the native backend declined (max_frames window, probe
+        # failure, lib absent) — the buffered ffmpeg path is this
+        # host's parity reference, so don't swap decoders mid-contract
+        return None
     return _cv2_stream(path, start, end, fps, chunk_frames, ring_frames,
                        max_frames)

@@ -106,6 +106,13 @@ class CogStreamProcessor:
             end_times = [c["video"].get("end_time", float("inf"))
                          for c in contents]
             s, e = min(start_times), max(end_times)
+            # REFERENCE-PARITY QUIRK (kept deliberately, ref :452-459):
+            # when the union bound equals the unset default (s == 0 /
+            # e == inf), contents[0]'s own start/end survive in
+            # load_args — so a content with no start_time grouped after
+            # one with start_time=5 still loads from 5. The reference
+            # behaves identically; "fixing" it would desync golden
+            # prompt parity.
             if s > 0:
                 load_args["start_time"] = s
             if e < float("inf"):

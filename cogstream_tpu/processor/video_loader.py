@@ -138,14 +138,8 @@ def load_video(
 
     frames = list(frames)
     timestamps = [float(t) for t in timestamps]
-    if temporal_factor > 1 and frames:
-        pad = (-len(frames)) % temporal_factor
-        if pad:
-            frames.extend([frames[-1]] * pad)
-            step = 1 / (fps or 1.0)
-            timestamps.extend(timestamps[-1] + step * (i + 1)
-                              for i in range(pad))
-
+    frames, timestamps = temporal_pad(frames, timestamps,
+                                      temporal_factor, 1 / (fps or 1.0))
     return frames, timestamps, duration
 
 
@@ -176,40 +170,119 @@ def _decode_native_ring(video_path, new_w, new_h, src_w, src_h, fps,
         return None
 
 
+def cv2_source_count(cap) -> Tuple[int, float]:
+    """(frame count, source fps) for a cv2 capture, counting by grab()
+    when the container reports 0 frames (some codecs/streams do while
+    still decoding fine — trusting the 0 would silently truncate the
+    video to one frame). Counting rewinds the capture via re-open, so
+    call before any read."""
+    import cv2
+
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    n_src = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+    return n_src, src_fps
+
+
+def cv2_frame_plan(
+    n_src: int,
+    src_fps: float,
+    start_time: Optional[float],
+    end_time: Optional[float],
+    fps: Optional[float],
+    max_frames: Optional[int],
+    trim_time: float = 0.0,
+):
+    """SHARED cv2 frame-selection plan — the single source of truth for
+    both the buffered loader below and the chunked cv2-thread stream
+    (frame_stream._cv2_stream); the two previously carried drifting
+    copies of this math.
+
+    Mirrors the ffmpeg path's semantics exactly:
+    - sampled instants ride the fps grid from ``start + trim_time``
+      inside the (trimmed) window;
+    - LABELS ride the fps grid from ``start_time`` regardless of trim
+      (the reference's setpts reset + arange labeling: trim changes
+      which instants are sampled, never the whole-second labels);
+    - returned ``duration`` follows the reference: the full-file
+      duration clamped only by ``end_time`` (processing_cogreasoner.py
+      :366-379 subtracts only the stream-start clamp delta);
+    - ``max_frames`` uniform-subsamples the sampled set.
+
+    Returns (src_idx [N] int64, labels [N] float, duration).
+    """
+    if n_src <= 0 or src_fps <= 0:
+        raise ValueError("cv2_frame_plan needs a known frame count")
+    file_duration = n_src / src_fps
+    t0 = max(0.0, start_time) if start_time is not None else 0.0
+    duration = file_duration
+    if end_time is not None:
+        duration = min(duration, end_time - t0)
+    # decode stops at EOF: the sampleable window never passes file end
+    window = max(0.0, min(duration, file_duration - t0))
+    sample_start = t0 + trim_time
+    if trim_time > 0:
+        # ffmpeg filter: trim=start=trim:end=floor(dur-trim)+trim
+        window = min(window, math.floor(window - trim_time) + trim_time)
+    step = 1.0 / fps if fps else 1.0 / src_fps
+    # exclusive end == ffmpeg fps round=up count: ceil(span*fps), with
+    # exact multiples giving span*fps (an inclusive end would overshoot
+    # by one on exact multiples)
+    sample_ts = np.arange(sample_start,
+                          max(t0 + window, sample_start + 1e-6), step)
+    src_idx = np.minimum((sample_ts * src_fps).astype(np.int64),
+                         n_src - 1)
+    labels = np.arange(t0, t0 + duration + step, step)[:len(src_idx)]
+    if len(labels) < len(src_idx):          # numeric edge
+        labels = t0 + np.arange(len(src_idx)) * step
+    if max_frames is not None and len(src_idx) > max_frames:
+        sel = np.linspace(0, len(src_idx) - 1, max_frames, dtype=int)
+        src_idx, labels = src_idx[sel], labels[sel]
+    return src_idx, labels, float(duration)
+
+
+def temporal_pad(frames: List, timestamps: List[float],
+                 temporal_factor: int, step: float):
+    """Reference temporal padding (processing_cogreasoner.py:421-424):
+    ``pad = tf - len % tf`` — a FULL extra block when the count is
+    already a multiple (the trained model saw that behavior)."""
+    if temporal_factor > 1 and frames:
+        pad = temporal_factor - len(frames) % temporal_factor
+        frames.extend([frames[-1]] * pad)
+        base = timestamps[-1]   # capture BEFORE extending — a lazy
+        # generator reading timestamps[-1] would see its own appends
+        timestamps.extend(base + step * (i + 1) for i in range(pad))
+    return frames, timestamps
+
+
 def _load_video_cv2(video_path, start_time, end_time, fps, max_frames,
                     size, size_divisible, temporal_factor,
                     trim_time: float = 0.0):
     """cv2.VideoCapture decode path (hosts without an ffmpeg binary —
-    e.g. the TPU image ships OpenCV's bundled decoder instead).
-    Mirrors the ffmpeg path's semantics: ``trim_time`` trims a
-    fractional head off the window (the processor's cross-segment
-    timestamp alignment) and the returned duration is the trimmed
-    window's, not the whole file's."""
+    e.g. the TPU image ships OpenCV's bundled decoder instead). Frame
+    selection, labels and duration all come from ``cv2_frame_plan`` —
+    the ffmpeg path's exact semantics."""
     import cv2
 
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise RuntimeError(f"cv2 cannot open {video_path}")
-    src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-    n_src = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
-    file_duration = n_src / src_fps if n_src else 0.0
-    t0 = start_time or 0.0
-    t1 = min(end_time, file_duration) if end_time is not None \
-        else file_duration
-    window = max(0.0, t1 - t0)
-    if trim_time > 0:
-        # ffmpeg path: trim=start=trim_time:end=floor(dur-trim)+trim
-        end_in_window = math.floor(window - trim_time) + trim_time
-        t1 = t0 + min(window, end_in_window)
-        t0 = t0 + trim_time
-    duration = max(0.0, t1 - t0)
+    n_src, src_fps = cv2_source_count(cap)
+    if n_src <= 0:
+        # unknown frame count: count by grab() (no decode-to-BGR cost),
+        # then reopen for the real pass
+        while cap.grab():
+            n_src += 1
+        cap.release()
+        if n_src == 0:
+            raise RuntimeError(f"cv2 decoded zero frames from {video_path}")
+        cap = cv2.VideoCapture(video_path)
+
+    src_idx_wanted, labels, duration = cv2_frame_plan(
+        n_src, src_fps, start_time, end_time, fps, max_frames, trim_time)
     step = 1.0 / fps if fps else 1.0 / src_fps
 
-    wanted = np.arange(t0, max(t1, t0 + 1e-6), step)
     frames: List[np.ndarray] = []
     timestamps: List[float] = []
-    src_idx_wanted = np.minimum((wanted * src_fps).astype(int),
-                                max(n_src - 1, 0))
     want_pos = 0
     idx = 0
     while want_pos < len(src_idx_wanted):
@@ -227,21 +300,13 @@ def _load_video_cv2(video_path, start_time, end_time, fps, max_frames,
                 rgb = cv2.resize(rgb, (nw, nh),
                                  interpolation=cv2.INTER_AREA)
             frames.append(rgb.transpose(2, 0, 1))
-            timestamps.append(float(wanted[want_pos]))
+            timestamps.append(float(labels[want_pos]))
             want_pos += 1
         idx += 1
     cap.release()
 
-    if max_frames is not None and len(frames) > max_frames:
-        sel = np.linspace(0, len(frames) - 1, max_frames, dtype=int)
-        frames = [frames[i] for i in sel]
-        timestamps = [timestamps[i] for i in sel]
-    if temporal_factor > 1 and frames:
-        pad = (-len(frames)) % temporal_factor
-        if pad:
-            frames.extend([frames[-1]] * pad)
-            timestamps.extend(timestamps[-1] + step * (i + 1)
-                              for i in range(pad))
+    frames, timestamps = temporal_pad(frames, timestamps,
+                                      temporal_factor, step)
     return frames, timestamps, duration
 
 
@@ -263,7 +328,10 @@ def _load_frame_dir(path: str, fps=None, max_frames=None):
         if a.ndim == 3 and a.shape[2] == 3:
             a = a.transpose(2, 0, 1)
         frames.append(a.astype(np.uint8))
-    assumed_fps = 3.0
+    # extracted-frame dirs carry no timing metadata: the caller's fps
+    # is taken as the extraction rate (ignoring it put every frame-dir
+    # dataset on a silent 3 fps grid regardless of the requested fps)
+    assumed_fps = float(fps) if fps else 3.0
     duration = len(frames) / assumed_fps
     timestamps = [i / assumed_fps for i in range(len(frames))]
     if max_frames is not None and len(frames) > max_frames:

@@ -90,3 +90,66 @@ def test_native_ring_decoder(clip):
     frames = decode_video(clip, 128, 96, fps=5)
     assert frames.shape[1:] == (96, 128, 3)
     assert len(frames) >= 25
+
+
+def test_trim_keeps_whole_second_labels_and_duration(clip):
+    """ffmpeg-path parity on the cv2 fallback: trim shifts which
+    instants are SAMPLED, but labels stay on the whole-second grid from
+    start_time and the returned duration ignores the trim (the
+    reference labels arange(start, start+duration) after setpts,
+    processing_cogreasoner.py:411)."""
+    frames, ts, dur = video_loader.load_video(clip, fps=1, trim_time=0.3)
+    assert ts == [float(i) for i in range(len(ts))]   # 0,1,2,... not 0.3,...
+    assert 5.5 <= dur <= 6.5                          # NOT reduced by trim
+    # trim drops roughly the head instant's worth of samples, not more
+    assert len(frames) >= 5
+
+
+def test_duration_full_file_with_start_only(clip):
+    """start_time without end_time returns the FULL file duration (the
+    reference subtracts only the stream-start clamp delta) — both
+    backends must agree or cross-segment trim alignment skews."""
+    _, _, dur = video_loader.load_video(clip, start_time=2.0, fps=1)
+    assert 5.5 <= dur <= 6.5
+
+
+def test_temporal_factor_pads_full_block_on_multiple():
+    """Reference parity: len % tf == 0 still pads a FULL tf block
+    (pad = tf - len % tf, ref :421-424)."""
+    f = [np.zeros((3, 4, 4), np.uint8)] * 4
+    frames, ts = video_loader.temporal_pad(list(f), [0.0, 1.0, 2.0, 3.0],
+                                           temporal_factor=2, step=1.0)
+    assert len(frames) == 6 and ts[-1] == 5.0
+    frames, ts = video_loader.temporal_pad(list(f)[:3], [0.0, 1.0, 2.0],
+                                           temporal_factor=2, step=1.0)
+    assert len(frames) == 4
+
+
+def test_frame_dir_honors_fps(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "frames2"
+    d.mkdir()
+    for i in range(6):
+        Image.fromarray(
+            np.full((32, 48, 3), i * 40, np.uint8)).save(
+            d / f"{i:04d}.jpg")
+    _, ts, dur = video_loader.load_video(str(d), fps=1, max_frames=64)
+    assert ts == [float(i) for i in range(6)]      # 1 fps grid, not 3
+    assert dur == 6.0
+
+
+def test_cv2_plan_shared_with_stream(clip):
+    """The chunked cv2 stream and the buffered loader must select the
+    SAME frames and labels (one shared cv2_frame_plan)."""
+    from cogstream_tpu.processor.frame_stream import open_frame_stream
+
+    if video_loader.have_ffmpeg():
+        pytest.skip("cv2 is not this host's buffered backend")
+    frames, ts, _ = video_loader.load_video(clip, fps=2, max_frames=64)
+    stream = open_frame_stream(clip, fps=2, chunk_frames=4, max_frames=64)
+    assert stream is not None
+    got_ts = []
+    for chunk, chunk_ts in stream:
+        got_ts.extend(chunk_ts)
+    assert got_ts == ts
