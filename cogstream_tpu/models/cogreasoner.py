@@ -125,18 +125,32 @@ def build_summary_batch(
     patches_per_frame: int,
     num_events: int,
     image_token: str = "<image>",
+    max_frames_per_event: int = 0,   # >0: uniform-subsample big events
+    pad_events_to: int = 0,          # >0: pad K (stable jit shapes)
 ) -> SummaryBatch:
     """Tokenize the K event-summary prompts with per-frame feature slots.
 
     Prompt layout mirrors ``create_visual_summary_prompt``
     (cogreasoner_chat.py:93-119): system header, per-frame
     ``Time X.Xs:<image>*P`` joined by commas, instruction, assistant cue.
+
+    ``max_frames_per_event`` bounds a skewed cluster's prompt (the
+    static pad budget, CompressionConfig.summary_max_frames_per_event —
+    one 500-frame event would otherwise make the [K, L] relevance
+    forward a ~100k-token prefill); subsampling is uniform so the
+    summary still spans the event. ``pad_events_to`` appends dummy
+    prompts (one real token) so K rides a stable bucket instead of
+    recompiling every 15 frames of stream growth.
     """
     img_id = tokenizer.image_token_id
     seqs: List[List[int]] = []
     srcs: List[List[int]] = []
     for k in range(num_events):
         members = np.nonzero(assignments == k)[0]
+        if max_frames_per_event and len(members) > max_frames_per_event:
+            sel = np.linspace(0, len(members) - 1, max_frames_per_event,
+                              dtype=int)
+            members = members[sel]
         parts = [
             "<|im_start|>system\n" + SUMMARY_SYSTEM + "<|im_end|>\n"
             "<|im_start|>user\n"
@@ -162,9 +176,13 @@ def build_summary_batch(
 
     L = max(len(s) for s in seqs)
     L = max(8, -(-L // 64) * 64)  # bucket to multiples of 64
-    ids_arr = np.zeros((num_events, L), np.int32)
-    src_arr = np.full((num_events, L), -1, np.int32)
-    pos_arr = np.full((num_events, L), -1, np.int32)
+    K_out = max(num_events, pad_events_to)
+    ids_arr = np.zeros((K_out, L), np.int32)
+    src_arr = np.full((K_out, L), -1, np.int32)
+    pos_arr = np.full((K_out, L), -1, np.int32)
+    # pad rows carry one real token (pos 0) so their forward stays
+    # NaN-free; callers slice sims back to num_events
+    pos_arr[num_events:, 0] = 0
     for k, (ids, src) in enumerate(zip(seqs, srcs)):
         ids_arr[k, :len(ids)] = ids
         src_arr[k, :len(src)] = src
@@ -200,11 +218,23 @@ def event_relevance(
     pooled = (jnp.sum(hidden.astype(jnp.float32) * valid, axis=1)
               / jnp.maximum(jnp.sum(valid, axis=1), 1.0))       # [K, H]
 
-    q_ids = jnp.asarray(question_ids[None, :])
-    q_pos = jnp.arange(q_ids.shape[1], dtype=jnp.int32)[None]
+    # question forward: truncate to 128 tokens (ref :319 max_length)
+    # and pad to a 32-bucket — an exact-length prefill would recompile
+    # per novel question length (CLAUDE.md bucketing invariant); the
+    # masked mean ignores the pad
+    qi = np.asarray(question_ids, np.int32)[:128]
+    Lq = max(32, -(-len(qi) // 32) * 32)
+    q_padded = np.zeros((Lq,), np.int32)
+    q_padded[:len(qi)] = qi
+    q_posn = np.concatenate([np.arange(len(qi), dtype=np.int32),
+                             np.full((Lq - len(qi),), -1, np.int32)])
+    q_ids = jnp.asarray(q_padded[None, :])
+    q_pos = jnp.asarray(q_posn[None, :])
     q_hidden, _ = qwen2.qwen2_forward(text, qwen2.embed(text, q_ids),
                                       q_pos, cfg.text)
-    q = jnp.mean(q_hidden.astype(jnp.float32), axis=1)          # [1, H]
+    q_valid = (q_pos >= 0).astype(jnp.float32)[..., None]
+    q = (jnp.sum(q_hidden.astype(jnp.float32) * q_valid, axis=1)
+         / jnp.maximum(jnp.sum(q_valid, axis=1), 1.0))          # [1, H]
 
     sim = jnp.sum(pooled * q, axis=-1) / (
         jnp.linalg.norm(pooled, axis=-1) * jnp.linalg.norm(q, axis=-1) + 1e-8)
@@ -328,7 +358,6 @@ def splice_and_compact(
     order = jnp.argsort(jnp.logical_not(keep), stable=True)
     new_ids = input_ids[order]
     new_is_img = is_img[order]
-    new_vis_idx = vis_idx[order]
     new_len = jnp.sum(keep.astype(jnp.int32))
     slot = jnp.arange(S)
     valid = slot < new_len
@@ -386,43 +415,64 @@ def run_visual_compression(
     merge_sizes = np.asarray(merge_sizes)
     total_frames = int(timestamps.shape[0])
     n_tokens = int(mm_features.shape[0])
-
-    # compression applies to pure-video streams only (the reference
-    # asserts batch==1 around this path, cogreasoner_chat.py:560-563);
-    # a mixed image+video batch would make the per-frame token count
-    # ambiguous — still images pass through uncompressed
-    if (total_frames == 0
-            or any(m != "video" for m in modals)
-            or n_tokens % max(total_frames, 1) != 0):
-        keep = jnp.ones((n_tokens,), jnp.bool_)
-        return VisualCompressionResult(keep, mm_features, None, None)
-
-    P = n_tokens // total_frames
     cc = cfg.compression
-    K = num_events_for(total_frames, cfg)
 
-    if not compression_active(total_frames, cfg):
+    if total_frames == 0 or not cfg.use_token_compression:
         keep = jnp.ones((n_tokens,), jnp.bool_)
         return VisualCompressionResult(keep, mm_features, None, None)
 
-    frames = mm_features.reshape(total_frames, P, -1)
-    ts = jnp.asarray(timestamps, jnp.float32)
-    km = kmeans_with_time(frames, ts, K, key,
-                          alpha=cc.kmeans_alpha, max_iters=cc.kmeans_max_iters)
-    key_idx, key_valid = select_event_keyframes(
-        frames, km.centers, km.assignments, k=cc.keyframes_per_event)
+    # EVENT machinery (clustering → summaries → pruning → pooling)
+    # needs one uniform per-frame token count across the whole stream:
+    # pure video items whose merged grids all match (the reference
+    # asserts batch==1 around this path, cogreasoner_chat.py:560-563;
+    # a divisibility check alone can pass by accident on mixed grids
+    # and then silently mix tokens across frame boundaries). It also
+    # needs K < T (kmeans) and enough events (ref :280-282). The
+    # question-INDEPENDENT pixel-diff mask below runs regardless —
+    # the reference applies _get_compression_mask even when event
+    # selection returns [] (ref :552-555).
+    merged_counts = {
+        (int(gh) // int(ms)) * (int(gw) // int(ms))
+        for (t, gh, gw), ms, m in zip(grid_sizes, merge_sizes, modals)
+        if m == "video"}
+    K = num_events_for(total_frames, cfg)
+    uniform_video = (all(m == "video" for m in modals)
+                     and len(merged_counts) == 1
+                     and n_tokens % total_frames == 0
+                     and n_tokens // total_frames in merged_counts)
+    events_on = (uniform_video and K < total_frames
+                 and compression_active(total_frames, cfg))
 
-    # host sync: assignments drive summary prompt text
-    assignments_host = np.asarray(km.assignments)
-    summary = build_summary_batch(
-        tokenizer, assignments_host, np.asarray(timestamps), P, K)
-    sim = event_relevance(params, cfg, mm_features, summary,
-                          np.asarray(question_ids, np.int32))
-    unimportant = sim < cc.similarity_threshold
-    minor = minor_frame_mask(km.assignments, unimportant, key_idx,
-                             key_valid, total_frames)
+    minor = None
+    sim = None
+    pooled = mm_features
+    if events_on:
+        P = n_tokens // total_frames
+        frames = mm_features.reshape(total_frames, P, -1)
+        ts = jnp.asarray(timestamps, jnp.float32)
+        km = kmeans_with_time(frames, ts, K, key, alpha=cc.kmeans_alpha,
+                              max_iters=cc.kmeans_max_iters)
+        key_idx, key_valid = select_event_keyframes(
+            frames, km.centers, km.assignments, k=cc.keyframes_per_event)
 
-    pooled = pool_minor_frames(mm_features, minor, P)
+        # host sync: assignments drive summary prompt text. K pads to
+        # a pow-2 bucket (one compile per bucket, not per 15 frames of
+        # stream growth); pad-row sims are sliced off.
+        assignments_host = np.asarray(km.assignments)
+        summary = build_summary_batch(
+            tokenizer, assignments_host, np.asarray(timestamps), P, K,
+            max_frames_per_event=cc.summary_max_frames_per_event,
+            pad_events_to=1 << (K - 1).bit_length())
+        sim = event_relevance(params, cfg, mm_features, summary,
+                              np.asarray(question_ids, np.int32))[:K]
+        unimportant = sim < cc.similarity_threshold
+        minor = minor_frame_mask(km.assignments, unimportant, key_idx,
+                                 key_valid, total_frames)
+        pooled = pool_minor_frames(mm_features, minor, P)
+    # pixel-diff with no event selection: no minor frames, mask still
+    # drops static-scene tokens (the reference's always-on half)
+    minor_for_mask = (minor if minor is not None
+                      else jnp.zeros((total_frames,), jnp.bool_))
 
     # per-item keep masks over merged tokens
     keeps: List[jax.Array] = []
@@ -436,7 +486,7 @@ def run_visual_compression(
             pixel_values, row_offset, rows, axis=0)
         if modal == "video" and t > 1:
             item_minor = jax.lax.dynamic_slice_in_dim(
-                minor, frame_offset, t, axis=0)
+                minor_for_mask, frame_offset, t, axis=0)
             mask = pixel_diff_keep_mask(
                 item_pv, t, merged, item_minor,
                 threshold=cc.pixel_diff_threshold,
