@@ -86,9 +86,13 @@ def coi_confusion(pred: Sequence[int], gt: Sequence[int],
 
 
 def coi_metrics(items: Iterable[Dict]) -> Dict[str, float]:
-    """items: [{"pred_coi": [...], "gt_coi": [...], "n_hist": int}]."""
+    """items: [{"pred_coi": [...], "gt_coi": [...], "n_hist": int}].
+    Items without GT relevance (gt_coi None) are not COI-scorable and
+    skip (they may still carry a scorable visual flag)."""
     TP = FP = FN = TN = 0
     for it in items:
+        if it.get("gt_coi") is None:
+            continue
         tp, fp, fn, tn = coi_confusion(it.get("pred_coi", []),
                                        it.get("gt_coi", []),
                                        it.get("n_hist", 0))
@@ -111,10 +115,14 @@ def coi_metrics(items: Iterable[Dict]) -> Dict[str, float]:
 
 
 def visual_flag_metrics(items: Iterable[Dict]) -> Dict[str, float]:
-    """Accuracy of the predicted if_visual flag vs GT is_visual."""
+    """Accuracy of the predicted if_visual flag vs GT is_visual. Items
+    missing EITHER flag (None) are unscorable and excluded — the old
+    key-presence guard was dead (the builder always sets both keys) and
+    coerced None==None into free hits."""
     hit = n = 0
     for it in items:
-        if "pred_visual" in it and "gt_visual" in it:
+        if it.get("pred_visual") is not None \
+                and it.get("gt_visual") is not None:
             hit += int(bool(it["pred_visual"]) == bool(it["gt_visual"]))
             n += 1
     return {"accuracy": hit / n if n else 0.0, "n": n}
@@ -225,19 +233,24 @@ def gt_qa_indices(qa: Dict) -> Optional[List[int]]:
 
 
 def coi_items_from_videos(videos: Iterable[Dict]) -> List[Dict]:
+    """Per-QA items for coi_metrics AND visual_flag_metrics. The COI
+    fields require GT relevance; the visual flag does not — a dataset
+    without relevance vectors still scores if_visual accuracy (items
+    carry gt_coi=None there and coi_metrics skips them)."""
     items = []
     for video in videos:
         qas = video.get("QAs", [])
         for i, qa in enumerate(qas):
             gt = gt_qa_indices(qa)
-            if "pred_coi" in qa and gt is not None:
-                items.append({
-                    "pred_coi": qa.get("pred_coi", []),
-                    "gt_coi": gt,
-                    "n_hist": i,
-                    "pred_visual": qa.get("pred_visual"),
-                    "gt_visual": qa.get("is_visual"),
-                })
+            if "pred_coi" not in qa and "pred_visual" not in qa:
+                continue
+            items.append({
+                "pred_coi": qa.get("pred_coi", []),
+                "gt_coi": gt,
+                "n_hist": i,
+                "pred_visual": qa.get("pred_visual"),
+                "gt_visual": qa.get("is_visual"),
+            })
     return items
 
 
@@ -254,11 +267,12 @@ def latency_stats(videos: Iterable[Dict]) -> Optional[Dict[str, float]]:
 
 def summarize(judged_dir: str, out_path: Optional[str] = None) -> Dict:
     videos = load_judged_dir(judged_dir)
+    items = coi_items_from_videos(videos)
     report = {
         "scores": aggregate_scores(videos),
         "coherence": dialogue_coherence(videos),
-        "coi": coi_metrics(coi_items_from_videos(videos)),
-        "visual_flag": visual_flag_metrics(coi_items_from_videos(videos)),
+        "coi": coi_metrics(items),
+        "visual_flag": visual_flag_metrics(items),
         "latency": latency_stats(videos),
         "n_videos": len(videos),
     }

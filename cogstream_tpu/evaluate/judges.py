@@ -52,8 +52,13 @@ class FakeJudge:
         return min(10, int(round(base + 7 * overlap)))
 
     def chat(self, system: str, user: str) -> str:
+        # GT capture runs to the next item boundary (or end) — a lazy
+        # stop at the first newline would score multi-line ground
+        # truths against their first line only, breaking the
+        # monotone overlap->score property tests rely on
         pairs = re.findall(
-            r"Prediction\s*\d*\s*:\s*(.*?)\nGround truth\s*\d*\s*:\s*(.*?)(?:\n|$)",
+            r"Prediction\s*\d*\s*:\s*(.*?)\nGround truth\s*\d*\s*:\s*"
+            r"(.*?)(?=\n\s*(?:Item|Prediction|Question)\b|\Z)",
             user, re.DOTALL)
         if not pairs:
             return "Score: 5"
@@ -174,17 +179,26 @@ def judge_directory(
         if os.path.exists(out_path):
             # merge-resume: all five metrics accumulate into ONE judged
             # file; a metric already present is skipped (the reference
-            # needs one directory per metric, eval_1_IA.py:107-109)
+            # needs one directory per metric, eval_1_IA.py:107-109).
+            # None (a failed extraction) does NOT count as judged — it
+            # must retry, not silently drop out of every aggregate.
             with open(out_path) as f:
                 video = json.load(f)
-            if all(metric in (qa.get("scores") or {})
+            if all((qa.get("scores") or {}).get(metric) is not None
                    for qa in video.get("QAs", [])):
                 continue
         else:
             with open(os.path.join(pred_dir, fname)) as f:
                 video = json.load(f)
+        # judge ONLY the QAs missing this metric (a partial file must
+        # not re-spend the judge endpoint on — or overwrite — scored
+        # ones)
+        todo = [i for i, qa in enumerate(video.get("QAs", []))
+                if (qa.get("scores") or {}).get(metric) is None]
         items, contexts = [], []
-        for qa in video.get("QAs", []):
+        all_qas = video.get("QAs", [])
+        for i in todo:
+            qa = all_qas[i]
             items.append({
                 "question": qa.get("question", ""),
                 "prediction": qa.get("prediction", ""),
@@ -195,18 +209,23 @@ def judge_directory(
                 from .aggregate import gt_qa_indices
 
                 deps = gt_qa_indices(qa) or []
-                hist = video.get("QAs", [])
                 lines = []
                 for j in deps:
-                    if isinstance(j, int) and 0 <= j < len(hist):
-                        h = hist[j]
+                    # bound by the CURRENT QA's index, not the list
+                    # length — a malformed dep >= i would leak this (or
+                    # a later) QA's ground-truth answer into the prompt
+                    # judging it
+                    if isinstance(j, int) and 0 <= j < i:
+                        h = all_qas[j]
                         lines.append(f"Q: {h.get('question','')} "
                                      f"A: {h.get('answer','')}")
                 ctx = "\n".join(lines) or None
             contexts.append(ctx)
         scores = judge_video(metric, client, items, contexts)
-        for qa, s in zip(video.get("QAs", []), scores):
-            qa.setdefault("scores", {})[metric] = s
+        for i, s in zip(todo, scores):
+            all_qas[i].setdefault("scores", {})[metric] = s
+        scores = [(qa.get("scores") or {}).get(metric)
+                  for qa in all_qas]   # full set, for the log line
         atomic_write_json(out_path, video, indent=1)
         log(f"{metric} {fname}: "
             f"{np_mean([s for s in scores if s is not None]):.2f}")

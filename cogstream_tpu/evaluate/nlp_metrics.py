@@ -172,6 +172,12 @@ def meteor_lite(predictions: Sequence[str], references: Sequence[str],
 
 def compute_all(predictions: Sequence[str],
                 references: Sequence[str]) -> Dict[str, float]:
+    if len(predictions) != len(references):
+        # the metrics zip() pairwise — a mismatch would silently drop
+        # the tail AND skew CIDEr's idf (n_docs = len(references))
+        raise ValueError(
+            f"{len(predictions)} predictions vs {len(references)} "
+            "references")
     return {
         "BLEU-4": round(bleu4(predictions, references), 4),
         "METEOR": round(meteor_lite(predictions, references), 4),

@@ -362,3 +362,70 @@ def test_remix_moves_tagged_temporal_qas():
             # the untagged-attribute QA never moves (label-driven)
             assert all("color" not in qa["Q"] for qa in tp)
     assert moved, "tagged temporal QA never moved in 16 seeds"
+
+
+def test_judge_resume_retries_none_and_skips_scored(tmp_path):
+    """A None score (failed extraction) must retry on the next run;
+    already-scored QAs must NOT be re-sent to the judge endpoint."""
+    pred_dir = tmp_path / "p2"
+    out_dir = tmp_path / "o2"
+    pred_dir.mkdir()
+    out_dir.mkdir()
+    # pre-seeded judged file: one scored QA, one failed (None)
+    with open(out_dir / "v.json", "w") as f:
+        json.dump({"QAs": [
+            {"question": "q0", "prediction": "a", "answer": "a",
+             "scores": {"IA": 9}},
+            {"question": "q1", "prediction": "b", "answer": "b",
+             "scores": {"IA": None}},
+        ]}, f)
+    with open(pred_dir / "v.json", "w") as f:
+        json.dump({"QAs": []}, f)   # resume path reads the judged file
+    client = judges.FakeJudge()
+    judges.judge_directory("IA", client, str(pred_dir), str(out_dir),
+                           log=lambda *a: None)
+    with open(out_dir / "v.json") as f:
+        video = json.load(f)
+    assert video["QAs"][0]["scores"]["IA"] == 9     # untouched
+    assert video["QAs"][1]["scores"]["IA"] is not None   # retried
+    assert client.calls == 1                        # only the None QA
+
+
+def test_visual_flag_scored_without_relevance():
+    """Datasets without relevance vectors still score if_visual
+    accuracy; missing flags are unscorable, not free hits."""
+    videos = [{"QAs": [
+        {"pred_coi": [], "relevance": None,
+         "pred_visual": True, "is_visual": True},
+        {"pred_coi": [], "relevance": None,
+         "pred_visual": False, "is_visual": True},
+        {"pred_coi": [], "relevance": None,
+         "pred_visual": None, "is_visual": True},   # unscorable
+    ]}]
+    items = aggregate.coi_items_from_videos(videos)
+    vf = aggregate.visual_flag_metrics(items)
+    assert vf["n"] == 2 and vf["accuracy"] == 0.5
+    # COI metrics skip the no-GT items without crashing
+    coi = aggregate.coi_metrics(items)
+    assert coi["support"] == 0
+
+
+def test_fake_judge_multiline_ground_truth():
+    """Multi-line GTs keep the monotone overlap→score property."""
+    client = judges.FakeJudge()
+    gt = "the red car drove away\nthen it stopped at the light"
+    good = client.chat("s", f"Item 1\nQuestion: q\nPrediction: {gt}\n"
+                            f"Ground truth: {gt}")
+    bad = client.chat("s", "Item 1\nQuestion: q\nPrediction: zebra\n"
+                           f"Ground truth: {gt}")
+    get = lambda r: int(r.split("Score:")[1].strip())
+    assert get(good) > get(bad)
+
+
+def test_nlp_metrics_reject_length_mismatch():
+    import pytest as _pytest
+
+    from cogstream_tpu.evaluate import nlp_metrics
+
+    with _pytest.raises(ValueError, match="predictions"):
+        nlp_metrics.compute_all(["a"], ["a", "b"])
