@@ -30,6 +30,7 @@ reference's ``coi_qa_info``/``relevance`` vectors use
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
@@ -84,6 +85,14 @@ def merge_score_matrices(raters: Sequence[Dict]) -> Dict:
                 mq = mseg.setdefault(qi, {})
                 for pi, scores in prevs.items():
                     if pi in mq:
+                        if len(mq[pi]) != len(scores):
+                            # zip would silently drop the longer tail
+                            # (raters scored different remixes of the
+                            # same video) — losing >=threshold edges
+                            raise ValueError(
+                                f"rater score-list mismatch at segment "
+                                f"{ci} qa {qi} prev {pi}: "
+                                f"{len(mq[pi])} vs {len(scores)}")
                         mq[pi] = [max(a, b) for a, b in
                                   zip(mq[pi], scores)]
                     else:
@@ -297,6 +306,12 @@ def build_streams(
                 cls = qa.get("type") or LEVEL_CLASS.get(level, "Attributes")
                 cls = _CLASS_SYNONYMS.get(cls, cls)
             group = LEVEL_LABEL.get(level, "Basic")
+            if cls == "Temporal Perception":
+                # the published taxonomy has no Basic/Temporal class:
+                # temporal questions are the "Seq." column whether or
+                # not remix moved them — an off-taxonomy label would
+                # fall out of every per-class aggregate column
+                cls, group = "Sequence Perception", "Streaming"
             stream.append({
                 "segment_path": ci,
                 "label": f"{group}/{cls}",
@@ -329,7 +344,13 @@ def run_path_construction(scored_dir: str, qa_dir: str, out_dir: str,
             with open(spath) as f:
                 raters.append(json.load(f).get("links", {}))
         merged = merge_score_matrices(raters)
+        # per-video seed component: one corpus-wide seed would replay
+        # the SAME Random sequence for every video (positionally
+        # identical L1 subsets / coin flips — a corpus-wide selection
+        # bias); hashing the filename keeps runs reproducible
+        vid_seed = seed + int(
+            hashlib.sha1(fname.encode()).hexdigest()[:8], 16)
         streams = build_streams(video, merged, n_streams=n_streams,
-                                coi_threshold=threshold, seed=seed)
+                                coi_threshold=threshold, seed=vid_seed)
         atomic_write_json(out_path, {"video": video.get("video"), "streams": streams}, indent=1)
         log(f"{fname}: {n_streams} streams")

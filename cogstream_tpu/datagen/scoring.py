@@ -30,17 +30,20 @@ STRUCTURAL_SCORE = 8
 
 
 def parse_score(text: str) -> Optional[int]:
-    m = _INT_RE.search(text)
-    if not m:
+    """LAST integer in the reply: judges often restate the scale
+    before the verdict ("on the 0-7 scale, this is a 6") — taking the
+    first integer would record those as 0."""
+    ms = _INT_RE.findall(text)
+    if not ms:
         return None
-    return max(0, min(MAX_SCORE, int(m.group(0))))
+    return max(0, min(MAX_SCORE, int(ms[-1])))
 
 
 def is_structural_coreference(qa: Dict, prev_segment_index: int) -> bool:
-    """Moved QAs (remix) depend on their source segment by construction."""
-    return qa.get("source_segment") == prev_segment_index or \
-        qa.get("type") in ("Dialogue-Recalling",) and \
-        qa.get("source_segment") == prev_segment_index
+    """Moved QAs (remix) depend on their source segment by
+    construction — any type remix relocated, not just DR (the old
+    second clause was `A or (B and A)`, identically A)."""
+    return qa.get("source_segment") == prev_segment_index
 
 
 def score_video(client, video: Dict, out_path: Optional[str] = None,

@@ -114,8 +114,12 @@ def vision_param_specs(cfg: VisionEncoderConfig, mesh: Mesh) -> Dict:
         "patch_embed": _dense_spec(cfg.num_channels * cfg.patch_size ** 2,
                                    H, mesh, "none", True),
         "post_ln": dict(ln),
-        # vision layers are a per-layer list (models/vision_encoder.py)
-        "layers": [layer] * cfg.num_hidden_layers,
+        # vision layers are a per-layer list (models/vision_encoder.py);
+        # deep-copied per index — [layer]*N would alias ONE dict whose
+        # mutation silently changes every layer's spec
+        "layers": [{k: (dict(v) if isinstance(v, dict) else v)
+                    for k, v in layer.items()}
+                   for _ in range(cfg.num_hidden_layers)],
     }
 
 
@@ -134,27 +138,6 @@ def cogreasoner_param_specs(cfg: CogReasonerConfig, mesh: Mesh) -> Dict:
         "vision": vision_param_specs(cfg.vision, mesh),
         "projector": projector_param_specs(cfg, mesh),
     }
-
-
-def lora_param_specs(param_specs: Any) -> Any:
-    """LoRA trees mirror the dense tree: ``a`` [din, r] follows the
-    kernel's input sharding, ``b`` [r, dout] its output sharding.
-
-    r is tiny (8) — sharding it would be silly; a/b inherit only the
-    large dim's placement.
-    """
-    def convert(node):
-        if isinstance(node, dict):
-            if "kernel" in node:
-                k = node["kernel"]
-                din_ax = k[0] if len(k) > 0 else None
-                dout_ax = k[1] if len(k) > 1 else None
-                return {"a": P(din_ax, None), "b": P(None, dout_ax)}
-            return {key: convert(v) for key, v in node.items()}
-        if isinstance(node, list):
-            return [convert(v) for v in node]
-        return node
-    return convert(param_specs)
 
 
 def lora_specs_like(lora_tree: Any, param_specs: Any) -> Any:
@@ -222,8 +205,13 @@ def adapt_specs_to_quantized(params: Any, specs: Any) -> Any:
                         "scale": P(*lead, dout_ax)}
             return snode
         if isinstance(pnode, dict) and isinstance(snode, dict):
-            return {k: walk(v, snode[k]) if k in snode else snode.get(k)
-                    for k, v in pnode.items()}
+            missing = [k for k in pnode if k not in snode]
+            if missing:
+                # a None spec would surface as an opaque tree-structure
+                # mismatch deep inside shard_params
+                raise KeyError(
+                    f"params keys {missing} have no PartitionSpec")
+            return {k: walk(v, snode[k]) for k, v in pnode.items()}
         if isinstance(pnode, list) and isinstance(snode, list):
             return [walk(p, s) for p, s in zip(pnode, snode)]
         return snode

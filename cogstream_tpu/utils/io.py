@@ -21,6 +21,10 @@ def atomic_write_text(path: str, text: str) -> None:
     try:
         with os.fdopen(fd, "w") as f:
             f.write(text)
+            f.flush()
+            os.fsync(f.fileno())   # durability: a rename that commits
+            # before the data blocks flush leaves a truncated file that
+            # resumable pipelines would skip forever
         os.replace(tmp, path)
     except BaseException:
         try:
@@ -43,6 +47,8 @@ def atomic_write_npz(path: str, **arrays: Any) -> None:
     try:
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
     except BaseException:
         try:
@@ -59,7 +65,11 @@ def pack_array(a) -> tuple:
 
     a = np.ascontiguousarray(np.asarray(a))
     if a.ndim == 0:
-        a = a[None]
+        # unpack_array cannot restore a 0-d shape (it returns the byte
+        # view re-typed) — silently promoting to (1,) would break the
+        # documented round trip; reject loudly instead
+        raise ValueError("pack_array: 0-d arrays don't round-trip; "
+                         "reshape to (1,) at the call site")
     return a.view(np.uint8), a.dtype.name
 
 
