@@ -1,5 +1,7 @@
 """Temporal-semantic k-means op tests."""
 
+import random
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -150,6 +152,12 @@ def test_partition_parity_with_reference_on_separable_data():
     x, t = _blobs(rng, proto, per=8, dim=6)
     T = x.shape[0]
 
+    # the reference inits via Python's GLOBAL random module
+    # (kmeans_with_time.py:41,57,118) — torch.manual_seed does not
+    # touch it, and other tests perturb it, so pin it here or rare
+    # global states produce a degenerate kmeans++ init (observed as a
+    # suite-order-dependent flake)
+    random.seed(0)
     torch.manual_seed(0)
     ref_c, ref_t, ref_a = mod.kmeans_with_time_min_max(
         torch.tensor(x.reshape(T, 1, 6)), torch.tensor(t), 4, alpha=2)
@@ -185,6 +193,12 @@ def test_time_weight_parity_with_reference():
         + 0.01 * rng.standard_normal((16, 6)).astype(np.float32)
     t = np.concatenate([np.zeros(8), np.full(8, 100.0)]).astype(np.float32)
 
+    # pin the global random module the reference inits from (see the
+    # note above). seed=1: the reference CAN fail to reach the time
+    # split from rare inits (seed 0 converges to a mixed local optimum;
+    # 11/12 seeds in [0, 12) split correctly) — the contract tested
+    # here is the typical-init behavior, not init-independence.
+    random.seed(1)
     torch.manual_seed(0)
     _, _, ref_a = mod.kmeans_with_time_min_max(
         torch.tensor(x.reshape(16, 1, 6)), torch.tensor(t), 2, alpha=2)
