@@ -165,25 +165,31 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
     bf16 inputs and the f32 combine/cast order matches the unfused
     path.
     """
-    from ..ops.flash_attention import flash_attention_packed_rope, _round_up
+    from ..ops.flash_attention import (
+        flash_attention_packed_rope_fusedqkv, _round_up)
 
     H, D = cfg.num_attention_heads, cfg.head_dim
     Dp = _round_up(D, 128)
     cos2d, sin2d, perm128 = rope_cs128
     kv_start, kv_count, kmax, block = flash
 
-    def qkv(pp):
+    def padw(pp):
         w = _materialize_kernel(pp, x.dtype).reshape(-1, H, D)
         w = jnp.pad(w, ((0, 0), (0, 0), (0, Dp - D))).reshape(-1, H * Dp)
         b = jnp.pad(pp["bias"].astype(x.dtype).reshape(H, D),
                     ((0, 0), (0, Dp - D))).reshape(H * Dp)
-        return x @ w + b
+        return w, b
 
-    q = qkv(p["q"])
-    k = qkv(p["k"])
-    v = qkv(p["v"])
-    out = flash_attention_packed_rope(
-        q, k, v, cos2d, sin2d, perm128, seg_row, kv_start, kv_count,
+    # ONE fused QKV GEMM: reads x once (three separate projections read
+    # it three times) and its output buffer is addressed by the kernel
+    # directly at column offsets 0/H/2H — no per-operand slice copy
+    wq, bq_ = padw(p["q"])
+    wk, bk = padw(p["k"])
+    wv, bv = padw(p["v"])
+    qkv = x @ jnp.concatenate([wq, wk, wv], axis=1) \
+        + jnp.concatenate([bq_, bk, bv])
+    out = flash_attention_packed_rope_fusedqkv(
+        qkv, cos2d, sin2d, perm128, seg_row, kv_start, kv_count,
         H, Dp, block, block, kmax,
         1.0 / math.sqrt(D), jax.default_backend() != "tpu")
     wo = _materialize_kernel(p["o"], x.dtype).reshape(H, D, -1)
