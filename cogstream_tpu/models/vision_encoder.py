@@ -167,37 +167,82 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
     """
     from ..ops.flash_attention import (
         flash_attention_packed_rope_fusedqkv, _round_up)
+    from ..ops.quant import int8_act_matmul, is_quantized, quantize_int8_act
 
     H, D = cfg.num_attention_heads, cfg.head_dim
     Dp = _round_up(D, 128)
     cos2d, sin2d, perm128 = rope_cs128
     kv_start, kv_count, kmax, block = flash
+    w8a8 = is_quantized(p["q"]["kernel"])
 
     def padw(pp):
-        w = _materialize_kernel(pp, x.dtype).reshape(-1, H, D)
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, Dp - D))).reshape(-1, H * Dp)
-        b = jnp.pad(pp["bias"].astype(x.dtype).reshape(H, D),
+        """Pad a projection per head from D to Dp output lanes. For an
+        int8-quantized kernel the PACKED int8 tensor and its
+        per-channel scales pad directly (zero weights / unit scales are
+        exact), keeping the GEMM on the MXU int8 path."""
+        if w8a8:
+            kern = pp["kernel"]
+            qw = kern["q"].reshape(-1, H, D)
+            qw = jnp.pad(qw, ((0, 0), (0, 0),
+                              (0, Dp - D))).reshape(-1, H * Dp)
+            sc = jnp.pad(kern["scale"].reshape(H, D),
+                         ((0, 0), (0, Dp - D)),
+                         constant_values=1.0).reshape(H * Dp)
+        else:
+            qw = _materialize_kernel(pp, x.dtype).reshape(-1, H, D)
+            qw = jnp.pad(qw, ((0, 0), (0, 0),
+                              (0, Dp - D))).reshape(-1, H * Dp)
+            sc = None
+        b = jnp.pad(pp["bias"].astype(jnp.float32).reshape(H, D),
                     ((0, 0), (0, Dp - D))).reshape(H * Dp)
-        return w, b
+        return qw, sc, b
 
     # ONE fused QKV GEMM: reads x once (three separate projections read
     # it three times) and its output buffer is addressed by the kernel
     # directly at column offsets 0/H/2H — no per-operand slice copy
-    wq, bq_ = padw(p["q"])
-    wk, bk = padw(p["k"])
-    wv, bv = padw(p["v"])
-    qkv = x @ jnp.concatenate([wq, wk, wv], axis=1) \
-        + jnp.concatenate([bq_, bk, bv])
+    wq, sq, bq_ = padw(p["q"])
+    wk, sk, bk = padw(p["k"])
+    wv, sv, bv = padw(p["v"])
+    w_all = jnp.concatenate([wq, wk, wv], axis=1)
+    b_all = jnp.concatenate([bq_, bk, bv])
+    if w8a8:
+        s_all = jnp.concatenate([sq, sk, sv])
+        xq, sx = quantize_int8_act(x)
+        qkv = (int8_act_matmul(xq, sx, w_all, s_all, jnp.float32)
+               + b_all).astype(x.dtype)
+    else:
+        qkv = x @ w_all + b_all.astype(x.dtype)
     out = flash_attention_packed_rope_fusedqkv(
         qkv, cos2d, sin2d, perm128, seg_row, kv_start, kv_count,
         H, Dp, block, block, kmax,
         1.0 / math.sqrt(D), jax.default_backend() != "tpu")
+    if w8a8:
+        kern = p["o"]["kernel"]
+        qo = jnp.pad(kern["q"].reshape(H, D, -1),
+                     ((0, 0), (0, Dp - D), (0, 0))).reshape(H * Dp, -1)
+        oq, so = quantize_int8_act(out)
+        return (int8_act_matmul(oq, so, qo, kern["scale"], jnp.float32)
+                + p["o"]["bias"].astype(jnp.float32)).astype(x.dtype)
     wo = _materialize_kernel(p["o"], x.dtype).reshape(H, D, -1)
     wo = jnp.pad(wo, ((0, 0), (0, Dp - D), (0, 0))).reshape(H * Dp, -1)
     return out @ wo + p["o"]["bias"].astype(x.dtype)
 
 
 def _mlp_block(x, p):
+    from ..ops.quant import int8_act_matmul, is_quantized, quantize_int8_act
+
+    if is_quantized(p["fc1"]["kernel"]):
+        # W8A8 serving path: both GEMMs run int8xint8 on the MXU's
+        # double-rate path; act quant + rescale are fused elementwise
+        xq, sx = quantize_int8_act(x)
+        k1 = p["fc1"]["kernel"]
+        h = (int8_act_matmul(xq, sx, k1["q"], k1["scale"], jnp.float32)
+             + p["fc1"]["bias"].astype(jnp.float32))
+        h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+        hq, sh = quantize_int8_act(h)
+        k2 = p["fc2"]["kernel"]
+        return (int8_act_matmul(hq, sh, k2["q"], k2["scale"], jnp.float32)
+                + p["fc2"]["bias"].astype(jnp.float32)).astype(x.dtype)
     h = _dense(x, p["fc1"])
     h = jax.nn.gelu(h, approximate=True)  # gelu_pytorch_tanh
     return _dense(h, p["fc2"])
@@ -321,6 +366,21 @@ def vision_encoder_core(
                                num_segments=num_out_tokens)
     counts = jax.ops.segment_sum(valid, gid, num_segments=num_out_tokens)
     return (sums / jnp.maximum(counts, 1.0)).astype(cfg.jnp_dtype)
+
+
+def quantize_vision_w8a8(params: Params) -> Params:
+    """Serving-mode W8A8 prep: per-output-channel int8 weights for every
+    tower GEMM except the patch embedding (input fidelity; it is ~1% of
+    the FLOPs). The packed forward detects quantized kernels and runs
+    dynamic per-token int8 activations into the MXU's int8 path
+    (measured ~1.25x over bf16 in-program on v5e — the XLA int8 GEMM
+    ceiling, not 2x); the eager fallback dequantizes weight-only.
+    Accuracy: merged-feature cosine vs bf16 stays >0.999 at init-scale
+    weights (test_vision_encoder.py::test_w8a8_packed_parity)."""
+    from ..ops.quant import quantize_tree
+
+    return quantize_tree(params, bits=8,
+                         predicate=lambda name: name != "patch_embed")
 
 
 class VisionMetadata(NamedTuple):

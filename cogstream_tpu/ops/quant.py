@@ -353,6 +353,31 @@ def dequantize_int4(qp: Dict[str, jax.Array],
     return w.reshape(*lead, din, dout).astype(dtype)
 
 
+def quantize_int8_act(x: jax.Array):
+    """Dynamic per-row symmetric int8 activation quantization (W8A8
+    serving). Returns ``(q, scale)`` with ``x ≈ q * scale``; scale is
+    [..., 1] f32. The whole chain is elementwise and fuses; the payoff
+    is the consumer GEMM running on the MXU's int8 path (v5e: 394 TOPS
+    vs 197 bf16 TFLOPS — compute-bound GEMMs halve)."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    ax = jnp.maximum(ax, 1e-6)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * (127.0 / ax)),
+                 -127, 127).astype(jnp.int8)
+    return q, ax * (1.0 / 127.0)
+
+
+def int8_act_matmul(xq: jax.Array, sx: jax.Array,
+                    q: jax.Array, scale: jax.Array,
+                    out_dtype=jnp.bfloat16) -> jax.Array:
+    """``(xq·sx) @ (q·scale)`` with both operands int8: the dot runs
+    int8xint8→int32 on the MXU double-rate path; the rescale is a
+    rank-1 epilogue that fuses. ``sx`` [rows, 1] f32 from
+    quantize_int8_act; ``scale`` [dout] f32 per output channel."""
+    y = jax.lax.dot_general(xq, q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * sx * scale[None, :]).astype(out_dtype)
+
+
 def is_quantized(p: Any) -> bool:
     return isinstance(p, dict) and ("q" in p or "q4" in p) and "scale" in p
 

@@ -57,6 +57,7 @@ class CogReasonerEngine:
         use_pallas: bool = False,
         rng_seed: int = 0,
         mesh=None,
+        encoder_int8: bool = False,
     ):
         from ..utils.cache import enable_compilation_cache
 
@@ -66,6 +67,12 @@ class CogReasonerEngine:
         # note in runtime/session.py)
         from ..parallel.sharding import ensure_cogreasoner_sharded
 
+        if encoder_int8 and not isinstance(
+                params["vision"]["layers"][0]["attn"]["q"]["kernel"], dict):
+            from ..models.vision_encoder import quantize_vision_w8a8
+
+            params = {**params,
+                      "vision": quantize_vision_w8a8(params["vision"])}
         params = ensure_cogreasoner_sharded(params, cfg, mesh)
         self.mesh = mesh
         self.params = params

@@ -37,7 +37,8 @@ class SessionPool:
                  n_rows: int = 4, max_len: int = 8192,
                  adapters: Optional[Dict] = None,
                  use_pallas: bool = False, summary_forward: bool = True,
-                 kv_dtype=None, seed: int = 0, mesh=None):
+                 kv_dtype=None, seed: int = 0, mesh=None,
+                 encoder_int8: bool = False):
         # tensor-parallel pooled serving: params under the Megatron
         # specs, the shared cache under kv_cache_specs — with n_rows
         # divisible by the data axis the rows themselves shard across
@@ -45,6 +46,12 @@ class SessionPool:
         # runtime/session.py.
         from ..parallel.sharding import ensure_cogreasoner_sharded
 
+        if encoder_int8 and not isinstance(
+                params["vision"]["layers"][0]["attn"]["q"]["kernel"], dict):
+            from ..models.vision_encoder import quantize_vision_w8a8
+
+            params = {**params,
+                      "vision": quantize_vision_w8a8(params["vision"])}
         params = ensure_cogreasoner_sharded(params, cfg, mesh)
         self.mesh = mesh
         self.params = params

@@ -165,7 +165,7 @@ class SessionServer:
                  max_len: int = 16384, use_pallas: bool = True,
                  pool_rows: int = 0, ingest_chunk_frames: int = 16,
                  mesh=None, lookahead_k: int = 0,
-                 extra_eos_ids: tuple = ()):
+                 extra_eos_ids: tuple = (), encoder_int8: bool = False):
         from ..utils.profiling import StageTimer
         from .session import StreamingSession
 
@@ -173,8 +173,15 @@ class SessionServer:
         # pool receive the sharded tree). lookahead_k: server default
         # for speculative greedy decodes on solo sessions (per-request
         # "lookahead_k" overrides; pooled batch decode ignores it).
+        # encoder_int8: W8A8 vision tower for ingest (~1.2x encode).
         from ..parallel.sharding import ensure_cogreasoner_sharded
 
+        if encoder_int8 and not isinstance(
+                params["vision"]["layers"][0]["attn"]["q"]["kernel"], dict):
+            from ..models.vision_encoder import quantize_vision_w8a8
+
+            params = {**params,
+                      "vision": quantize_vision_w8a8(params["vision"])}
         params = ensure_cogreasoner_sharded(params, cfg, mesh)
         self.mesh = mesh
         self.lookahead_k = lookahead_k

@@ -104,6 +104,24 @@ def test_streaming_session_turns(session_setup):
     assert all(e <= s for e, s in zip(ends[:-1], starts[1:]))
 
 
+def test_streaming_session_encoder_int8(session_setup):
+    """encoder_int8=True: the session quantizes the vision tower to the
+    W8A8 serving form at init and a full ingest+ask turn still runs."""
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    sess = StreamingSession(params, cfg, tok, max_len=2048,
+                            encoder_int8=True)
+    assert isinstance(
+        sess.params["vision"]["layers"][0]["attn"]["q"]["kernel"], dict)
+    rng = np.random.default_rng(0)
+    t, gh, gw, ms = 2, 4, 4, 2
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+    sess.append_stream_segment(pv, (t, gh, gw), ms, timestamps=[0.0, 1.0])
+    r = sess.ask("what is happening?", mode="AC", max_new_tokens=8)
+    assert isinstance(r["text"], str)
+
+
 def test_session_event_pruning_mask(session_setup):
     from cogstream_tpu.runtime.session import StreamingSession
 

@@ -143,6 +143,46 @@ def test_merge_group_mean_downsamples():
     np.testing.assert_array_equal(meta.merge_group_ids, [0, 0, 0, 0])
 
 
+def test_w8a8_packed_parity():
+    """W8A8 serving mode (quantize_vision_w8a8): the packed Pallas path
+    with int8 weights + dynamic int8 activations must stay close to the
+    bf16 tower — per-token cosine of merged features, plus the eager
+    fallback must agree with itself under weight-only dequant."""
+    from cogstream_tpu.models.vision_encoder import (init_vision_params,
+                                                     quantize_vision_w8a8)
+
+    cfg = VisionEncoderConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+        num_attention_heads=2, patch_size=14, dtype="float32")
+    params = init_vision_params(jax.random.PRNGKey(5), cfg)
+    qparams = quantize_vision_w8a8(params)
+    # patch embed stays full precision
+    assert not isinstance(qparams["patch_embed"]["kernel"], dict)
+    assert isinstance(qparams["layers"][0]["attn"]["q"]["kernel"], dict)
+
+    rng = np.random.default_rng(7)
+    grids = np.array([[2, 4, 4]], np.int32)
+    merges = np.array([2], np.int32)
+    pv = rng.standard_normal((32, 3 * 14 * 14)).astype(np.float32)
+
+    ref = np.asarray(vision_encoder_forward(
+        params, pv, grids, merges, cfg, use_pallas=True))
+    q_packed = np.asarray(vision_encoder_forward(
+        qparams, pv, grids, merges, cfg, use_pallas=True))
+    q_eager = np.asarray(vision_encoder_forward(
+        qparams, pv, grids, merges, cfg, use_pallas=False))
+
+    def cos(a, b):
+        num = np.sum(a * b, axis=-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        return num / np.maximum(den, 1e-9)
+
+    assert cos(ref, q_packed).min() > 0.995
+    # eager fallback (weight-only dequant attention + W8A8 MLP) stays in
+    # the same neighborhood of the bf16 tower
+    assert cos(ref, q_eager).min() > 0.99
+
+
 def test_uint8_pixels_device_normalize_parity():
     """RAW uint8 patch rows (4x less host->device traffic) must encode
     to the same features as host-normalized float32 rows."""
