@@ -156,7 +156,7 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
     per weight per call (~0.5 ms total across the tower).
 
     The 2D RoPE rotation is fused INTO the flash kernel
-    (flash_attention_packed_rope): q/k go from the GEMM straight to
+    (flash_attention_packed_rope_fusedqkv): q/k go from the GEMM straight to
     attention with no separate rotation pass — the standalone per-layer
     rope passes cost ~54 ms/forward across the tower at 32x1024 tokens
     (two f32 round trips over [N, H*128] per layer plus the

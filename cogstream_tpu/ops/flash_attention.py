@@ -426,92 +426,6 @@ def _flash_kernel_packed_rope(
     static_argnames=("heads", "dp", "block_q", "block_k", "kmax", "scale",
                      "interpret"),
 )
-def flash_attention_packed_rope(
-    q, k, v,                   # [Np, H*Dp] token-major, UNROTATED
-    cos, sin,                  # [Np, Dp] f32 per-token rope terms
-    perm,                      # [Dp, Dp] rotate-half permutation
-    seg,                       # [1, Np] int32 (-1 = pad)
-    kv_start, kv_count,        # [nq] int32
-    heads: int, dp: int,
-    block_q: int, block_k: int, kmax: int,
-    scale: float, interpret: bool,
-):
-    """flash_attention_packed with the 2D RoPE rotation applied inside
-    the kernel (see _flash_kernel_packed_rope). The grid runs q-block
-    MAJOR / head MINOR so the per-token cos/sin blocks keep the same
-    index across the 16 consecutive head programs — Pallas skips the
-    re-DMA when a block's index map output is unchanged, so cos/sin
-    stream from HBM once per q block instead of once per (head,
-    q-block)."""
-    Np = q.shape[0]
-    nq = Np // block_q
-    nk = Np // block_k
-
-    def q_map(iq, h, j, ks, kc):
-        return (iq, h)
-
-    def kv_map(iq, h, j, ks, kc):
-        blk = jnp.minimum(ks[iq] + j, nk - 1)
-        return (blk, h)
-
-    def qcs_map(iq, h, j, ks, kc):
-        return (iq, 0)
-
-    def kcs_map(iq, h, j, ks, kc):
-        blk = jnp.minimum(ks[iq] + j, nk - 1)
-        return (blk, 0)
-
-    def perm_map(iq, h, j, ks, kc):
-        return (0, 0)
-
-    def qseg_map(iq, h, j, ks, kc):
-        return (0, iq)
-
-    def kseg_map(iq, h, j, ks, kc):
-        blk = jnp.minimum(ks[iq] + j, nk - 1)
-        return (0, blk)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nq, heads, kmax),
-        in_specs=[
-            pl.BlockSpec((block_q, dp), q_map),
-            pl.BlockSpec((block_k, dp), kv_map),
-            pl.BlockSpec((block_k, dp), kv_map),
-            pl.BlockSpec((block_q, dp), qcs_map),
-            pl.BlockSpec((block_q, dp), qcs_map),
-            pl.BlockSpec((block_k, dp), kcs_map),
-            pl.BlockSpec((block_k, dp), kcs_map),
-            pl.BlockSpec((dp, dp), perm_map),
-            pl.BlockSpec((1, block_q), qseg_map),
-            pl.BlockSpec((1, block_k), kseg_map),
-        ],
-        out_specs=pl.BlockSpec((block_q, dp), q_map),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, dp), jnp.float32),
-            pltpu.VMEM((block_q, dp), q.dtype),
-        ],
-    )
-    kernel = functools.partial(_flash_kernel_packed_rope, scale=scale,
-                               kmax=kmax)
-    cosf = cos.astype(jnp.float32)
-    sinf = sin.astype(jnp.float32)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Np, heads * dp), q.dtype),
-        interpret=interpret,
-    )(kv_start, kv_count, q, k, v.astype(q.dtype),
-      cosf, sinf, cosf, sinf, perm.astype(q.dtype), seg, seg)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("heads", "dp", "block_q", "block_k", "kmax", "scale",
-                     "interpret"),
-)
 def flash_attention_packed_rope_fusedqkv(
     qkv,                       # [Np, 3*H*Dp]: q | k | v column groups
     cos, sin,                  # [Np, Dp] f32 per-token rope terms
@@ -522,13 +436,20 @@ def flash_attention_packed_rope_fusedqkv(
     block_q: int, block_k: int, kmax: int,
     scale: float, interpret: bool,
 ):
-    """flash_attention_packed_rope reading q/k/v straight out of ONE
-    fused QKV GEMM output: the same ``qkv`` buffer is passed three
+    """flash_attention_packed with the 2D RoPE rotation fused into the
+    kernel (_flash_kernel_packed_rope), reading q/k/v straight out of
+    ONE fused QKV GEMM output: the same ``qkv`` buffer is passed three
     times and the q/k/v index maps address its column blocks at head
     offsets 0 / H / 2H — no slice (and therefore no [Np, H*Dp] copy
     per operand) ever materializes between the GEMM and the kernel.
     One [hidden, 3*H*Dp] GEMM also reads the activations once instead
-    of three times and collapses 3 dispatches into 1 per layer."""
+    of three times and collapses 3 dispatches into 1 per layer.
+
+    The grid runs q-block MAJOR / head MINOR so the per-token cos/sin
+    blocks keep the same index across the consecutive head programs —
+    Pallas skips the re-DMA when a block's index map output is
+    unchanged, so cos/sin stream from HBM once per q block instead of
+    once per (head, q-block)."""
     Np = qkv.shape[0]
     nq = Np // block_q
     nk = Np // block_k
