@@ -167,13 +167,13 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
     """
     from ..ops.flash_attention import (
         flash_attention_packed_rope_fusedqkv, _round_up)
-    from ..ops.quant import int8_act_matmul, is_quantized, quantize_int8_act
+    from ..ops.quant import int8_act_matmul, quantize_int8_act
 
     H, D = cfg.num_attention_heads, cfg.head_dim
     Dp = _round_up(D, 128)
     cos2d, sin2d, perm128 = rope_cs128
     kv_start, kv_count, kmax, block = flash
-    w8a8 = is_quantized(p["q"]["kernel"])
+    w8a8 = _is_w8(p["q"]["kernel"])
 
     def padw(pp):
         """Pad a projection per head from D to Dp output lanes. For an
@@ -228,10 +228,18 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
     return out @ wo + p["o"]["bias"].astype(x.dtype)
 
 
-def _mlp_block(x, p):
-    from ..ops.quant import int8_act_matmul, is_quantized, quantize_int8_act
+def _is_w8(kern) -> bool:
+    """int8-scheme quant dict (the W8A8 serving form). int4/NF4 ``q4``
+    kernels are NOT W8A8 — they fall through to the weight-only
+    materializing path (stage-2 --quantize-base nf4 quantizes the whole
+    tree incl. the vision tower)."""
+    return isinstance(kern, dict) and "q" in kern and "scale" in kern
 
-    if is_quantized(p["fc1"]["kernel"]):
+
+def _mlp_block(x, p):
+    from ..ops.quant import int8_act_matmul, quantize_int8_act
+
+    if _is_w8(p["fc1"]["kernel"]):
         # W8A8 serving path: both GEMMs run int8xint8 on the MXU's
         # double-rate path; act quant + rescale are fused elementwise
         xq, sx = quantize_int8_act(x)

@@ -295,7 +295,9 @@ class Stage2Trainer:
         with self.mesh:
             self.state, loss = step(self.params, self.state, dev_batch)
         s = int(np.asarray(self.state.step))
-        if s % self.tcfg.save_every == 0:
+        # state.step counts MICRO-steps; the reference checkpoints every
+        # 30 accumulated UPDATES (second_stage_training.py:182-202)
+        if s % (self.tcfg.save_every * max(1, self.tcfg.grad_accum)) == 0:
             ckpt.save_train_state(self.out_dir, self.state)
         return float(loss)
 

@@ -183,6 +183,37 @@ def test_w8a8_packed_parity():
     assert cos(ref, q_eager).min() > 0.99
 
 
+def test_int4_quantized_tower_runs_weight_only():
+    """An int4/NF4-quantized vision tree (stage-2 --quantize-base nf4
+    quantizes the WHOLE param tree) must route through the weight-only
+    materializing path, not the W8A8 int8 branch (regression: q4 dicts
+    also satisfy is_quantized but have no 'q' tensor)."""
+    from cogstream_tpu.models.vision_encoder import init_vision_params
+    from cogstream_tpu.ops.quant import quantize_tree
+
+    cfg = VisionEncoderConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=2, patch_size=14, dtype="float32")
+    params = init_vision_params(jax.random.PRNGKey(2), cfg)
+    q4 = quantize_tree(params, bits=4, nf4=True,
+                       predicate=lambda name: name != "patch_embed")
+    assert "q4" in q4["layers"][0]["mlp"]["fc1"]["kernel"]
+
+    rng = np.random.default_rng(3)
+    grids = np.array([[2, 4, 4]], np.int32)
+    merges = np.array([2], np.int32)
+    pv = rng.standard_normal((32, 3 * 14 * 14)).astype(np.float32)
+    ref = np.asarray(vision_encoder_forward(
+        params, pv, grids, merges, cfg, use_pallas=True))
+    out = np.asarray(vision_encoder_forward(
+        q4, pv, grids, merges, cfg, use_pallas=True))
+    assert out.shape == ref.shape and np.isfinite(out).all()
+    # 4-bit is coarse; just require the features stay correlated
+    num = np.sum(ref * out, axis=-1)
+    den = (np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
+    assert (num / np.maximum(den, 1e-9)).min() > 0.9
+
+
 def test_uint8_pixels_device_normalize_parity():
     """RAW uint8 patch rows (4x less host->device traffic) must encode
     to the same features as host-normalized float32 rows."""
