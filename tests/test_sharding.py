@@ -132,6 +132,37 @@ def test_session_on_tp_mesh_matches_unsharded(tiny_config):
     assert isinstance(got3["text"], str)
 
 
+def test_session_mesh_with_w8a8_encoder(tiny_config):
+    """encoder_int8=True composes with mesh= serving: the quantized
+    vision kernels (int8 'q'/'scale' dicts) land under adapted specs
+    and an ingest+ask turn runs SPMD."""
+    import dataclasses
+
+    from cogstream_tpu.config import CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg = dataclasses.replace(
+        tiny_config, compression=CompressionConfig(frames_per_event=2,
+                                                   keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    mesh = make_mesh(data_parallel=1, model_parallel=4,
+                     devices=jax.devices()[:4])
+    sess = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False, mesh=mesh,
+                            encoder_int8=True)
+    qkern = sess.params["vision"]["layers"][0]["attn"]["q"]["kernel"]
+    assert "q" in qkern and qkern["q"].dtype == jnp.int8
+    assert set(qkern["q"].sharding.device_set) == set(mesh.devices.flat)
+    rng = np.random.default_rng(0)
+    pv = rng.normal(size=(2 * 4 * 4, 3 * 14 * 14)).astype(np.float32)
+    sess.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    got = sess.ask("what is this?", mode="AC", max_new_tokens=6)
+    assert isinstance(got["text"], str)
+
+
 def test_engine_on_tp_mesh_text_turn(tiny_config):
     """CogReasonerEngine(mesh=...) answers a text-only turn identically
     to the unsharded engine (greedy + lookahead paths)."""
