@@ -13,12 +13,14 @@ segment span are never DMA'd, giving the block-diagonal O(sum_i L_i^2)
 cost of varlen flash attention instead of O(N^2).
 
 Kernel shape notes (see /opt/skills/guides/pallas_guide.md):
-* TWO entry layouts: the legacy head-major [H, N, D] wrapper
+* TWO entry layouts: the general head-major [N, H, D] wrapper
   (``segment_flash_attention``, pads/transposes activations), and the
-  production token-major packed form (``flash_attention_packed``)
-  whose [N, H*128] blocks are tile-aligned column slices of the QKV
-  GEMM output — the encoder pads the GEMM *weights* per head to 128
-  lanes so no activation transpose or pad ever materializes;
+  production token-major packed form
+  (``flash_attention_packed_rope_fusedqkv``) whose [N, H*128] blocks
+  are tile-aligned column slices of ONE fused QKV GEMM output — the
+  encoder pads the GEMM *weights* per head to 128 lanes so no
+  activation transpose, pad, or slice ever materializes, and the 2D
+  RoPE rotation happens inside the kernel on tiles already in VMEM;
 * online softmax with running (m, l, acc) scratch carried across the
   sequential minor grid dimension;
 * segment ids ride along as [1, N] int32 rows so equality masks evaluate
@@ -266,70 +268,6 @@ class FlashRanges:
         return FlashRanges(ks, kc, kmax, block_q, block_k, n_pad)
 
 
-def _flash_kernel_packed(
-    # scalar prefetch
-    kv_start_ref,   # [nq] int32
-    kv_count_ref,   # [nq] int32
-    # inputs (token-major packed: array [Np, H*Dp], block [B, Dp])
-    q_ref,          # [BQ, Dp]
-    k_ref,          # [BK, Dp]
-    v_ref,          # [BK, Dp]
-    qseg_ref,       # [1, BQ]
-    kseg_ref,       # [1, BK]
-    # outputs
-    out_ref,        # [BQ, Dp]
-    # scratch
-    m_ref,          # [BQ, 128] f32
-    l_ref,          # [BQ, 128] f32
-    acc_ref,        # [BQ, Dp] f32
-    *,
-    scale: float,
-    kmax: int,
-):
-    iq = pl.program_id(1)
-    j = pl.program_id(2)
-
-    @pl.when(j == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    @pl.when(j < kv_count_ref[iq])
-    def _step():
-        q = q_ref[...]                                    # [BQ, Dp]
-        k = k_ref[...]                                    # [BK, Dp]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [BQ, BK]
-        qseg = qseg_ref[0]
-        kseg = kseg_ref[0]
-        mask = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] >= 0)
-        s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - jnp.where(m_new <= NEG_INF / 2, 0.0, m_new))
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(
-            jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev - m_new))
-        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[...]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [BQ, Dp]
-        acc_ref[...] = acc_ref[...] * alpha + pv
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(j == kmax - 1)
-    def _finalize():
-        l = l_ref[:, :1]
-        out = acc_ref[...] / jnp.where(l > 0.0, l, 1.0)
-        out_ref[...] = out.astype(out_ref.dtype)
-
-
 def _flash_kernel_packed_rope(
     # scalar prefetch
     kv_start_ref,   # [nq] int32
@@ -516,72 +454,6 @@ def flash_attention_packed_rope_fusedqkv(
         interpret=interpret,
     )(kv_start, kv_count, qkv, qkv, qkv,
       cosf, sinf, cosf, sinf, perm.astype(qkv.dtype), seg, seg)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("heads", "dp", "block_q", "block_k", "kmax", "scale",
-                     "interpret"),
-)
-def flash_attention_packed(
-    q, k, v,                   # [Np, H*Dp] token-major, Dp lanes per head
-    seg,                       # [1, Np] int32 (-1 = pad)
-    kv_start, kv_count,        # [nq] int32
-    heads: int, dp: int,
-    block_q: int, block_k: int, kmax: int,
-    scale: float, interpret: bool,
-):
-    """Token-major packed entry: q/k/v stay in the QKV GEMM's natural
-    [N, H*Dp] row layout (heads padded to Dp=128 lanes by padding the
-    GEMM *weights*, not the activations). Each (head, q-block) program
-    reads the column tile ``[iq*BQ:(iq+1)*BQ, h*Dp:(h+1)*Dp]`` — a
-    tile-aligned 2D block, so NO [N,H,D]→[H,N,D] transpose or
-    activation pad ever materializes (those copies cost ~90 ms/forward
-    across the 27-layer tower at 32x1024 tokens). Output has the same
-    layout and feeds the o-projection directly (its weight zero-padded
-    on the input side)."""
-    Np = q.shape[0]
-    nq = Np // block_q
-    nk = Np // block_k
-
-    def q_map(h, iq, j, ks, kc):
-        return (iq, h)
-
-    def kv_map(h, iq, j, ks, kc):
-        blk = jnp.minimum(ks[iq] + j, nk - 1)
-        return (blk, h)
-
-    def qseg_map(h, iq, j, ks, kc):
-        return (0, iq)
-
-    def kseg_map(h, iq, j, ks, kc):
-        blk = jnp.minimum(ks[iq] + j, nk - 1)
-        return (0, blk)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(heads, nq, kmax),
-        in_specs=[
-            pl.BlockSpec((block_q, dp), q_map),
-            pl.BlockSpec((block_k, dp), kv_map),
-            pl.BlockSpec((block_k, dp), kv_map),
-            pl.BlockSpec((1, block_q), qseg_map),
-            pl.BlockSpec((1, block_k), kseg_map),
-        ],
-        out_specs=pl.BlockSpec((block_q, dp), q_map),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, dp), jnp.float32),
-        ],
-    )
-    kernel = functools.partial(_flash_kernel_packed, scale=scale, kmax=kmax)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Np, heads * dp), q.dtype),
-        interpret=interpret,
-    )(kv_start, kv_count, q, k, v.astype(q.dtype), seg, seg)
 
 
 def segment_flash_attention(
