@@ -173,7 +173,10 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
     Dp = _round_up(D, 128)
     cos2d, sin2d, perm128 = rope_cs128
     kv_start, kv_count, kmax, block = flash
-    w8a8 = _is_w8(p["q"]["kernel"])
+    # The W8A8 fast path requires ALL FOUR projections in the int8
+    # form: quantize_tree(bits=4) int8-fallbacks group-indivisible
+    # kernels, so a mixed q4/int8 tree must materialize instead.
+    w8a8 = all(_is_w8(p[k]["kernel"]) for k in ("q", "k", "v", "o"))
 
     def padw(pp):
         """Pad a projection per head from D to Dp output lanes. For an
@@ -239,7 +242,7 @@ def _is_w8(kern) -> bool:
 def _mlp_block(x, p):
     from ..ops.quant import int8_act_matmul, quantize_int8_act
 
-    if _is_w8(p["fc1"]["kernel"]):
+    if _is_w8(p["fc1"]["kernel"]) and _is_w8(p["fc2"]["kernel"]):
         # W8A8 serving path: both GEMMs run int8xint8 on the MXU's
         # double-rate path; act quant + rescale are fused elementwise
         xq, sx = quantize_int8_act(x)

@@ -214,6 +214,38 @@ def test_int4_quantized_tower_runs_weight_only():
     assert (num / np.maximum(den, 1e-9)).min() > 0.9
 
 
+def test_mixed_int8_q4_tower_runs_weight_only():
+    """quantize_tree(bits=4) int8-fallbacks kernels whose din is not
+    group-divisible, so one tree can hold BOTH forms: hidden=96 makes
+    fc1 (din=96) int8 while fc2 (din=128) packs q4. The W8A8 fast path
+    must not engage on fc1 alone (regression: dryrun_multichip's
+    4-bit QLoRA step crashed with KeyError 'q' on fc2)."""
+    from cogstream_tpu.models.vision_encoder import init_vision_params
+    from cogstream_tpu.ops.quant import quantize_tree
+
+    cfg = VisionEncoderConfig(
+        hidden_size=96, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=2, patch_size=14, dtype="float32")
+    params = init_vision_params(jax.random.PRNGKey(4), cfg)
+    q = quantize_tree(params, bits=4, nf4=True,
+                      predicate=lambda name: name != "patch_embed")
+    mlp = q["layers"][0]["mlp"]
+    assert "q" in mlp["fc1"]["kernel"] and "q4" in mlp["fc2"]["kernel"]
+
+    rng = np.random.default_rng(6)
+    grids = np.array([[2, 4, 4]], np.int32)
+    merges = np.array([2], np.int32)
+    pv = rng.standard_normal((32, 3 * 14 * 14)).astype(np.float32)
+    ref = np.asarray(vision_encoder_forward(
+        params, pv, grids, merges, cfg, use_pallas=True))
+    out = np.asarray(vision_encoder_forward(
+        q, pv, grids, merges, cfg, use_pallas=True))
+    assert out.shape == ref.shape and np.isfinite(out).all()
+    num = np.sum(ref * out, axis=-1)
+    den = (np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
+    assert (num / np.maximum(den, 1e-9)).min() > 0.9
+
+
 def test_uint8_pixels_device_normalize_parity():
     """RAW uint8 patch rows (4x less host->device traffic) must encode
     to the same features as host-normalized float32 rows."""
