@@ -311,16 +311,29 @@ def bench_7b_quantized(bits: int = 8):
     dt_l = _median_time(lambda: run(NEW), iters=2, warmup=1)
     decode_tok_s = (NEW - short) / max(dt_l - dt_s, 1e-9)
 
-    @jax.jit
-    def pf(params, emb, positions):
-        cache = init_kv_cache(cfg, 1, S + NEW)
-        hidden, _ = qwen2.qwen2_forward(params, emb, positions, cfg,
-                                        cache=cache)
-        return hidden[:, -1]
+    def make_pf(c):
+        @jax.jit
+        def pf(params, emb, positions):
+            cache = init_kv_cache(c, 1, S + NEW)
+            hidden, _ = qwen2.qwen2_forward(params, emb, positions, c,
+                                            cache=cache)
+            return hidden[:, -1]
+        return pf
 
+    pf = make_pf(cfg)
     dt_p = _median_time(lambda: pf(params, emb, positions),
                         iters=2, warmup=1)
-    return decode_tok_s, S / dt_p
+    pf_w8_tok_s = None
+    if bits == 8:
+        # W8A8 serving prefill (config.w8a8_prefill): the compute-bound
+        # prefill GEMMs run int8xint8 on the MXU double-rate path
+        import dataclasses
+
+        pf8 = make_pf(dataclasses.replace(cfg, w8a8_prefill=True))
+        dt_p8 = _median_time(lambda: pf8(params, emb, positions),
+                             iters=2, warmup=1)
+        pf_w8_tok_s = S / dt_p8
+    return decode_tok_s, S / dt_p, pf_w8_tok_s
 
 
 def _synthetic_7b_text_params(bits: int):
@@ -450,6 +463,64 @@ def bench_lookahead_7b(bits: int = 8, K: int = 4):
     dk = _median_time(lambda: step(params, cache0, K + 1), iters=3,
                       warmup=1)
     return NEW / dt, steps, dk / d1
+
+
+def bench_session_7b_w8a8(use_pallas: bool):
+    """W8A8 serving-mode variant of the 7B session: the vision tower
+    runs int8 weights + int8 activations (encoder_int8=True) AND the
+    decoder's prefill GEMMs run W8A8 (config.w8a8_prefill) — the
+    full int8 serving stack. Reports steady ingest fps and the
+    typical-selector FCC turn; bf16-prefill numbers stay the headline
+    (W8A8 is opt-in, quality unvalidated without a checkpoint)."""
+    import dataclasses
+    import time
+
+    import jax
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.config import CompressionConfig
+    from cogstream_tpu.models.projector import init_projector_params
+    from cogstream_tpu.models.vision_encoder import init_vision_params
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg = dataclasses.replace(
+        presets.cogreasoner_7b(), compression=CompressionConfig(
+            frames_per_event=8, keyframes_per_event=2))
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, w8a8_prefill=True))
+    params = {
+        "vision": init_vision_params(jax.random.PRNGKey(0), cfg.vision),
+        "projector": init_projector_params(
+            jax.random.PRNGKey(1), cfg.vision.hidden_size,
+            cfg.text.hidden_size, cfg.mm_projector_type,
+            dtype=cfg.text.jnp_dtype),
+        "text": _synthetic_7b_text_params(8),
+    }
+    tok, _ = _tokenizer_for(cfg)
+    sess = StreamingSession(params, cfg, tok, max_len=4096,
+                            use_pallas=use_pallas, encoder_int8=True)
+
+    rng = np.random.default_rng(0)
+    T, gh, gw = 16, 16, 16
+    pv = rng.integers(0, 255, size=(T * gh * gw,
+                                    3 * cfg.vision.patch_size ** 2),
+                      dtype=np.uint8)
+    ing = []
+    for seg in range(5):
+        t0 = time.perf_counter()
+        sess.append_stream_segment(
+            pv, (T, gh, gw), 2,
+            timestamps=list(np.arange(seg * T, (seg + 1) * T,
+                                      dtype=float)))
+        ing.append(time.perf_counter() - t0)
+    sess.selector.max_new_tokens = 12   # typical trained-selector shape
+    q = "what is happening in the video right now?"
+    lat = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        sess.ask(q, mode="FCC", max_new_tokens=32)
+        lat.append(time.perf_counter() - t0)
+    return T / float(np.median(ing[2:])), float(np.median(lat[2:]))
 
 
 def bench_session_7b_quant(use_pallas: bool, bits: int = 8):
@@ -918,6 +989,8 @@ def main():
         if r is not None:
             extras["int8_7b_decode_tok_s"] = round(r[0], 2)
             extras["int8_7b_prefill_tok_s"] = round(r[1], 1)
+            if r[2] is not None:
+                extras["int8_7b_prefill_w8a8_tok_s"] = round(r[2], 1)
         else:
             extras["int8_7b_bench_error"] = repr(err)[:300]
         r, err = _sect(bench_7b_quantized, 4)
@@ -943,6 +1016,13 @@ def main():
             extras["turn_p50_fcc_7b_int8_typical_s"] = round(r[3], 4)
         else:
             extras["session_7b_bench_error"] = repr(err)[:300]
+        # full int8 serving stack (W8A8 encoder + W8A8 decoder prefill)
+        r, err = _sect(bench_session_7b_w8a8, True)
+        if r is not None:
+            extras["session_ingest_fps_7b_w8a8"] = round(r[0], 1)
+            extras["turn_p50_fcc_7b_w8a8_typical_s"] = round(r[1], 4)
+        else:
+            extras["session_7b_w8a8_bench_error"] = repr(err)[:300]
         r, err = _sect(bench_pool_7b, True)
         if r is not None:
             extras["pooled_7b_int8_decode_tok_s_b4"] = round(r[0], 1)

@@ -82,6 +82,13 @@ class Qwen2Config:
     bos_token_id: int = 151643
     eos_token_id: int = 151645
     dtype: str = "bfloat16"
+    # Serving-only: run int8-quantized kernels' PREFILL GEMMs W8A8
+    # (dynamic per-token int8 activations -> MXU double-rate int8 dot;
+    # ops/quant.quantized_matmul). Applies when the traced sequence
+    # length is >= 16, so decode steps (S=1) and lookahead verifies
+    # stay weight-only. Off for training: the activation-quant round
+    # has zero gradient.
+    w8a8_prefill: bool = False
 
     @property
     def head_dim(self) -> int:

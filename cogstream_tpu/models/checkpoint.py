@@ -374,8 +374,50 @@ class _LazyStateDict:
         return len(self._map)
 
 
+def _lazy_quant8(leaf: _Lazy) -> Dict:
+    """Rewrite one kernel _Lazy into a lazy int8 quant dict.
+
+    Quantization happens on HOST numpy (same math as
+    ops/quant.quantize_int8: per-output-channel symmetric absmax), so
+    the device only ever receives the packed int8 tensor + f32 scales —
+    required for serving 7B on one 16 GB chip, where the bf16 kernel
+    could never land first. The two output leaves share one cached
+    computation; each array is popped (freed) as its leaf realizes.
+    """
+    state: Dict[str, np.ndarray] = {}
+
+    def compute() -> Dict[str, np.ndarray]:
+        if not state:
+            w = leaf.fn().astype(np.float32)
+            scale = np.maximum(
+                np.abs(w).max(axis=-2, keepdims=True) / 127.0, 1e-8)
+            state["q"] = np.clip(np.round(w / scale), -127,
+                                 127).astype(np.int8)
+            state["scale"] = np.squeeze(scale, -2).astype(np.float32)
+        return state
+
+    return {"q": _Lazy(lambda: compute().pop("q"), np.int8),
+            "scale": _Lazy(lambda: compute().pop("scale"), np.float32)}
+
+
+def _quantize_lazy_kernels_int8(tree: Dict) -> Dict:
+    """Recursively replace every ``kernel`` _Lazy with a lazy int8
+    dict (embeddings/norms/biases stay full precision — they are tiny)."""
+    out = {}
+    for k, v in tree.items():
+        if k == "kernel" and _is_lazy(v):
+            out[k] = _lazy_quant8(v)
+        elif isinstance(v, dict):
+            out[k] = _quantize_lazy_kernels_int8(v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
-                             dtype=None, mesh=None) -> Dict:
+                             dtype=None, mesh=None,
+                             quantize_text_bits: Optional[int] = None,
+                             ) -> Dict:
     """Load the full CogReasoner pytree from a HF checkpoint directory.
 
     Streaming: the state dict is an on-demand safetensors view
@@ -389,11 +431,26 @@ def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
     unsharded leaf (SURVEY.md §7 "hard parts": 7B fits v5e-8 only
     sharded). Reference layout: model.safetensors(.index.json) with LM
     + ``model.vision_encoder.*`` + ``model.mm_projector.readout.*``.
+
+    ``quantize_text_bits=8`` quantizes every DECODER kernel on host as
+    it streams through (per-channel symmetric int8, exactly
+    ops/quant.quantize_int8), so the int8 7B fits a single v5e —
+    neither host nor device ever holds a bf16 decoder; serve CLI
+    ``--quantize-weights int8``. 4-bit is an offline conversion
+    (ops/quant.quantize_tree), not a load-time one.
     """
+    if quantize_text_bits not in (None, 8):
+        raise ValueError(
+            "only int8 load-time quantization is supported "
+            f"(got bits={quantize_text_bits}); for 4-bit, quantize "
+            "offline via ops.quant.quantize_tree")
     sd = _LazyStateDict(model_dir)
+    text = qwen2_params_from_state_dict(sd, cfg.text, dtype=dtype,
+                                        lazy=True)
+    if quantize_text_bits == 8:
+        text = _quantize_lazy_kernels_int8(text)
     lazy = {
-        "text": qwen2_params_from_state_dict(sd, cfg.text, dtype=dtype,
-                                             lazy=True),
+        "text": text,
         "vision": vision_params_from_state_dict(sd, cfg.vision, dtype=dtype,
                                                 lazy=True),
         "projector": projector_params_from_state_dict(
@@ -401,7 +458,12 @@ def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
     }
     if mesh is None:
         return _realize_tree(lazy)
-    from ..parallel.sharding import cogreasoner_param_specs, specs_to_shardings
+    from ..parallel.sharding import (adapt_specs_to_quantized,
+                                     cogreasoner_param_specs,
+                                     specs_to_shardings)
 
-    shardings = specs_to_shardings(cogreasoner_param_specs(cfg, mesh), mesh)
+    specs = cogreasoner_param_specs(cfg, mesh)
+    if quantize_text_bits == 8:
+        specs = adapt_specs_to_quantized(lazy, specs)
+    shardings = specs_to_shardings(specs, mesh)
     return _realize_tree(lazy, shardings)

@@ -112,7 +112,8 @@ def init_qwen2_params(key: jax.Array, cfg: Qwen2Config) -> Params:
 
 def dense(x: jax.Array, p: Dict, lora: Optional[List[Tuple[Dict, jax.Array]]] = None,
           lora_scale: float = 1.0,
-          lora_dropout: Optional[Tuple[float, jax.Array]] = None) -> jax.Array:
+          lora_dropout: Optional[Tuple[float, jax.Array]] = None,
+          w8a8: bool = False) -> jax.Array:
     """Dense layer with optional gated LoRA deltas.
 
     ``lora`` is a list of (adapter_params, gate) pairs; each adapter is
@@ -131,7 +132,7 @@ def dense(x: jax.Array, p: Dict, lora: Optional[List[Tuple[Dict, jax.Array]]] = 
         # less weight HBM traffic
         from ..ops.quant import quantized_matmul
 
-        y = quantized_matmul(x, kern, x.dtype)
+        y = quantized_matmul(x, kern, x.dtype, w8a8=w8a8)
     else:
         y = x @ kern.astype(x.dtype)
     if "bias" in p:
@@ -269,6 +270,10 @@ def qwen2_forward(
     """
     B, S, H = inputs_embeds.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    # static trace-time switch: prefill-length programs run int8
+    # kernels W8A8 (serving opt-in); decode/verify programs (small S)
+    # keep the weight-only dequant form
+    w8 = cfg.w8a8_prefill and S >= 16
     x = inputs_embeds
     angles = rope_angles(jnp.maximum(positions, 0), D, cfg.rope_theta)  # [B,S,D/2]
 
@@ -317,11 +322,11 @@ def qwen2_forward(
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         ap = layer["attn"]
         q = dense(h, ap["q_proj"], lora("attn", "q_proj"),
-                  lora_scale, dp(0)).reshape(B, S, Hq, D)
+                  lora_scale, dp(0), w8a8=w8).reshape(B, S, Hq, D)
         k = dense(h, ap["k_proj"], lora("attn", "k_proj"),
-                  lora_scale, dp(1)).reshape(B, S, Hkv, D)
+                  lora_scale, dp(1), w8a8=w8).reshape(B, S, Hkv, D)
         v = dense(h, ap["v_proj"], lora("attn", "v_proj"),
-                  lora_scale, dp(2)).reshape(B, S, Hkv, D)
+                  lora_scale, dp(2), w8a8=w8).reshape(B, S, Hkv, D)
         q = apply_rope(q, angles)
         k = apply_rope(k, angles)
         return x, h, q, k, v
@@ -331,14 +336,16 @@ def qwen2_forward(
         dp = functools.partial(_site_drop, dkey)
         ap, mp = layer["attn"], layer["mlp"]
         x = x + dense(attn.reshape(B, S, Hq * D), ap["o_proj"],
-                      lora("attn", "o_proj"), lora_scale, dp(3))
+                      lora("attn", "o_proj"), lora_scale, dp(3),
+                      w8a8=w8)
         h = rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps)
         gate = dense(h, mp["gate_proj"], lora("mlp", "gate_proj"),
-                     lora_scale, dp(4))
+                     lora_scale, dp(4), w8a8=w8)
         up = dense(h, mp["up_proj"], lora("mlp", "up_proj"), lora_scale,
-                   dp(5))
+                   dp(5), w8a8=w8)
         return x + dense(jax.nn.silu(gate) * up, mp["down_proj"],
-                         lora("mlp", "down_proj"), lora_scale, dp(6))
+                         lora("mlp", "down_proj"), lora_scale, dp(6),
+                         w8a8=w8)
 
     if cache is None:
         # LoRA dropout rides the training (cache-free) branch only:

@@ -421,13 +421,28 @@ def slice_output_channels(p, ids: jax.Array):
 
 
 def quantized_matmul(x: jax.Array, qp: Dict[str, jax.Array],
-                     out_dtype=None) -> jax.Array:
+                     out_dtype=None, w8a8: bool = False) -> jax.Array:
     """``x @ W`` for any quantized kernel; the int8 dequant
     (convert × column scale) and the int4 split-halves chain both fuse
-    into the dot under jit."""
+    into the dot under jit.
+
+    ``w8a8=True`` additionally quantizes the ACTIVATIONS per row
+    (dynamic symmetric int8) so an int8 kernel's GEMM runs
+    int8xint8→int32 on the MXU double-rate path (v5e: ~204 TOP/s vs
+    ~133 TFLOP/s bf16, both measured in-program) — the serving prefill
+    mode. int4 kernels ignore the flag (their unpack chain feeds a
+    bf16 dot). SERVING ONLY: the round/clip in the activation quant
+    has zero gradient, so x receives no gradient through the base
+    GEMM — training paths must keep the weight-only dequant form.
+    """
     dtype = out_dtype or x.dtype
     if "q4" in qp:
         return int4_matmul(x, qp, dtype)
+    if w8a8:
+        lead = x.shape[:-1]
+        xq, sx = quantize_int8_act(x.reshape(-1, x.shape[-1]))
+        y = int8_act_matmul(xq, sx, qp["q"], qp["scale"], dtype)
+        return y.reshape(*lead, y.shape[-1])
     w = (qp["q"].astype(jnp.float32)
          * qp["scale"][..., None, :]).astype(dtype)
     return x @ w

@@ -514,6 +514,15 @@ def main():
     ap.add_argument("--max-len", type=int, default=16384)
     ap.add_argument("--pool-rows", type=int, default=0,
                     help=">0 enables pooled batched serving")
+    ap.add_argument("--encoder-int8", action="store_true",
+                    help="W8A8 vision tower (faster ingest encode)")
+    ap.add_argument("--quantize-weights", choices=("int8",),
+                    help="quantize decoder kernels at load (per-channel "
+                         "int8, host-side streaming — 7B fits ONE v5e)")
+    ap.add_argument("--w8a8-prefill", action="store_true",
+                    help="int8-activation prefill GEMMs on int8 "
+                         "decoder weights (requires --quantize-weights; "
+                         "decode steps stay weight-only)")
     args = ap.parse_args()
 
     from ..config import load_generation_config, load_hf_config
@@ -521,7 +530,16 @@ def main():
     from ..processor.tokenizer import load_tokenizer
 
     cfg = load_hf_config(f"{args.model_dir}/config.json")
-    params = load_cogreasoner_from_hf(args.model_dir, cfg)
+    if args.w8a8_prefill:
+        import dataclasses
+
+        if not args.quantize_weights:
+            raise SystemExit("--w8a8-prefill requires --quantize-weights")
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, w8a8_prefill=True))
+    params = load_cogreasoner_from_hf(
+        args.model_dir, cfg,
+        quantize_text_bits=8 if args.quantize_weights == "int8" else None)
     tok = load_tokenizer(args.model_dir, cfg.image_token_index,
                          cfg.text.vocab_size)
     print(f"serving on :{args.port}"
@@ -529,7 +547,8 @@ def main():
     eos = load_generation_config(args.model_dir).eos_token_ids
     serve(SessionServer(params, cfg, tok, max_len=args.max_len,
                         pool_rows=args.pool_rows,
-                        extra_eos_ids=tuple(eos or ())),
+                        extra_eos_ids=tuple(eos or ()),
+                        encoder_int8=args.encoder_int8),
           args.port)
 
 

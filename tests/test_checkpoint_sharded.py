@@ -73,3 +73,46 @@ def test_lazy_state_dict_reads_on_demand(hf_dir):
     first = sd[name]
     assert isinstance(first, np.ndarray)
     assert "definitely.not.a.weight" not in sd
+
+
+def test_quantized_load_matches_quantize_tree(hf_dir):
+    """quantize_text_bits=8 must equal loading bf16 then running
+    ops/quant.quantize_tree — same q/scale math, just streamed on host
+    so no bf16 decoder ever materializes (7B on one 16 GB chip)."""
+    from cogstream_tpu.ops.quant import quantize_tree
+
+    out, cfg = hf_dir
+    plain = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32)
+    want = quantize_tree(plain["text"])
+    got = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32,
+                                   quantize_text_bits=8)
+    # vision/projector untouched
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        plain["vision"], got["vision"])
+    kern = got["text"]["layers"]["attn"]["q_proj"]["kernel"]
+    assert kern["q"].dtype == jnp.int8
+    assert not isinstance(got["text"]["embed_tokens"], dict)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0, atol=1e-6),
+        want, got["text"])
+
+
+def test_quantized_sharded_load_lands_on_adapted_specs(hf_dir, mesh8):
+    from cogstream_tpu.parallel.sharding import adapt_specs_to_quantized
+
+    out, cfg = hf_dir
+    got = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32,
+                                   mesh=mesh8, quantize_text_bits=8)
+    specs = adapt_specs_to_quantized(
+        got, cogreasoner_param_specs(cfg, mesh8))
+    shardings = specs_to_shardings(specs, mesh8)
+    leaves = jax.tree.flatten(got)[0]
+    shard_leaves = jax.tree.flatten(shardings)[0]
+    assert len(leaves) == len(shard_leaves)
+    for leaf, want in zip(leaves, shard_leaves):
+        assert leaf.sharding.is_equivalent_to(want, leaf.ndim), (
+            leaf.shape, leaf.sharding, want)

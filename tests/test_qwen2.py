@@ -321,3 +321,49 @@ def test_export_loads_into_torch_hf():
         positions, TINY)
     ours = np.asarray(lm_logits(params["text"], hidden))
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_w8a8_prefill_parity_and_decode_path_untouched():
+    """w8a8_prefill=True runs int8 kernels' prefill GEMMs with int8
+    activations (MXU double-rate serving mode). Prefill hidden states
+    must stay close to the weight-only dequant form, and decode-length
+    programs (S < 16) must be BIT-identical with the flag on or off —
+    the switch is trace-time on S, so the weights-bound decode path
+    never pays the activation-quant ops."""
+    import dataclasses
+
+    from cogstream_tpu.ops.quant import quantize_tree
+
+    key = jax.random.PRNGKey(9)
+    params = init_qwen2_params(key, TINY)
+    q8 = quantize_tree(params, bits=8,
+                       predicate=lambda name: name != "embed_tokens")
+    cfg_w8 = dataclasses.replace(TINY, w8a8_prefill=True)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(3, TINY.vocab_size, size=(2, 32)).astype(np.int32)
+    x = embed(q8, jnp.asarray(ids))
+    pos = jnp.tile(jnp.arange(32, dtype=jnp.int32), (2, 1))
+
+    ref, _ = qwen2_forward(q8, x, pos, TINY)
+    out, _ = qwen2_forward(q8, x, pos, cfg_w8)
+    ref, out = np.asarray(ref), np.asarray(out)
+    num = np.sum(ref * out, axis=-1)
+    den = np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1)
+    assert (num / np.maximum(den, 1e-9)).min() > 0.99
+
+    # decode step (S=1): same program with or without the flag
+    cache_a = init_kv_cache(TINY, 1, 8, dtype=jnp.float32)
+    cache_b = init_kv_cache(TINY, 1, 8, dtype=jnp.float32)
+    step = embed(q8, jnp.asarray(ids[:1, :1]))
+    p1 = jnp.zeros((1, 1), jnp.int32)
+    da, _ = qwen2_forward(q8, step, p1, TINY, cache=cache_a)
+    db, _ = qwen2_forward(q8, step, p1, cfg_w8, cache=cache_b)
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+    # q4 kernels ignore the flag (weight-only unpack feeds a bf16 dot)
+    q4 = quantize_tree(params, bits=4, group_size=32,
+                       predicate=lambda name: name != "embed_tokens")
+    a, _ = qwen2_forward(q4, x, pos, TINY)
+    b, _ = qwen2_forward(q4, x, pos, cfg_w8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
