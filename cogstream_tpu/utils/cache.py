@@ -5,11 +5,22 @@ models/vision_encoder.py), which costs minutes of one-time compilation
 on the remote-compile TPU path. Enabling JAX's persistent cache makes
 that a once-per-machine cost: subsequent processes (serving restarts,
 bench re-runs, eval shards) hit the disk cache and start in seconds.
+
+CPU-backend entries are host-keyed: XLA:CPU caches AOT machine code
+compiled for the *exact* host CPU feature set, and JAX's cache key does
+not include it — an entry written on one machine deserializes fine on
+another but then executes illegal instructions (observed as SIGILL/
+SIGSEGV/hangs mid-test-suite when the cache directory outlives the
+host, e.g. on shared or snapshotted home volumes). TPU executables are
+device binaries dispatched over the runtime and do not embed host
+machine code, so the TPU cache stays shared at the directory root.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform as _platform
 
 _DEFAULT_DIR = os.environ.get(
     "COGSTREAM_JAX_CACHE",
@@ -18,14 +29,41 @@ _DEFAULT_DIR = os.environ.get(
 _enabled = False
 
 
+def _cpu_host_tag() -> str:
+    """Fingerprint of the host CPU's instruction-set features.
+
+    /proc/cpuinfo's ``flags`` line is exactly the feature set LLVM
+    targets for XLA:CPU AOT results; hashing it gives a stable
+    same-host key that changes whenever the machine (or its microcode
+    feature mask) does.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    h = hashlib.sha1(line.encode()).hexdigest()[:12]
+                    return h
+    except OSError:
+        pass
+    return _platform.machine() or "unknown"
+
+
 def enable_compilation_cache(cache_dir: str = _DEFAULT_DIR) -> str:
-    """Idempotently switch on the persistent compilation cache."""
+    """Idempotently switch on the persistent compilation cache.
+
+    Returns the directory actually configured (for the CPU backend, a
+    host-keyed subdirectory of ``cache_dir`` — see module docstring).
+    """
     global _enabled
     import jax
 
-    if not _enabled:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        _enabled = True
+    if _enabled:
+        return jax.config.jax_compilation_cache_dir
+    if jax.default_backend() == "cpu":
+        cache_dir = os.path.join(
+            cache_dir, f"cpu-{jax.__version__}-{_cpu_host_tag()}")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _enabled = True
     return cache_dir

@@ -27,6 +27,28 @@ import pytest
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_executable_maps():
+    """Drop compiled-executable references between test modules.
+
+    Every XLA:CPU executable pins a handful of memory mappings (JIT'd
+    code pages plus guard pages); a full-suite run compiles thousands
+    of tiny programs and the process crosses ``vm.max_map_count``
+    (default 65530) at around the 80% mark, at which point LLVM's next
+    mmap fails and the *compiler* segfaults — observed as rc=139 (or a
+    hang) in whichever test happens to compile next, with the process
+    at ~63k maps. Clearing JAX's caches per module keeps the suite at a
+    bounded plateau; cross-module recompiles are cheap because shapes
+    are tiny and the persistent disk cache (when a runtime test has
+    enabled it) serves repeats.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -33,3 +33,29 @@ def test_atomic_write_failure_leaves_original(tmp_path, monkeypatch):
     assert json.load(open(p)) == {"ok": True}   # original intact
     assert [f for f in os.listdir(tmp_path)
             if f.startswith(".tmp_")] == []      # temp cleaned up
+
+
+def test_compilation_cache_dir_is_host_keyed_on_cpu(tmp_path, monkeypatch):
+    """CPU-backend persistent-cache entries are XLA:CPU AOT machine code
+    for the compiling host's exact CPU features, and JAX's cache key
+    omits those — an entry from another machine SIGILLs at execution.
+    enable_compilation_cache must therefore namespace the CPU cache by a
+    host fingerprint (utils/cache.py module docstring)."""
+    import jax
+
+    from cogstream_tpu.utils import cache as cache_mod
+
+    monkeypatch.setattr(cache_mod, "_enabled", False)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        got = cache_mod.enable_compilation_cache(str(tmp_path))
+        assert got.startswith(str(tmp_path) + os.sep)
+        tag = os.path.basename(got)
+        assert tag.startswith(f"cpu-{jax.__version__}-")
+        assert os.path.isdir(got)
+        # idempotent: second call reports the configured dir unchanged
+        assert cache_mod.enable_compilation_cache("/elsewhere") == got
+        # same-host stability: the fingerprint is deterministic
+        assert cache_mod._cpu_host_tag() == tag.rsplit("-", 1)[1]
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
