@@ -28,6 +28,23 @@ import numpy as np
 NEG_INF = -1e30
 
 
+def gemm_dtype(dtype) -> jnp.dtype:
+    """GEMM *input* dtype for attention score/value matmuls.
+
+    Half-precision inputs stay half: the MXU runs bf16xbf16 at full rate
+    with f32 accumulation (requested via ``preferred_element_type``),
+    which is the standard flash-attention numerics — upcasting Q/K/V to
+    f32 first would push the GEMMs onto the multi-pass f32 path at a
+    fraction of the rate, and prefill attention is GEMM-bound. Anything
+    wider (f32 params on CPU in tests, f64) keeps full f32 math so the
+    HF-parity suites see unchanged numerics.
+    """
+    dtype = jnp.dtype(dtype)
+    if dtype in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
+        return dtype
+    return jnp.dtype(jnp.float32)
+
+
 def segment_ids_from_lengths(lengths: np.ndarray, total: Optional[int] = None) -> np.ndarray:
     """Host-side: per-token segment ids from per-segment lengths.
 
@@ -96,15 +113,19 @@ def causal_gqa_attention(
     if kv_positions is None:
         kv_positions = q_positions
 
-    qf = q.astype(jnp.float32).reshape(B, S, Hkv, groups, D) * scale
-    logits = jnp.einsum("bshgd,bthd->bhgst", qf, k.astype(jnp.float32))
+    gd = gemm_dtype(q.dtype)
+    qg = q.astype(gd).reshape(B, S, Hkv, groups, D)
+    # scale applied to the f32 logits, not the half-precision inputs
+    logits = jnp.einsum("bshgd,bthd->bhgst", qg, k.astype(gd),
+                        preferred_element_type=jnp.float32) * scale
 
     mask = q_positions[:, :, None] >= kv_positions[:, None, :]  # [B, S, T]
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, :]
     logits = jnp.where(mask[:, None, None], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhgst,bthd->bshgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bhgst,bthd->bshgd", probs.astype(gd), v.astype(gd),
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, S, Hq, D).astype(q.dtype)
 
 
@@ -145,16 +166,18 @@ def chunked_causal_gqa_attention(
         kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad)))
     n_chunks = (T + pad) // kv_chunk
 
-    qf = q.astype(jnp.float32).reshape(B, S, Hkv, G, D) * scale
-    kc = k.astype(jnp.float32).reshape(B, n_chunks, kv_chunk, Hkv, D)
-    vc = v.astype(jnp.float32).reshape(B, n_chunks, kv_chunk, Hkv, D)
+    gd = gemm_dtype(q.dtype)
+    qg = q.astype(gd).reshape(B, S, Hkv, G, D)
+    kc = k.astype(gd).reshape(B, n_chunks, kv_chunk, Hkv, D)
+    vc = v.astype(gd).reshape(B, n_chunks, kv_chunk, Hkv, D)
     pc = kv_positions.reshape(B, n_chunks, kv_chunk)
     uc = kv_valid.reshape(B, n_chunks, kv_chunk)
 
     def step(carry, xs):
         m, l, acc = carry                       # [B,Hkv,G,S], ", [B,Hkv,G,S,D]
         kb, vb, pb, ub = xs                     # [B,C,Hkv,D], ", [B,C], [B,C]
-        s = jnp.einsum("bshgd,bchd->bhgsc", qf, kb)      # [B,Hkv,G,S,C]
+        s = jnp.einsum("bshgd,bchd->bhgsc", qg, kb,      # [B,Hkv,G,S,C]
+                       preferred_element_type=jnp.float32) * scale
         mask = (q_positions[:, :, None] >= pb[:, None, :]) \
             & ub[:, None, :] & (pb[:, None, :] >= 0)     # [B,S,C]
         s = jnp.where(mask[:, None, None], s, NEG_INF)
@@ -165,7 +188,8 @@ def chunked_causal_gqa_attention(
         alpha = jnp.exp(jnp.where(m <= NEG_INF / 2, NEG_INF, m - m_new))
         l = l * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
-            "bhgsc,bchd->bhgsd", p, vb)
+            "bhgsc,bchd->bhgsd", p.astype(gd), vb,
+            preferred_element_type=jnp.float32)
         return (m_new, l, acc), None
 
     m0 = jnp.full((B, Hkv, G, S), NEG_INF, jnp.float32)

@@ -11,7 +11,8 @@ ops/attention.chunked_causal_gqa_attention, with "next chunk" replaced
 by "neighbor's shard". Each fold is itself chunked (``kv_chunk``), so
 live memory is O(S_local * kv_chunk) — never the S_local^2 score block
 — and shards travel in their native dtype (bf16 K/V ride the ICI at
-half the bytes of f32; the fold upcasts per chunk). The local shard
+half the bytes of f32; the fold keeps bf16 GEMM inputs with f32
+accumulation — see ops/attention.gemm_dtype). The local shard
 folds first and the scan runs axis_size-1 rotations, so no transferred
 shard is ever discarded.
 
@@ -67,7 +68,9 @@ def ring_causal_gqa_attention(
     if scale is None:
         scale = 1.0 / float(D) ** 0.5
 
-    qf = q.astype(jnp.float32).reshape(B, S, Hkv, G, D) * scale
+    from .attention import gemm_dtype
+    gd = gemm_dtype(q.dtype)
+    qg = q.astype(gd).reshape(B, S, Hkv, G, D)
 
     # pad shards once so every fold splits evenly into kv_chunk pieces
     # (padding travels the ring too — a few percent of bytes, and pos
@@ -91,8 +94,8 @@ def ring_causal_gqa_attention(
         def step(carry, xs):
             m, l, acc = carry
             kx, vx, px = xs                 # [B,C,Hkv,D], ", [B,C]
-            s = jnp.einsum("bshgd,bchd->bhgsc", qf,
-                           kx.astype(jnp.float32))
+            s = jnp.einsum("bshgd,bchd->bhgsc", qg, kx.astype(gd),
+                           preferred_element_type=jnp.float32) * scale
             mask = (q_positions[:, :, None] >= px[:, None, :]) \
                 & (px[:, None, :] >= 0) & q_valid
             s = jnp.where(mask[:, None, None], s, NEG_INF)
@@ -104,7 +107,8 @@ def ring_causal_gqa_attention(
                                       m - m_new))
             l = l * alpha + jnp.sum(p, axis=-1)
             acc = acc * alpha[..., None] + jnp.einsum(
-                "bhgsc,bchd->bhgsd", p, vx.astype(jnp.float32))
+                "bhgsc,bchd->bhgsd", p.astype(gd), vx.astype(gd),
+                preferred_element_type=jnp.float32)
             return (m_new, l, acc), None
 
         (m, l, acc), _ = jax.lax.scan(

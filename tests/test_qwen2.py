@@ -172,6 +172,38 @@ def test_chunked_attention_matches_dense():
                                atol=2e-5)
 
 
+def test_bf16_attention_matches_f32_reference():
+    """bf16 inputs route the GEMMs through half-precision inputs with
+    f32 accumulation (ops/attention.gemm_dtype); the result must stay
+    within bf16 rounding of the full-f32 reference on both the dense
+    and chunked paths."""
+    from cogstream_tpu.ops.attention import (
+        causal_gqa_attention, chunked_causal_gqa_attention, gemm_dtype)
+
+    assert gemm_dtype(jnp.bfloat16) == jnp.bfloat16
+    assert gemm_dtype(jnp.float32) == jnp.float32
+
+    rng = np.random.default_rng(7)
+    B, S, T, Hq, Hkv, D = 2, 40, 72, 4, 2, 16
+    qf = jnp.asarray(rng.normal(size=(B, S, Hq, D)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+    qp = jnp.asarray(np.tile(np.arange(32, 32 + S), (B, 1)))
+    kp = jnp.asarray(np.tile(np.arange(T), (B, 1)))
+    valid = jnp.asarray(rng.random((B, T)) > 0.1)
+
+    ref = np.asarray(causal_gqa_attention(qf, kf, vf, qp, valid, kp))
+    qb, kb, vb = (a.astype(jnp.bfloat16) for a in (qf, kf, vf))
+    for out in (
+        causal_gqa_attention(qb, kb, vb, qp, valid, kp),
+        chunked_causal_gqa_attention(qb, kb, vb, qp, valid, kp,
+                                     kv_chunk=32),
+    ):
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                                   atol=4e-2)
+
+
 def test_chunked_attention_gradients_match():
     from cogstream_tpu.ops.attention import (
         causal_gqa_attention, chunked_causal_gqa_attention)
