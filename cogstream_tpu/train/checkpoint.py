@@ -65,6 +65,22 @@ def restore_train_state(directory: str, template_state) -> Any:
                 "step": template_state.step}
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     mgr.close()
+
+    # Re-place every leaf under the template's sharding: StandardRestore
+    # hands back arrays COMMITTED to their restore device, and mixing
+    # those with mesh-sharded params fails the next jitted step
+    # ("incompatible devices"). Where the template is genuinely
+    # multi-device its sharding is the truth; single-device template
+    # leaves (fresh optimizer scalars) go back as host numpy so jit
+    # re-places them like the uncommitted originals.
+    def place(t, r):
+        if isinstance(t, jax.Array) and len(t.sharding.device_set) > 1:
+            return jax.device_put(r, t.sharding)
+        if isinstance(r, jax.Array):
+            return np.asarray(r)
+        return r
+
+    restored = jax.tree.map(place, template, restored)
     return TrainState(restored["lora"], restored["opt_state"],
                       restored["step"])
 

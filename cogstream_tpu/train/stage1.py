@@ -74,8 +74,15 @@ def train_stage1(
     tcfg: Stage1Config = Stage1Config(),
     resume: bool = True,
     log=print,
+    stop_flag=None,
 ):
-    """Train the selector LoRA; returns the final TrainState."""
+    """Train the selector LoRA; returns the final TrainState.
+
+    ``stop_flag`` is an optional ``Callable[[], bool]`` polled at every
+    step boundary (trainer.PreemptionGuard wires it to SIGTERM): when it
+    turns true the train state is saved and the function returns early —
+    a relaunch resumes from that step.
+    """
     lora_cfg = LoRAConfig()
     lora = init_qwen2_lora(jax.random.PRNGKey(tcfg.seed), cfg.text,
                            lora_cfg)
@@ -153,6 +160,11 @@ def train_stage1(
                         f"({s / (time.time() - t0 + 1e-9):.2f} it/s)")
                 if s % tcfg.save_every == 0:
                     ckpt.save_train_state(out_dir, state)
+                if stop_flag is not None and stop_flag():
+                    ckpt.save_train_state(out_dir, state)
+                    log(f"preempted at step {s}: train state saved — "
+                        "rerun to resume")
+                    return state
             ckpt.save_train_state(out_dir, state)
             log(f"epoch {epoch} done")
     ckpt.save_lora_adapter(out_dir, state.lora, name="language_module")
@@ -209,14 +221,18 @@ def main():
     else:
         samples = load_selector_dataset(args.qa_json)
     print(f"{len(samples)} selector samples")
-    train_stage1(params, cfg, tokenizer, samples, args.out,
-                 Stage1Config(epochs=args.epochs,
-                              batch_size=args.batch_size,
-                              learning_rate=args.lr,
-                              data_parallel=args.data_parallel,
-                              pipeline_stages=args.pipeline_stages,
-                              pipeline_microbatches=(
-                                  args.pipeline_microbatches)))
+    from .trainer import PreemptionGuard
+
+    with PreemptionGuard() as guard:    # SIGTERM → save + clean exit
+        train_stage1(params, cfg, tokenizer, samples, args.out,
+                     Stage1Config(epochs=args.epochs,
+                                  batch_size=args.batch_size,
+                                  learning_rate=args.lr,
+                                  data_parallel=args.data_parallel,
+                                  pipeline_stages=args.pipeline_stages,
+                                  pipeline_microbatches=(
+                                      args.pipeline_microbatches)),
+                     stop_flag=guard)
 
 
 if __name__ == "__main__":

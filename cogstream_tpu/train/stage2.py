@@ -193,12 +193,16 @@ class Stage2Trainer:
 
     def __init__(self, params, cfg: CogReasonerConfig, tokenizer,
                  tcfg: Stage2Config, out_dir: str,
-                 total_steps: Optional[int] = None, log=print):
+                 total_steps: Optional[int] = None, log=print,
+                 stop_flag=None):
         self.cfg = cfg
         self.tok = tokenizer
         self.tcfg = tcfg
         self.out_dir = out_dir
         self.log = log
+        # optional Callable[[], bool] (trainer.PreemptionGuard): polled
+        # at turn boundaries; true → save state and stop cleanly
+        self.stop_flag = stop_flag
 
         self.lora_cfg = LoRAConfig(include_projector=not tcfg.baseline)
         lora = init_cogreasoner_lora(
@@ -301,6 +305,17 @@ class Stage2Trainer:
             ckpt.save_train_state(self.out_dir, self.state)
         return float(loss)
 
+    def preempted(self) -> bool:
+        """True once the stop flag fires; saves the train state when
+        observed so the caller can simply stop."""
+        if self.stop_flag is not None and self.stop_flag():
+            ckpt.save_train_state(self.out_dir, self.state)
+            self.log(f"preempted at step "
+                     f"{int(np.asarray(self.state.step))}: train state "
+                     "saved — rerun to resume")
+            return True
+        return False
+
     def finish(self):
         ckpt.save_train_state(self.out_dir, self.state)
         ckpt.save_lora_adapter(self.out_dir, self.state.lora,
@@ -392,6 +407,8 @@ def train_stage2_video(
             conversation.append({"role": "assistant", "content": a})
             hist_qs.append(q)
             hist_as.append(a)
+            if trainer.preempted():
+                return losses
     return losses
 
 
@@ -462,30 +479,39 @@ def main():
     processor = CogStreamProcessor(tok, cfg.processor)
     tcfg = Stage2Config(num_epochs=args.num_epochs, baseline=args.baseline,
                         sequence_parallel=args.sequence_parallel)
-    trainer = Stage2Trainer(
-        params, cfg, tok, tcfg, args.out,
-        total_steps=count_dataset_turns(args.query_dir) * tcfg.num_epochs)
+    from .trainer import PreemptionGuard
 
-    from ..evaluate.answer_generate import load_eval_spec
+    with PreemptionGuard() as guard:    # SIGTERM → save + clean exit
+        trainer = Stage2Trainer(
+            params, cfg, tok, tcfg, args.out,
+            total_steps=(count_dataset_turns(args.query_dir)
+                         * tcfg.num_epochs),
+            stop_flag=guard)
 
-    for epoch in range(tcfg.num_epochs):
-        for fname in sorted(os.listdir(args.query_dir)):
-            if not fname.endswith(".json"):
-                continue
-            # both layouts: internal specs pass through; published
-            # query chains map to per-segment files of the video dir
-            spec = load_eval_spec(
-                os.path.join(args.query_dir, fname), args.video_dir)
-            video = os.path.join(args.video_dir,
-                                 spec.get("video", fname[:-5] + ".mp4"))
-            try:
-                losses = train_stage2_video(
-                    trainer, processor, video, spec.get("segments", []))
-                print(f"{fname}: {len(losses)} turns, "
-                      f"mean loss {np.mean(losses or [0]):.4f}")
-            except Exception as e:  # per-video resilience (ref :161-164)
-                print(f"{fname}: skipped ({type(e).__name__}: {e})")
-    trainer.finish()
+        from ..evaluate.answer_generate import load_eval_spec
+
+        for epoch in range(tcfg.num_epochs):
+            for fname in sorted(os.listdir(args.query_dir)):
+                if not fname.endswith(".json"):
+                    continue
+                # both layouts: internal specs pass through; published
+                # query chains map to per-segment files of the video dir
+                spec = load_eval_spec(
+                    os.path.join(args.query_dir, fname), args.video_dir)
+                video = os.path.join(
+                    args.video_dir, spec.get("video", fname[:-5] + ".mp4"))
+                try:
+                    losses = train_stage2_video(
+                        trainer, processor, video, spec.get("segments", []))
+                    print(f"{fname}: {len(losses)} turns, "
+                          f"mean loss {np.mean(losses or [0]):.4f}")
+                except Exception as e:  # per-video resilience (ref :161-164)
+                    print(f"{fname}: skipped ({type(e).__name__}: {e})")
+                if guard():
+                    break
+            if guard():
+                break
+        trainer.finish()
 
 
 if __name__ == "__main__":

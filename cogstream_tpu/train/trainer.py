@@ -26,6 +26,58 @@ from ..parallel.mesh import DATA_AXIS
 IGNORE_INDEX = -100
 
 
+class PreemptionGuard:
+    """SIGTERM-aware stop flag for preemption-safe training.
+
+    Production TPU capacity is routinely preempted (spot reclaims and
+    maintenance events deliver SIGTERM with a grace window). The
+    reference's recovery story is hand-edited resume constants
+    (second_stage_training.py:236-239); here the signal handler only
+    sets a flag, the train loop checks it at the next step boundary,
+    saves the orbax train state, and exits cleanly — the relaunch
+    resumes from that exact step via ``restore_train_state``.
+
+    Usage::
+
+        with PreemptionGuard() as guard:
+            train_stage1(..., stop_flag=guard)
+
+    The guard is callable (returns ``triggered``) so loops can take
+    any ``stop_flag: Callable[[], bool]``. Outside the main thread
+    (where CPython forbids signal handlers) it degrades to a plain
+    never-triggered flag.
+    """
+
+    def __init__(self, signals: Tuple[int, ...] = None):
+        import signal as _signal
+
+        self._signal = _signal
+        self._signals = signals if signals is not None \
+            else (_signal.SIGTERM,)
+        self._prev: Dict[int, Any] = {}
+        self.triggered = False
+
+    def _handle(self, signum, frame):
+        self.triggered = True
+
+    def __enter__(self) -> "PreemptionGuard":
+        for s in self._signals:
+            try:
+                self._prev[s] = self._signal.signal(s, self._handle)
+            except ValueError:      # not the main thread
+                pass
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        self._prev.clear()
+        return False
+
+    def __call__(self) -> bool:
+        return self.triggered
+
+
 # ---------------------------------------------------------------------------
 # losses
 # ---------------------------------------------------------------------------

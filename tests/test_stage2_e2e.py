@@ -367,3 +367,45 @@ def test_stage2_sequence_parallel_rejects_bad_seq_len():
         Stage2Trainer(params, cfg, tok,
                       Stage2Config(sequence_parallel=16, max_seq_len=3000),
                       "/tmp/x", log=lambda *a: None)
+
+
+def test_stage2_preemption_stops_curriculum(tmp_path, tiny_video):
+    """A triggered stop flag halts the curriculum at the next turn
+    boundary with the train state saved (Stage2Trainer.preempted)."""
+    import os
+
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.processing import CogStreamProcessor
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.train.stage2 import (
+        Stage2Config, Stage2Trainer, train_stage2_video)
+
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(2), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    processor = CogStreamProcessor(tok, cfg.processor)
+    tcfg = Stage2Config(max_seq_len=2048, max_frames=2, grad_accum=1,
+                        baseline=True, save_every=10_000)
+    out = str(tmp_path / "s2pre")
+    fired = {"n": 0}
+
+    def flag():
+        fired["n"] += 1
+        return True                       # preempt at the FIRST boundary
+
+    trainer = Stage2Trainer(params, cfg, tok, tcfg, out,
+                            log=lambda *a: None, stop_flag=flag)
+    segments = [{"timestamp": [0.0, 2.0], "QAs": [
+        {"QA_pairs": [{"Q": "q1?", "A": "a1."}], "relevance": []},
+        {"QA_pairs": [{"Q": "q2?", "A": "a2."}], "relevance": []},
+    ]}]
+    losses = train_stage2_video(trainer, processor, tiny_video, segments)
+    assert len(losses) == 1               # second QA never trained
+    assert fired["n"] >= 1
+    # the observed preemption saved restorable state at step 1
+    from cogstream_tpu.train import checkpoint as ckpt
+
+    restored = ckpt.restore_train_state(out, trainer.state)
+    assert restored is not None
+    assert int(np.asarray(restored.step)) == 1

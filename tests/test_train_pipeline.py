@@ -252,3 +252,55 @@ def test_train_stage1_pipeline_rejects_tp_combo(tmp_path, tiny_config, qa_json):
                      str(tmp_path / "x"),
                      Stage1Config(pipeline_stages=2, model_parallel=2),
                      log=lambda *a: None)
+
+
+def test_preemption_guard_flags_and_restores_handler():
+    """PreemptionGuard: SIGTERM inside the context only sets the flag;
+    the previous handler comes back on exit."""
+    import signal
+
+    from cogstream_tpu.train.trainer import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as guard:
+        assert not guard()
+        os.kill(os.getpid(), signal.SIGTERM)   # handled, not fatal
+        assert guard()
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_train_stage1_preemption_saves_and_resumes(tmp_path, tiny_config,
+                                                   qa_json):
+    """SIGTERM mid-run: stage 1 stops at the next step boundary with the
+    train state saved; the relaunch resumes from that step (the
+    production preemption story — the reference's analogue is hand-
+    edited resume constants, second_stage_training.py:236-239)."""
+    import signal
+
+    from cogstream_tpu.train.data import load_selector_dataset
+    from cogstream_tpu.train.stage1 import Stage1Config, train_stage1
+    from cogstream_tpu.train.trainer import PreemptionGuard
+
+    params = {"text": __import__("cogstream_tpu.models.qwen2",
+                                 fromlist=["init_qwen2_params"])
+              .init_qwen2_params(jax.random.PRNGKey(0), tiny_config.text)}
+    tok = ByteTokenizer(image_token_id=tiny_config.image_token_index)
+    samples = load_selector_dataset(qa_json)
+    out = str(tmp_path / "s1pre")
+    scfg = Stage1Config(epochs=2, batch_size=2, max_len=2048,
+                        grad_accum=1, warmup_steps=1, save_every=1000,
+                        log_every=1000, shuffle_copies=1)
+
+    logs = []
+    with PreemptionGuard() as guard:
+        os.kill(os.getpid(), signal.SIGTERM)   # preempt before step 1
+        state = train_stage1(params, tiny_config, tok, samples, out,
+                             scfg, log=logs.append, stop_flag=guard)
+    assert int(np.asarray(state.step)) == 1    # stopped early, not 2 epochs
+    assert any("preempted at step 1" in str(m) for m in logs)
+
+    logs2 = []
+    state2 = train_stage1(params, tiny_config, tok, samples, out, scfg,
+                          log=logs2.append)
+    assert any("resumed from step 1" in str(m) for m in logs2)
+    assert int(np.asarray(state2.step)) > 1    # ran to completion
