@@ -354,6 +354,13 @@ class StreamingSession:
         # device scalar from the last lookahead ask (verify forwards
         # used); fetched lazily by stats consumers, never in the turn
         self.last_lookahead_steps = None
+        # opt-in ingest stage decomposition (utils/profiling analogue
+        # for the session): when True, append_stream_segment force-syncs
+        # between phases and records wall seconds in last_ingest_times.
+        # PROFILING ONLY — the syncs serialize phases the production
+        # path leaves asynchronous.
+        self.profile_stages = False
+        self.last_ingest_times: Dict[str, float] = {}
 
         self.ranges: List[SlotRange] = []
         self.events: List[EventRecord] = []
@@ -599,12 +606,22 @@ class StreamingSession:
         cc = self.cfg.compression
         merged = (gh // merge_size) * (gw // merge_size)
 
+        prof = self.profile_stages
+        if prof:
+            import time as _time
+            tms: Dict[str, float] = {}
+            tprev = _time.perf_counter()
+
         rows = t * gh * gw
         pad_rows = -(-rows // 1024) * 1024   # bucket the encode shape
         mm = cogreasoner.encode_images(
             self.params, pixel_values, np.array([[t, gh, gw]]),
             np.array([merge_size]), self.cfg, use_pallas=self.use_pallas,
             pad_to=pad_rows)
+        if prof:
+            np.asarray(jax.device_get(mm[:1, :1]))   # sync the encode
+            now = _time.perf_counter()
+            tms["encode_s"], tprev = now - tprev, now
         # pixel-diff keep mask — question-independent, applied at ingest
         keep = cogreasoner.pixel_diff_keep_mask(
             jnp.asarray(pixel_values), t, merged,
@@ -614,6 +631,9 @@ class StreamingSession:
             image_std=tuple(self.cfg.vision.image_std),
             rescale_factor=self.cfg.vision.rescale_factor)
         plan = self._segment_plan(np.asarray(keep), t, merged, timestamps)
+        if prof:
+            now = _time.perf_counter()
+            tms["mask_plan_s"], tprev = now - tprev, now
 
         Sp = self._bucket(plan["n"] + t)
         n_img_p = self._bucket(max(len(plan["flat_img"]), 1), 128)
@@ -624,6 +644,9 @@ class StreamingSession:
                 f"session cache overflow: {start}+{Sp} > {self.max_len}")
 
         packed = self._pack_plan(plan, Sp, n_img_p)
+        if prof:
+            now = _time.perf_counter()
+            tms["pack_s"], tprev = now - tprev, now
         self.cache, frame_feats_dev, frame_rows_all = _ingest_device_step(
             self.params["text"], self._full_adapters(), self.cache, mm,
             jnp.asarray(packed["ids_pad"]), jnp.asarray(packed["img_pad"]),
@@ -635,9 +658,15 @@ class StreamingSession:
             merged,
             write_slots=self._row_slots(start, plan["n"] + t, Sp),
             cache_rows=self._cache_rows())
-        self._commit_segment(plan, start, Sp, np.asarray(frame_feats_dev),
-                             frame_rows_all)
+        frame_feats = np.asarray(frame_feats_dev)   # fetch (syncs prefill)
+        if prof:
+            now = _time.perf_counter()
+            tms["prefill_fetch_s"], tprev = now - tprev, now
+        self._commit_segment(plan, start, Sp, frame_feats, frame_rows_all)
         self._flush_event_reps()
+        if prof:
+            tms["commit_events_s"] = _time.perf_counter() - tprev
+            self.last_ingest_times = tms
 
     def _ingest_allowed(self) -> np.ndarray:
         """Visibility for ingest prefills: everything except shadow
