@@ -322,6 +322,47 @@ def pixel_diff_keep_mask(
     return mask
 
 
+def pixel_diff_keep_mask_host(
+    pixel_values: np.ndarray,   # [t*gh*gw, C*ps*ps] host patch rows
+    t: int,
+    merged_per_frame: int,
+    minor: np.ndarray,          # [t] bool
+    threshold: float = 0.1,
+    min_tokens: int = 1,
+    image_std: Tuple[float, ...] = (0.5, 0.5, 0.5),
+    rescale_factor: float = 1.0 / 255.0,
+) -> np.ndarray:
+    """Host-numpy mirror of ``pixel_diff_keep_mask`` (same math, f32).
+
+    The session/pool ingest paths use this instead of the jitted
+    kernel: the pixels are already host-resident and the host packing
+    plan needs the mask immediately, so the device form costs a
+    dispatch plus a blocking mask fetch (~60 ms per segment over the
+    axon tunnel) for a few thousand comparisons numpy does in ~1 ms.
+    The engine's in-jit compression keeps the device kernel."""
+    x = np.asarray(pixel_values).reshape(t, merged_per_frame, -1)
+    if x.dtype == np.uint8:
+        C = len(image_std)
+        scale = np.asarray([rescale_factor / s for s in image_std],
+                           np.float32)[None, None, :, None]
+        x = (x.reshape(t, merged_per_frame, C, -1).astype(np.float32)
+             * scale).reshape(t, merged_per_frame, -1)
+    else:
+        x = x.astype(np.float32)
+    diff = np.abs(x[1:] - x[:-1]).mean(axis=-1) * 255.0
+    diff = np.concatenate(
+        [np.full((1, merged_per_frame), threshold + 1.0, np.float32),
+         diff], axis=0)
+    mask = diff > threshold
+    needs_pad = mask.sum(axis=1) < min_tokens
+    col = np.arange(merged_per_frame) < min_tokens
+    mask = np.where(needs_pad[:, None], mask | col[None, :], mask)
+    minor_row = np.arange(merged_per_frame) == 0
+    mask = np.where(np.asarray(minor, bool)[:, None],
+                    minor_row[None, :], mask)
+    return mask
+
+
 # ---------------------------------------------------------------------------
 # stage 4: compaction + splice
 # ---------------------------------------------------------------------------

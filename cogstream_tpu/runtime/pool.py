@@ -161,15 +161,16 @@ class SessionPool:
             self.params, pix, np.array([[t, gh, gw]] * B),
             np.array([ms] * B), self.cfg, use_pallas=self.use_pallas,
             pad_to=pad_rows)
-        # one dispatch for every row's pixel-diff keep mask
-        keep_all = np.asarray(jax.vmap(
-            lambda p: cogreasoner.pixel_diff_keep_mask(
-                p, t, merged, minor=jnp.zeros((t,), jnp.bool_),
+        # host-numpy keep masks (the packing plans below block on them;
+        # a device mask costs a dispatch + fetch round trip per tick)
+        keep_all = np.stack([
+            cogreasoner.pixel_diff_keep_mask_host(
+                p, t, merged, minor=np.zeros((t,), bool),
                 threshold=cc.pixel_diff_threshold,
                 min_tokens=cc.min_tokens_per_frame,
                 image_std=tuple(self.cfg.vision.image_std),
-                rescale_factor=self.cfg.vision.rescale_factor))(
-            jnp.asarray(pix.reshape(B, t * gh * gw, -1))))
+                rescale_factor=self.cfg.vision.rescale_factor)
+            for p in pix.reshape(B, t * gh * gw, -1)])
 
         plans, starts = [], []
         for i, (b, _, _, _, ts) in enumerate(requests):

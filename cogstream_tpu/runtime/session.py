@@ -622,15 +622,18 @@ class StreamingSession:
             np.asarray(jax.device_get(mm[:1, :1]))   # sync the encode
             now = _time.perf_counter()
             tms["encode_s"], tprev = now - tprev, now
-        # pixel-diff keep mask — question-independent, applied at ingest
-        keep = cogreasoner.pixel_diff_keep_mask(
-            jnp.asarray(pixel_values), t, merged,
-            minor=jnp.zeros((t,), jnp.bool_),
+        # pixel-diff keep mask — question-independent, applied at
+        # ingest; computed on HOST (the pixels are host-resident and the
+        # packing plan blocks on the mask — the device form cost a
+        # dispatch + fetch round trip on the ingest critical path)
+        keep = cogreasoner.pixel_diff_keep_mask_host(
+            pixel_values, t, merged,
+            minor=np.zeros((t,), bool),
             threshold=cc.pixel_diff_threshold,
             min_tokens=cc.min_tokens_per_frame,
             image_std=tuple(self.cfg.vision.image_std),
             rescale_factor=self.cfg.vision.rescale_factor)
-        plan = self._segment_plan(np.asarray(keep), t, merged, timestamps)
+        plan = self._segment_plan(keep, t, merged, timestamps)
         if prof:
             now = _time.perf_counter()
             tms["mask_plan_s"], tprev = now - tprev, now

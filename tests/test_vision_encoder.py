@@ -306,3 +306,28 @@ def test_uint8_pixel_diff_mask_nonstandard_std():
     m_f = np.asarray(pixel_diff_keep_mask(jnp.asarray(normed), t, merged,
                                           minor))
     np.testing.assert_array_equal(m_u8, m_f)
+
+
+def test_host_pixel_diff_mask_matches_device():
+    """The host-numpy mask (used on the session/pool ingest critical
+    path) equals the jitted kernel on uint8 AND float inputs, with and
+    without minor frames / min_tokens padding."""
+    import jax.numpy as jnp
+
+    from cogstream_tpu.models.cogreasoner import (
+        pixel_diff_keep_mask, pixel_diff_keep_mask_host)
+
+    rng = np.random.default_rng(23)
+    t, merged, ps2 = 5, 8, 12
+    raw = rng.integers(0, 255, (t * merged, 3 * ps2), dtype=np.uint8)
+    # near-duplicate frames exercise the min_tokens padding branch
+    raw[merged:2 * merged] = raw[:merged]
+    minor = np.zeros((t,), bool)
+    minor[3] = True
+    for pv in (raw, ((raw / 255.0 - 0.5) / 0.5).astype(np.float32)):
+        m_dev = np.asarray(pixel_diff_keep_mask(
+            jnp.asarray(pv), t, merged, jnp.asarray(minor),
+            min_tokens=2))
+        m_host = pixel_diff_keep_mask_host(pv, t, merged, minor,
+                                           min_tokens=2)
+        np.testing.assert_array_equal(m_dev, m_host)
