@@ -119,11 +119,15 @@ def causal_gqa_attention(
     logits = jnp.einsum("bshgd,bthd->bhgst", qg, k.astype(gd),
                         preferred_element_type=jnp.float32) * scale
 
-    mask = q_positions[:, :, None] >= kv_positions[:, None, :]  # [B, S, T]
+    mask = (q_positions[:, :, None] >= kv_positions[:, None, :]) \
+        & (kv_positions[:, None, :] >= 0)       # pos -1 = invisible slot
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, :]
     logits = jnp.where(mask[:, None, None], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
+    # fully-masked rows (padded queries) zero out instead of softmax's
+    # uniform fallback — matches the chunked path's l=0 guard
+    probs = probs * mask[:, None, None]
     out = jnp.einsum("bhgst,bthd->bshgd", probs.astype(gd), v.astype(gd),
                      preferred_element_type=jnp.float32)
     return out.reshape(B, S, Hq, D).astype(q.dtype)

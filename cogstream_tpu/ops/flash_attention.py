@@ -254,9 +254,13 @@ class FlashRanges:
                 seg_pad[:n] = seg
                 ks, kc, kmax = kv_block_ranges(seg_pad, b, b)
                 steps = (n_pad // b) * kmax
-                # strictly fewer steps wins; ties favor bigger blocks
-                # (fewer programs, same tiles)
-                if best is None or steps <= best[0]:
+                # strictly fewer steps wins (per-step overhead dominates
+                # tile MACs on v5e — 1024² tiles measured 3.1x faster
+                # than 128² at 32x1024 tokens); ties keep the SMALLER
+                # block, whose tiles carry less padding DMA (a single
+                # 256-token frame ties 256/512/1024 at one step — the
+                # 1024 tile would stream 4x the bytes for masked zeros)
+                if best is None or steps < best[0]:
                     best = (steps, b, ks, kc, kmax, n_pad)
             _, b, ks, kc, kmax, n_pad = best
             return FlashRanges(ks, kc, kmax, b, b, n_pad)

@@ -127,7 +127,7 @@ def _group(w: jax.Array, group_size: int):
     *lead, din, dout = w.shape
     if din % group_size or din % 2:
         raise ValueError(
-            f"din={din} must divide group_size={group_size} and 2")
+            f"group_size={group_size} and 2 must divide din={din}")
     return w.reshape(*lead, din // group_size, group_size, dout)
 
 

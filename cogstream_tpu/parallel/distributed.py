@@ -38,8 +38,12 @@ def initialize_if_needed(
                 coordinator_address=explicit,
                 num_processes=num_processes,
                 process_id=process_id)
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # tolerate ONLY re-initialization; a failed bringup
+            # (unreachable coordinator, dead peer) must not silently
+            # degrade to a 1-process run with wrong shards
+            if "already" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 
@@ -48,6 +52,8 @@ def with_retries(fn: Callable[[], T], max_attempts: int = 3,
     """Failure-detection wrapper for per-item work (the structured
     version of the reference's try/except-and-continue train loop,
     second_stage_training.py:161-164)."""
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts={max_attempts} must be >= 1")
     last = None
     for attempt in range(max_attempts):
         try:
@@ -56,7 +62,8 @@ def with_retries(fn: Callable[[], T], max_attempts: int = 3,
             last = e
             if on_error:
                 on_error(attempt, e)
-            time.sleep(backoff_s * (attempt + 1))
+            if attempt + 1 < max_attempts:    # no sleep after the last
+                time.sleep(backoff_s * (attempt + 1))
     raise last
 
 

@@ -133,9 +133,16 @@ def pipeline_decoder_forward(
     n_stages = int(mesh.shape[axis])
     n_layers = jax.tree.leaves(params["layers"])[0].shape[0]
     if n_layers % n_stages:
-        raise ValueError(f"L={n_layers} must divide pipe={n_stages}")
+        raise ValueError(
+            f"pipe={n_stages} stages must divide L={n_layers} layers")
     B, S, H = inputs_embeds.shape
-    M = num_microbatches or min(B, 4 * n_stages)
+    if num_microbatches:
+        M = num_microbatches
+    else:
+        # auto: smallest divisor of B >= 4*stages (<20% bubble); B
+        # itself always divides, so the search cannot fail
+        M = next(c for c in range(min(B, 4 * n_stages), B + 1)
+                 if B % c == 0)
     if B % M:
         raise ValueError(f"microbatches M={M} must divide B={B}")
     mb = B // M

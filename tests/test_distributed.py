@@ -87,3 +87,8 @@ def test_two_process_distributed_dp_tp():
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]
     assert l0 == l1, (l0, l1)
+
+
+def test_with_retries_rejects_zero_attempts():
+    with pytest.raises(ValueError, match="max_attempts"):
+        with_retries(lambda: 1, max_attempts=0)

@@ -106,6 +106,23 @@ def test_pipeline_rejects_bad_shapes(setup):
                                  num_microbatches=3)
     cfg3 = dataclasses.replace(cfg, num_hidden_layers=3)
     params3 = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg3)
-    with pytest.raises(ValueError, match="divide pipe"):
+    with pytest.raises(ValueError, match="stages must divide"):
         pipeline_decoder_forward(params3, emb, pos, cfg3, mesh,
                                  num_microbatches=4)
+
+
+def test_pipeline_auto_microbatches_non_pow2_batch(setup):
+    """Auto microbatch selection must pick a DIVISOR of B: B=10 with 2
+    stages wants >= 8, so the smallest valid choice is 10 — the old
+    min(B, 4*stages) picked 8 and crashed on its own default."""
+    cfg, params, _, _, _ = setup
+    rng = np.random.default_rng(3)
+    B, S = 10, 16
+    ids = rng.integers(3, 100, size=(B, S)).astype(np.int32)
+    pos = jnp.asarray(np.tile(np.arange(S, dtype=np.int32), (B, 1)))
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    mesh = make_pipeline_mesh(n_stages=2, data_parallel=1)
+    out = pipeline_decoder_forward(params, emb, pos, cfg, mesh)
+    ref, _ = qwen2.qwen2_forward(params, emb, pos, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -399,3 +399,32 @@ def test_w8a8_prefill_parity_and_decode_path_untouched():
     a, _ = qwen2_forward(q4, x, pos, TINY)
     b, _ = qwen2_forward(q4, x, pos, cfg_w8)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dense_attention_masks_invisible_and_padded_rows():
+    """Dense causal_gqa_attention must match the chunked path's
+    semantics: kv slots at position -1 are invisible even without
+    kv_valid, and fully-masked query rows return zeros (not softmax's
+    uniform average over stale slots)."""
+    from cogstream_tpu.ops.attention import (
+        causal_gqa_attention, chunked_causal_gqa_attention)
+
+    rng = np.random.default_rng(11)
+    B, S, T, Hq, Hkv, D = 1, 3, 8, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+    q_pos = jnp.asarray([[0, 1, -1]], jnp.int32)       # last row padded
+    kv_pos = jnp.asarray([[0, 1, -1, -1, -1, -1, -1, -1]], jnp.int32)
+    dense = np.asarray(causal_gqa_attention(q, k, v, q_pos,
+                                            kv_positions=kv_pos))
+    chunked = np.asarray(chunked_causal_gqa_attention(
+        q, k, v, q_pos, kv_positions=kv_pos, kv_chunk=4))
+    np.testing.assert_allclose(dense, chunked, rtol=1e-5, atol=1e-5)
+    # padded query row is exactly zero on both paths
+    np.testing.assert_array_equal(dense[0, 2], np.zeros((Hq, D)))
+    # the invisible kv slots changed nothing: recompute with only the
+    # two real slots
+    ref = np.asarray(causal_gqa_attention(
+        q[:, :2], k[:, :2], v[:, :2], q_pos[:, :2]))
+    np.testing.assert_allclose(dense[0, :2], ref[0], rtol=1e-5, atol=1e-5)
