@@ -271,14 +271,16 @@ def bench_session(full: bool, use_pallas: bool):
             ingest_s, T / ingest_s)
 
 
-def bench_7b_quantized(bits: int = 8):
+def bench_7b_quantized(bits: int = 8, uniform: bool = False):
     """7B decode on ONE chip via quantized weights (ops/quant.py):
-    int8 (~7.6 GB layer weights) or rank-1 cubic 4-bit (~4 GB) + bf16
+    int8 (~7.6 GB layer weights) or rank-1 4-bit (~4 GB) + bf16
     embeddings fit a single v5e's 16 GB HBM — the quantized-base
     serving modes (the reference needs bitsandbytes NF4 + a GPU for
-    the same trick). int8 decode runs at the HBM roofline; 4-bit
-    halves the weight footprint at a measured ~1.7x step-time cost
-    (XLA materializes the nibble unpack — see ops/quant.py docstring).
+    the same trick). int8 decode runs at the HBM roofline. 4-bit comes
+    in two schemes: cubic codebook (quality; XLA materializes the
+    nibble unpack at ~1.8x int8 step time) and uniform
+    (``uniform=True``; the speed/capacity scheme — decode routes
+    through the Pallas fused-unpack GEMV, ops/quant_gemv.py).
     Weights are synthetic (values don't matter for throughput)."""
     import time
 
@@ -291,7 +293,7 @@ def bench_7b_quantized(bits: int = 8):
     from cogstream_tpu.runtime.generate import generate_tokens
 
     cfg = presets.cogreasoner_7b().text
-    params = _synthetic_7b_text_params(bits)
+    params = _synthetic_7b_text_params(bits, uniform)
     S, NEW = 512, 32
     ids = np.zeros((1, S), np.int32)
     emb = qwen2.embed(params, jnp.asarray(ids))
@@ -336,7 +338,7 @@ def bench_7b_quantized(bits: int = 8):
     return decode_tok_s, S / dt_p, pf_w8_tok_s
 
 
-def _synthetic_7b_text_params(bits: int):
+def _synthetic_7b_text_params(bits: int, uniform: bool = False):
     """Synthetic quantized 7B decoder weights (values irrelevant for
     throughput; layout/dtypes exactly match quantize_tree output)."""
     import jax.numpy as jnp
@@ -363,9 +365,15 @@ def _synthetic_7b_text_params(bits: int):
                                   jnp.float32),
                 "rscale": jnp.full(tuple(lead) + (din,), 1.0,
                                    jnp.float32),
-                "code": jnp.broadcast_to(
-                    jnp.asarray([CUBIC_A, CUBIC_C], jnp.float32),
-                    tuple(lead) + (2,)),
+                # 1-element code = the UNIFORM scheme's static tag:
+                # decode routes through the Pallas fused-unpack GEMV
+                # (ops/quant_gemv.py); 2-element cubic stays on XLA
+                "code": (jnp.full(tuple(lead) + (1,), 1.0 / 7.0,
+                                  jnp.float32) if uniform else
+                         jnp.broadcast_to(
+                             jnp.asarray([CUBIC_A, CUBIC_C],
+                                         jnp.float32),
+                             tuple(lead) + (2,))),
             }
         else:
             kern = {
@@ -1012,6 +1020,13 @@ def main():
             extras["int4_7b_prefill_tok_s"] = round(r[1], 1)
         else:
             extras["int4_7b_bench_error"] = repr(err)[:300]
+        # uniform-scheme 4-bit: decode rides the Pallas fused-unpack
+        # GEMV (ops/quant_gemv.py) — the serving speed/capacity scheme
+        r, err = _sect(bench_7b_quantized, 4, True)
+        if r is not None:
+            extras["int4u_7b_decode_tok_s"] = round(r[0], 2)
+        else:
+            extras["int4u_7b_bench_error"] = repr(err)[:300]
         r, err = _sect(bench_lookahead_7b, 8)
         if r is not None:
             extras["la_7b_int8_decode_tok_s"] = round(r[0], 2)

@@ -34,14 +34,24 @@ full-precision copy of the weights.
 Measured ceiling (v5e, marginal step rate — prefill not charged to
 decode): int8 7B decodes at ~105 tok/s ≈ 745 GB/s of weight reads,
 ~90% of the HBM roofline; the 4-bit scheme reads half the bytes but
-XLA still materializes the unpacked-int8 nibbles as an intermediate,
-so its step time lands at ~2x int8 rather than 0.5x — 4-bit is the
-CAPACITY scheme (7B layer weights in ~3.8 GB), int8 the speed scheme.
-A Pallas fused-unpack GEMV was probed and rejected: Mosaic cannot
-lower int8 vector shifts (unpack must widen to i32 in VMEM), and at
-decode's M=1 the MXU runs 1/128 utilized, so the kernel measured
-1.4x SLOWER than XLA's int8 path (12.9 vs 9.1 ms per 28-layer MLP
-scan) despite halved HBM reads.
+XLA materializes the unpacked-int8 nibbles as an intermediate, so its
+step time lands at ~2x int8 rather than 0.5x. The Pallas fused-unpack
+GEMV (quant_gemv.py) closes most of that for the UNIFORM rank-1
+scheme: unpack happens in VMEM on bytes the grid pipeline already
+fetched, and the probe (tools/int4_gemv_probe.py, random weights
+passed as jit arguments — constant weights let XLA fold the dots and
+report impossible >roofline rates) measures the 28-layer 7B MLP
+stack at M=1: int8-XLA 8.2 ms, int4-XLA 15.0 ms, int4-kernel-cubic
+14.5 ms, int4-kernel-uniform 10.5 ms, int4-kernel-w4a8 7.5 ms. So
+uniform rank-1 int4 decodes near int8 step time with HALF the weight
+HBM/capacity — and the w4a8 variant (per-row int8 activations, int8
+MXU dots) BEATS int8-XLA outright. The gap to the 2.9 GB/819 GB/s ≈
+3.5 ms roofline is VPU unpack time (widen + shifts + converts ≈ 4
+ops/weight) plus the bf16 MXU weight-load passes (w4a8 halves those,
+hence its win), not HBM. The cubic codebook's extra 4 VPU ops/weight
+put its kernel at XLA parity — cubic stays the QUALITY 4-bit scheme
+(XLA path; the dispatch skips it), uniform the serving speed/capacity
+scheme.
 
 The packed dtype tags the scheme (``uint8`` = NF4 codebook indices
 0..15, ``int8`` = uniform two's-complement nibbles), so quantized
@@ -94,6 +104,14 @@ def _fit_nf4_poly():
                        npp.polymul(np.array([0.0, -15.0, 1.0]), coef))
     return full[::-1]                       # descending, for Horner
 
+
+# Serving switch for the Pallas fused-unpack int4 GEMV (quant_gemv.py):
+# on TPU, decode-sized UNIFORM rank-1 int4 matmuls route through the
+# kernel. Measured (tools/int4_gemv_probe.py, 28-layer 7B MLP stack,
+# M=1): uniform trees 15.0 -> 10.5 ms/pass at half int8's HBM; cubic
+# trees measured at parity (14.5 vs 15.0) so they stay on XLA. Set
+# False to force pure XLA everywhere.
+USE_GEMV_KERNEL = True
 
 _NF4_POLY = _fit_nf4_poly()
 POLY_NF4_CODE = tuple(
@@ -219,7 +237,8 @@ def quantize_int4_rank1(w: jax.Array, nf4: bool = True,
     the weight HBM, versus 3x for any group-reshaped or gather-based
     dequant, which materialize. ``nf4=True`` uses the cubic NF4-grade
     codebook (Gaussian RMSE 0.0284 vs canonical NF4's 0.0269);
-    ``nf4=False`` is uniform (code = [1/7, 0]). Quality of rank-1
+    ``nf4=False`` is uniform (code = [1/7]; the 1-element shape is the
+    static scheme tag the kernel dispatch keys on). Quality of rank-1
     scales sits between int8 and group-64: they absorb per-row/column
     variance exactly; only isolated single-entry outliers favor
     group-64 (RMSE 0.10 vs 0.11 on structured Gaussians, 0.19 vs 0.11
@@ -244,10 +263,13 @@ def quantize_int4_rank1(w: jax.Array, nf4: bool = True,
         coefs = (CUBIC_A, CUBIC_C)
     else:
         q = jnp.clip(jnp.round(norm * 7.0), -7, 7).astype(jnp.int8)
-        coefs = (1.0 / 7.0, 0.0)
+        # 1-element code STATICALLY tags the uniform scheme (shape
+        # survives jit tracing where values do not) — the matmul
+        # dispatch routes these to the fast kernel variant
+        coefs = (1.0 / 7.0,)
     packed = _pack_split(q).astype(jnp.int8)
     code_arr = jnp.broadcast_to(
-        jnp.asarray(coefs, jnp.float32), tuple(lead) + (2,))
+        jnp.asarray(coefs, jnp.float32), tuple(lead) + (len(coefs),))
     return {"q4": packed, "scale": c.squeeze(-2),
             "rscale": r.squeeze(-1), "code": code_arr}
 
@@ -286,15 +308,33 @@ def int4_matmul(x: jax.Array, qp: Dict[str, jax.Array],
     if "rscale" in qp:                              # rank-1 serving scheme
         if packed.ndim != 2:
             return x @ dequantize_int4(qp, dtype)
+        m = x.size // x.shape[-1]
+        if (USE_GEMV_KERNEL and qp["code"].shape[-1] == 1
+                and jax.default_backend() == "tpu"
+                and jax.device_count() == 1):
+            # single-chip only: a pallas_call inside the decoder does
+            # not partition under GSPMD, so TP-mesh serving keeps the
+            # XLA dequant path (int4 is the one-chip capacity scheme)
+            # UNIFORM trees only: the cubic codebook's extra VPU ops
+            # put the kernel at parity with XLA (14.5 vs 15.0 ms on the
+            # 7B MLP stack), so routing cubic trees buys nothing; the
+            # uniform kernel measures 10.5 ms vs 15.0 (quant_gemv.py)
+            from .quant_gemv import gemv_viable, int4_rank1_gemv
+            if gemv_viable(qp, m):
+                # decode-sized M: the Pallas fused-unpack kernel reads
+                # only the packed bytes from HBM (see quant_gemv.py)
+                return int4_rank1_gemv(x, qp, dtype)
         half, dout = packed.shape
         din = 2 * half
         r = qp["rscale"]
-        a, cc = qp["code"][0], qp["code"][1]
+        uniform = qp["code"].shape[-1] == 1         # static scheme tag
+        a = qp["code"][0]
+        cc = None if uniform else qp["code"][1]
         lo, hi = _unpack_halves(packed)
 
         def cubic(nib):
             s = nib.astype(jnp.float32)
-            return s * (a + cc * (s * s))
+            return s * a if uniform else s * (a + cc * (s * s))
 
         wl = (cubic(lo) * scale[None, :]).astype(dtype)
         wh = (cubic(hi) * scale[None, :]).astype(dtype)
@@ -338,8 +378,11 @@ def dequantize_int4(qp: Dict[str, jax.Array],
     if "rscale" in qp:                              # rank-1 scheme
         s = nib.astype(jnp.float32)
         a = qp["code"][..., 0:1, None]
-        cc = qp["code"][..., 1:2, None]
-        vals = s * (a + cc * (s * s))
+        if qp["code"].shape[-1] == 1:               # uniform (static tag)
+            vals = s * a
+        else:
+            cc = qp["code"][..., 1:2, None]
+            vals = s * (a + cc * (s * s))
         w = (vals * qp["rscale"][..., :, None]
              * scale[..., None, :])
         return w.astype(dtype)
