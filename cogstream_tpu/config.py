@@ -89,6 +89,14 @@ class Qwen2Config:
     # stay weight-only. Off for training: the activation-quant round
     # has zero gradient.
     w8a8_prefill: bool = False
+    # Serving-only: DECODE/verify steps (traced S < 16) quantize
+    # activations per row to int8 so rank-1 UNIFORM int4 kernels run
+    # the W4A8 Pallas GEMV (ops/quant_gemv.py) — measured 161 tok/s 7B
+    # decode vs 142 weight-only int4 and 98 int8, at HALF int8's
+    # HBM/capacity. Requires quantize_tree(bits=4, rank1=True,
+    # nf4=False) / load-time int4 weights; meaningless (and slightly
+    # lossy) on int8 kernels. Off for training, like w8a8_prefill.
+    w4a8_decode: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -400,15 +400,61 @@ def _lazy_quant8(leaf: _Lazy) -> Dict:
             "scale": _Lazy(lambda: compute().pop("scale"), np.float32)}
 
 
-def _quantize_lazy_kernels_int8(tree: Dict) -> Dict:
-    """Recursively replace every ``kernel`` _Lazy with a lazy int8
-    dict (embeddings/norms/biases stay full precision — they are tiny)."""
+def _lazy_quant4u(leaf: _Lazy) -> Dict:
+    """Rewrite one kernel _Lazy into a lazy rank-1 UNIFORM int4 quant
+    dict — host-numpy mirror of ops/quant.quantize_int4_rank1(nf4=False)
+    (same alternating-absmax fit, same split-halves packing, bit-equal
+    output), so a 4-bit 7B loads for serving without a bf16 or offline
+    conversion step. Uniform (not cubic) because it is the scheme the
+    fused Pallas GEMV routes (ops/quant_gemv.py). Every decoder kernel
+    has even din (hidden/intermediate sizes); an odd one errors loudly
+    rather than silently degrading."""
+    state: Dict[str, np.ndarray] = {}
+
+    def compute() -> Dict[str, np.ndarray]:
+        if not state:
+            w = leaf.fn().astype(np.float32)
+            *lead, din, dout = w.shape
+            if din % 2:
+                raise ValueError(
+                    f"int4 load needs even din, got kernel {w.shape}; "
+                    "use quantize_text_bits=8 for this checkpoint")
+            aw = np.abs(w)
+            r = np.maximum(aw.max(axis=-1, keepdims=True), 1e-8)
+            c = None
+            for _ in range(8):                      # iters parity
+                c = np.maximum((aw / r).max(axis=-2, keepdims=True),
+                               1e-8)
+                r = np.maximum((aw / c).max(axis=-1, keepdims=True),
+                               1e-8)
+            q = np.clip(np.round(w / (r * c) * 7.0), -7,
+                        7).astype(np.int8)
+            lo = q[..., : din // 2, :].astype(np.uint8) & 0xF
+            hi = q[..., din // 2:, :].astype(np.uint8) & 0xF
+            state["q4"] = (lo | (hi << 4)).view(np.int8)
+            state["scale"] = np.squeeze(c, -2).astype(np.float32)
+            state["rscale"] = np.squeeze(r, -1).astype(np.float32)
+            state["code"] = np.broadcast_to(
+                np.float32(1.0 / 7.0),
+                tuple(lead) + (1,)).copy()          # static uniform tag
+        return state
+
+    return {k: _Lazy((lambda kk: lambda: compute().pop(kk))(k), dt)
+            for k, dt in (("q4", np.int8), ("scale", np.float32),
+                          ("rscale", np.float32), ("code", np.float32))}
+
+
+def _quantize_lazy_kernels(tree: Dict, bits: int) -> Dict:
+    """Recursively replace every ``kernel`` _Lazy with a lazy quant
+    dict — int8 per-channel or rank-1 uniform int4 (embeddings/norms/
+    biases stay full precision — they are tiny)."""
+    fn = _lazy_quant8 if bits == 8 else _lazy_quant4u
     out = {}
     for k, v in tree.items():
         if k == "kernel" and _is_lazy(v):
-            out[k] = _lazy_quant8(v)
+            out[k] = fn(v)
         elif isinstance(v, dict):
-            out[k] = _quantize_lazy_kernels_int8(v)
+            out[k] = _quantize_lazy_kernels(v, bits)
         else:
             out[k] = v
     return out
@@ -432,23 +478,25 @@ def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
     sharded). Reference layout: model.safetensors(.index.json) with LM
     + ``model.vision_encoder.*`` + ``model.mm_projector.readout.*``.
 
-    ``quantize_text_bits=8`` quantizes every DECODER kernel on host as
-    it streams through (per-channel symmetric int8, exactly
-    ops/quant.quantize_int8), so the int8 7B fits a single v5e —
-    neither host nor device ever holds a bf16 decoder; serve CLI
-    ``--quantize-weights int8``. 4-bit is an offline conversion
-    (ops/quant.quantize_tree), not a load-time one.
+    ``quantize_text_bits`` quantizes every DECODER kernel on host as
+    it streams through, so neither host nor device ever holds a bf16
+    decoder: 8 = per-channel symmetric int8 (exactly
+    ops/quant.quantize_int8; 7B fits a single v5e), 4 = rank-1 UNIFORM
+    int4 (exactly ops/quant.quantize_int4_rank1(nf4=False); half int8's
+    weight HBM, and decode rides the fused Pallas GEMV incl. the
+    optional W4A8 mode — config.w4a8_decode). Serve CLI
+    ``--quantize-weights int8|int4``. The cubic-codebook 4-bit quality
+    scheme stays an offline conversion (ops/quant.quantize_tree).
     """
-    if quantize_text_bits not in (None, 8):
+    if quantize_text_bits not in (None, 4, 8):
         raise ValueError(
-            "only int8 load-time quantization is supported "
-            f"(got bits={quantize_text_bits}); for 4-bit, quantize "
-            "offline via ops.quant.quantize_tree")
+            "load-time quantization supports bits 4 or 8 "
+            f"(got bits={quantize_text_bits})")
     sd = _LazyStateDict(model_dir)
     text = qwen2_params_from_state_dict(sd, cfg.text, dtype=dtype,
                                         lazy=True)
-    if quantize_text_bits == 8:
-        text = _quantize_lazy_kernels_int8(text)
+    if quantize_text_bits is not None:
+        text = _quantize_lazy_kernels(text, quantize_text_bits)
     lazy = {
         "text": text,
         "vision": vision_params_from_state_dict(sd, cfg.vision, dtype=dtype,
@@ -463,7 +511,7 @@ def load_cogreasoner_from_hf(model_dir: str, cfg: CogReasonerConfig,
                                      specs_to_shardings)
 
     specs = cogreasoner_param_specs(cfg, mesh)
-    if quantize_text_bits == 8:
+    if quantize_text_bits is not None:
         specs = adapt_specs_to_quantized(lazy, specs)
     shardings = specs_to_shardings(specs, mesh)
     return _realize_tree(lazy, shardings)

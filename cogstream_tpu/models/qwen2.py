@@ -151,6 +151,56 @@ def dense(x: jax.Array, p: Dict, lora: Optional[List[Tuple[Dict, jax.Array]]] = 
     return y
 
 
+_GEMV_SITES = (("attn", "q_proj"), ("attn", "k_proj"),
+               ("attn", "v_proj"), ("attn", "o_proj"),
+               ("mlp", "gate_proj"), ("mlp", "up_proj"),
+               ("mlp", "down_proj"))
+
+
+def _split_stacked_gemv(layers: Dict, m: int):
+    """(xs_layers, heavy) for the decode scan. A pallas operand must be
+    a materialized buffer, so feeding the int4 GEMV kernel from
+    ``lax.scan``'s per-layer weight slice makes XLA copy each layer's
+    packed bytes first — measured 327 GB/s effective vs 566 GB/s
+    indexed on the 7B MLP stack (ops/quant_gemv._gemv_kernel_idx).
+    Here every kernel the indexed route covers (stacked rank-1 UNIFORM
+    int4, decode-sized m) is pulled OUT of the scanned xs into
+    ``heavy``; the scan instead carries a layer index and the restored
+    view (_restore_gemv) hands dense() the full stacked dict + index.
+    Returns (layers, None) when nothing qualifies — zero-cost then."""
+    from ..ops import quant
+    from ..ops.quant_gemv import gemv_viable_stacked
+
+    if not quant._gemv_route_ok():
+        return layers, None
+    heavy = {}
+    for grp, name in _GEMV_SITES:
+        kern = layers.get(grp, {}).get(name, {}).get("kernel")
+        if isinstance(kern, dict) and gemv_viable_stacked(kern, m):
+            heavy[(grp, name)] = kern
+    if not heavy:
+        return layers, None
+    light = dict(layers)
+    for (grp, name), _ in heavy.items():
+        proj = {k: v for k, v in light[grp][name].items()
+                if k != "kernel"}
+        light[grp] = {**light[grp], name: proj}
+    return light, heavy
+
+
+def _restore_gemv(layer: Dict, heavy, idx) -> Dict:
+    """Re-attach the pulled-out stacked kernels as indexed views
+    (``{"layer": idx, ...stacked leaves...}`` — ops/quant.int4_matmul
+    routes these to the indexed kernel)."""
+    if heavy is None:
+        return layer
+    out = dict(layer)
+    for (grp, name), kern in heavy.items():
+        proj = {**out[grp][name], "kernel": {**kern, "layer": idx}}
+        out[grp] = {**out[grp], name: proj}
+    return out
+
+
 def _adapter_layers(adapters) -> Tuple[Tuple[Any, ...], Tuple[Any, ...]]:
     """Split adapter bundle into (stacked layer-trees, gates)."""
     if not adapters:
@@ -272,8 +322,9 @@ def qwen2_forward(
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     # static trace-time switch: prefill-length programs run int8
     # kernels W8A8 (serving opt-in); decode/verify programs (small S)
-    # keep the weight-only dequant form
-    w8 = cfg.w8a8_prefill and S >= 16
+    # keep the weight-only dequant form — unless w4a8_decode routes
+    # them to the int8-activation int4 GEMV (uniform rank-1 kernels)
+    w8 = (cfg.w8a8_prefill and S >= 16) or (cfg.w4a8_decode and S < 16)
     x = inputs_embeds
     angles = rope_angles(jnp.maximum(positions, 0), D, cfg.rope_theta)  # [B,S,D/2]
 
@@ -382,9 +433,18 @@ def qwen2_forward(
             x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         return x, None
 
+    # decode/verify scans: pull indexed-GEMV kernels out of the xs so
+    # the scan carries a layer index instead of slicing the packed
+    # weights (see _split_stacked_gemv; no-op unless serving stacked
+    # uniform int4 on one chip at decode-sized B*S)
+    layers_xs, gemv_heavy = _split_stacked_gemv(params["layers"], B * S)
+    layer_idx = jnp.arange(
+        jax.tree.leaves(params["layers"])[0].shape[0], dtype=jnp.int32)
+
     if side_cache is not None:
         def body(x, xs):
-            layer, ad, ck, cv, sk, sv = xs
+            layer, ad, ck, cv, sk, sv, li = xs
+            layer = _restore_gemv(layer, gemv_heavy, li)
             x, h, q, k, v = block(x, layer, ad)
             sk = jax.lax.dynamic_update_slice(
                 sk, k.astype(sk.dtype), (0, side_cache.write_index, 0, 0))
@@ -401,15 +461,17 @@ def qwen2_forward(
             return finish_block(x, attn, layer, ad), (sk, sv)
 
         x, (new_sk, new_sv) = jax.lax.scan(
-            body, x, (params["layers"], ad_trees,
-                      cache.k, cache.v, side_cache.k, side_cache.v))
+            body, x, (layers_xs, ad_trees,
+                      cache.k, cache.v, side_cache.k, side_cache.v,
+                      layer_idx))
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         new_side = KVCache(k=new_sk, v=new_sv, pos=side_pos,
                            write_index=side_cache.write_index + S)
         return x, new_side
 
     def body(x, xs):
-        layer, ad, ck, cv = xs
+        layer, ad, ck, cv, li = xs
+        layer = _restore_gemv(layer, gemv_heavy, li)
         x, h, q, k, v = block(x, layer, ad)
         if write_slots is not None:
             rows = (cache_rows if cache_rows is not None
@@ -431,7 +493,7 @@ def qwen2_forward(
         return finish_block(x, attn, layer, ad), (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["layers"], ad_trees, cache.k, cache.v))
+        body, x, (layers_xs, ad_trees, cache.k, cache.v, layer_idx))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     new_cache = KVCache(k=new_k, v=new_v, pos=pos_out,
                         write_index=cache.write_index + S)
@@ -501,10 +563,15 @@ def qwen2_forward_sp(
 
 
 def lm_logits(params: Params, hidden: jax.Array,
-              adapters=None, lora_scale: float = 2.0) -> jax.Array:
+              adapters=None, lora_scale: float = 2.0,
+              w8a8: bool = False) -> jax.Array:
+    """``w8a8`` mirrors dense(): decode loops pass cfg.w4a8_decode so a
+    uniform-int4 lm_head's per-step full-vocab read (272 MB at 7B)
+    rides the W4A8 GEMV too; sliced heads (logit_ids) and non-q4
+    kernels are unaffected by it."""
     head = params["lm_head"]
     lora = None
     if adapters:
         lora = [(t.get("lm_head"), g) for t, g in adapters
                 if isinstance(t, dict) and t.get("lm_head") is not None] or None
-    return dense(hidden, head, lora, lora_scale)
+    return dense(hidden, head, lora, lora_scale, w8a8=w8a8)

@@ -32,26 +32,21 @@ XLA fusing the dequant into the GEMM prologue and materializing a
 full-precision copy of the weights.
 
 Measured ceiling (v5e, marginal step rate — prefill not charged to
-decode): int8 7B decodes at ~105 tok/s ≈ 745 GB/s of weight reads,
+decode): int8 7B decodes at ~98-105 tok/s ≈ 745 GB/s of weight reads,
 ~90% of the HBM roofline; the 4-bit scheme reads half the bytes but
 XLA materializes the unpacked-int8 nibbles as an intermediate, so its
-step time lands at ~2x int8 rather than 0.5x. The Pallas fused-unpack
-GEMV (quant_gemv.py) closes most of that for the UNIFORM rank-1
-scheme: unpack happens in VMEM on bytes the grid pipeline already
-fetched, and the probe (tools/int4_gemv_probe.py, random weights
-passed as jit arguments — constant weights let XLA fold the dots and
-report impossible >roofline rates) measures the 28-layer 7B MLP
-stack at M=1: int8-XLA 8.2 ms, int4-XLA 15.0 ms, int4-kernel-cubic
-14.5 ms, int4-kernel-uniform 10.5 ms, int4-kernel-w4a8 7.5 ms. So
-uniform rank-1 int4 decodes near int8 step time with HALF the weight
-HBM/capacity — and the w4a8 variant (per-row int8 activations, int8
-MXU dots) BEATS int8-XLA outright. The gap to the 2.9 GB/819 GB/s ≈
-3.5 ms roofline is VPU unpack time (widen + shifts + converts ≈ 4
-ops/weight) plus the bf16 MXU weight-load passes (w4a8 halves those,
-hence its win), not HBM. The cubic codebook's extra 4 VPU ops/weight
-put its kernel at XLA parity — cubic stays the QUALITY 4-bit scheme
-(XLA path; the dispatch skips it), uniform the serving speed/capacity
-scheme.
+step time landed at ~2x int8 rather than 0.5x. The Pallas fused-unpack
+GEMV (quant_gemv.py) inverts that for the UNIFORM rank-1 scheme:
+unpack happens in VMEM on bytes the grid pipeline already fetched,
+and the decode scan feeds the kernel the STACKED weights plus a layer
+index (scalar-prefetch index_map) so no per-layer slice copy ever
+materializes. End-to-end 7B decode, same bench same day: int8-XLA
+98 tok/s, int4-XLA ~53, int4 uniform kernel 142, its W4A8 variant
+(per-row int8 activations, int8 MXU dots) 161 — uniform rank-1 int4
+is 1.45-1.65x FASTER than int8 at HALF the weight HBM/capacity, the
+speed AND capacity serving scheme. The cubic codebook's extra 4 VPU
+ops/weight put its kernel at XLA parity — cubic stays the QUALITY
+4-bit scheme (XLA path; the dispatch skips it).
 
 The packed dtype tags the scheme (``uint8`` = NF4 codebook indices
 0..15, ``int8`` = uniform two's-complement nibbles), so quantized
@@ -107,10 +102,11 @@ def _fit_nf4_poly():
 
 # Serving switch for the Pallas fused-unpack int4 GEMV (quant_gemv.py):
 # on TPU, decode-sized UNIFORM rank-1 int4 matmuls route through the
-# kernel. Measured (tools/int4_gemv_probe.py, 28-layer 7B MLP stack,
-# M=1): uniform trees 15.0 -> 10.5 ms/pass at half int8's HBM; cubic
-# trees measured at parity (14.5 vs 15.0) so they stay on XLA. Set
-# False to force pure XLA everywhere.
+# kernel (2D heads directly; the decoder scan via the layer-indexed
+# form, models/qwen2._split_stacked_gemv). Measured end-to-end 7B
+# decode: 53 tok/s XLA -> 142 kernel (161 W4A8) vs int8's 98. Cubic
+# trees measured at XLA parity, so they stay on XLA. Set False to
+# force pure XLA everywhere.
 USE_GEMV_KERNEL = True
 
 _NF4_POLY = _fit_nf4_poly()
@@ -292,8 +288,20 @@ def _decode_half(nib: jax.Array, scale_half: jax.Array,
     return (vals * scale_half[..., :, None, :]).astype(dtype)
 
 
+def _gemv_route_ok() -> bool:
+    """Platform gate for the Pallas fused-unpack GEMV (quant_gemv.py).
+
+    Single-chip TPU only: a pallas_call inside the decoder does not
+    partition under GSPMD, so TP-mesh serving keeps the XLA dequant
+    path (int4 is the one-chip capacity scheme). Split out so tests can
+    monkeypatch the route on (the kernel self-selects interpret mode
+    off-TPU)."""
+    return (USE_GEMV_KERNEL and jax.default_backend() == "tpu"
+            and jax.device_count() == 1)
+
+
 def int4_matmul(x: jax.Array, qp: Dict[str, jax.Array],
-                out_dtype=None) -> jax.Array:
+                out_dtype=None, act_int8: bool = False) -> jax.Array:
     """``x @ W`` with W in packed int4/NF4 form, never materializing
     the dequantized weights: each half dequantizes elementwise (shift →
     poly/identity → group-scale broadcast) straight into a
@@ -302,19 +310,37 @@ def int4_matmul(x: jax.Array, qp: Dict[str, jax.Array],
     bytes (half of int8, a quarter of bf16). The fast path covers 2D
     kernels — the decoder scan's per-layer slices and standalone heads;
     stacked [L, din, dout] kernels fall back to a materializing dequant
-    (training prefill is compute-bound, so that path doesn't care)."""
+    (training prefill is compute-bound, so that path doesn't care).
+
+    ``act_int8`` (serving-only, uniform rank-1 trees on the kernel
+    route): per-row int8 activations feed the MXU's int8 path — the
+    W4A8 decode mode, measured FASTER than int8 weights (7.5 vs 8.2 ms
+    on the 7B MLP stack) at half their HBM/capacity. Ignored wherever
+    the kernel doesn't route (the XLA forms stay weight-only)."""
     packed, scale = qp["q4"], qp["scale"]
     dtype = out_dtype or x.dtype
     if "rscale" in qp:                              # rank-1 serving scheme
+        if packed.ndim == 3 and "layer" in qp:
+            # the decode-scan form (models/qwen2._split_stacked_gemv):
+            # stacked [L, ...] weights + a traced layer index — the
+            # indexed kernel reads blocks straight from the stacked
+            # buffer, skipping the per-layer slice copy a scanned
+            # pallas operand otherwise pays
+            layer = qp["layer"]
+            m = x.size // x.shape[-1]
+            if _gemv_route_ok() and qp["code"].shape[-1] == 1:
+                from .quant_gemv import (gemv_viable_stacked,
+                                         int4_rank1_gemv_stacked)
+                if gemv_viable_stacked(qp, m):
+                    return int4_rank1_gemv_stacked(x, qp, layer, dtype,
+                                                   w4a8=act_int8)
+            sl = {k: jnp.take(v, layer, axis=0)
+                  for k, v in qp.items() if k != "layer"}
+            return x @ dequantize_int4(sl, dtype)
         if packed.ndim != 2:
             return x @ dequantize_int4(qp, dtype)
         m = x.size // x.shape[-1]
-        if (USE_GEMV_KERNEL and qp["code"].shape[-1] == 1
-                and jax.default_backend() == "tpu"
-                and jax.device_count() == 1):
-            # single-chip only: a pallas_call inside the decoder does
-            # not partition under GSPMD, so TP-mesh serving keeps the
-            # XLA dequant path (int4 is the one-chip capacity scheme)
+        if _gemv_route_ok() and qp["code"].shape[-1] == 1:
             # UNIFORM trees only: the cubic codebook's extra VPU ops
             # put the kernel at parity with XLA (14.5 vs 15.0 ms on the
             # 7B MLP stack), so routing cubic trees buys nothing; the
@@ -323,7 +349,7 @@ def int4_matmul(x: jax.Array, qp: Dict[str, jax.Array],
             if gemv_viable(qp, m):
                 # decode-sized M: the Pallas fused-unpack kernel reads
                 # only the packed bytes from HBM (see quant_gemv.py)
-                return int4_rank1_gemv(x, qp, dtype)
+                return int4_rank1_gemv(x, qp, dtype, w4a8=act_int8)
         half, dout = packed.shape
         din = 2 * half
         r = qp["rscale"]
@@ -473,14 +499,16 @@ def quantized_matmul(x: jax.Array, qp: Dict[str, jax.Array],
     (dynamic symmetric int8) so an int8 kernel's GEMM runs
     int8xint8→int32 on the MXU double-rate path (v5e: ~204 TOP/s vs
     ~133 TFLOP/s bf16, both measured in-program) — the serving prefill
-    mode. int4 kernels ignore the flag (their unpack chain feeds a
-    bf16 dot). SERVING ONLY: the round/clip in the activation quant
-    has zero gradient, so x receives no gradient through the base
-    GEMM — training paths must keep the weight-only dequant form.
+    mode. On int4 kernels the flag reaches the Pallas GEMV route only
+    (uniform rank-1, decode-sized M → the W4A8 kernel variant; the XLA
+    forms stay weight-only). SERVING ONLY: the round/clip in the
+    activation quant has zero gradient, so x receives no gradient
+    through the base GEMM — training paths must keep the weight-only
+    dequant form.
     """
     dtype = out_dtype or x.dtype
     if "q4" in qp:
-        return int4_matmul(x, qp, dtype)
+        return int4_matmul(x, qp, dtype, act_int8=w8a8)
     if w8a8:
         lead = x.shape[:-1]
         xq, sx = quantize_int8_act(x.reshape(-1, x.shape[-1]))

@@ -124,13 +124,17 @@ def generate_tokens(
                 lm_adapters.append((t, g))
 
         def _logits(h):
+            # sliced head: [H, K] — never a q4 kernel route (K < 128)
             return qwen2.lm_logits(lm_params, h, lm_adapters, lora_scale)
 
         def _to_vocab(idx):
             return lid[idx]
     else:
         def _logits(h):
-            return qwen2.lm_logits(params, h, adapters, lora_scale)
+            # w4a8_decode: a uniform-int4 lm_head's per-step vocab read
+            # rides the W4A8 GEMV (ops/quant_gemv.py)
+            return qwen2.lm_logits(params, h, adapters, lora_scale,
+                                   w8a8=cfg.w4a8_decode)
 
         def _to_vocab(idx):
             return idx
@@ -435,7 +439,8 @@ def generate_tokens_lookahead(
     wi_prefill = cache.write_index   # generation slots start here
     last_h = jnp.take_along_axis(
         hidden, last_index[:, None, None].astype(jnp.int32), axis=1)
-    logits = qwen2.lm_logits(params, last_h, adapters, lora_scale)[:, 0]
+    logits = qwen2.lm_logits(params, last_h, adapters, lora_scale,
+                             w8a8=cfg.w4a8_decode)[:, 0]
     first_tok = _map_eos(
         jnp.argmax(logits, axis=-1).astype(jnp.int32)[0])
 
@@ -493,7 +498,8 @@ def generate_tokens_lookahead(
             params, emb, fed_pos[None], cfg, cache=c.cache,
             adapters=adapters, lora_scale=lora_scale,
             kv_allowed=kv_allowed)
-        lg = qwen2.lm_logits(params, hidden, adapters, lora_scale)[0]
+        lg = qwen2.lm_logits(params, hidden, adapters, lora_scale,
+                             w8a8=cfg.w4a8_decode)[0]
         g = _map_eos(jnp.argmax(lg, axis=-1).astype(jnp.int32))  # [k+1]
 
         match = (fed[1:] == g[:-1]).astype(jnp.int32)

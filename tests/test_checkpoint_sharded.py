@@ -116,3 +116,43 @@ def test_quantized_sharded_load_lands_on_adapted_specs(hf_dir, mesh8):
     for leaf, want in zip(leaves, shard_leaves):
         assert leaf.sharding.is_equivalent_to(want, leaf.ndim), (
             leaf.shape, leaf.sharding, want)
+
+
+def test_int4_load_matches_quantize_tree(hf_dir):
+    """quantize_text_bits=4 must equal loading bf16 then running
+    quantize_tree(bits=4, rank1=True, nf4=False) — the host-numpy
+    rank-1 fit mirrors the jnp one bit-for-bit, so a 4-bit 7B loads
+    for serving with no bf16 decoder or offline conversion step."""
+    from cogstream_tpu.ops.quant import quantize_tree
+
+    out, cfg = hf_dir
+    plain = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32)
+    want = quantize_tree(plain["text"], bits=4, rank1=True, nf4=False)
+    got = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32,
+                                   quantize_text_bits=4)
+    kern = got["text"]["layers"]["attn"]["q_proj"]["kernel"]
+    assert kern["q4"].dtype == jnp.int8
+    assert kern["code"].shape[-1] == 1     # uniform tag (GEMV route)
+    assert not isinstance(got["text"]["embed_tokens"], dict)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0, atol=1e-6),
+        want, got["text"])
+
+
+def test_int4_sharded_load_lands_on_adapted_specs(hf_dir, mesh8):
+    from cogstream_tpu.parallel.sharding import adapt_specs_to_quantized
+
+    out, cfg = hf_dir
+    got = load_cogreasoner_from_hf(out, cfg, dtype=jnp.float32,
+                                   mesh=mesh8, quantize_text_bits=4)
+    specs = adapt_specs_to_quantized(
+        got, cogreasoner_param_specs(cfg, mesh8))
+    shardings = specs_to_shardings(specs, mesh8)
+    leaves = jax.tree.flatten(got)[0]
+    shard_leaves = jax.tree.flatten(shardings)[0]
+    assert len(leaves) == len(shard_leaves)
+    for leaf, want in zip(leaves, shard_leaves):
+        assert leaf.sharding.is_equivalent_to(want, leaf.ndim), (
+            leaf.shape, leaf.sharding, want)

@@ -104,3 +104,158 @@ def test_int4_matmul_dispatch_identical_off_tpu():
     finally:
         quant.USE_GEMV_KERNEL = old
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dispatch_act_int8_routes_w4a8(monkeypatch):
+    """quantized_matmul(w8a8=True) on a uniform tree reaches the W4A8
+    kernel variant when the platform gate is open (config.w4a8_decode's
+    path): output differs bitwise from the weight-only kernel (the
+    activation rounding) but stays within its tolerance."""
+    from cogstream_tpu.ops.quant import quantized_matmul
+
+    _, qp = _mk(512, 256, nf4=False)
+    x = jnp.asarray(RNG.normal(size=(1, 512)).astype(np.float32))
+    monkeypatch.setattr(quant, "_gemv_route_ok", lambda: True)
+    ref = x @ dequantize_int4(qp, jnp.float32)
+    yw = quantized_matmul(x, qp, jnp.float32, w8a8=True)
+    y0 = quantized_matmul(x, qp, jnp.float32, w8a8=False)
+    assert float(jnp.max(jnp.abs(yw - ref)) / jnp.max(jnp.abs(ref))) < 4e-2
+    assert not np.array_equal(np.asarray(yw), np.asarray(y0))
+
+
+def test_w4a8_decode_flag_plumbs_to_decode_steps(monkeypatch):
+    """cfg.w4a8_decode flips dense()'s w8a8 on S<16 programs (decode/
+    verify) and leaves prefill-length programs weight-only; lm_logits
+    forwards it too."""
+    import dataclasses
+
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.ops import quant as quant_mod
+
+    cfg = dataclasses.replace(CogReasonerConfig.tiny().text,
+                              w4a8_decode=True)
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    params = quant.quantize_tree(params, bits=4, rank1=True, nf4=False)
+
+    seen = []
+    orig = quant_mod.quantized_matmul
+
+    def spy(x, qp, out_dtype=None, w8a8=False):
+        seen.append(bool(w8a8))
+        return orig(x, qp, out_dtype, w8a8=w8a8)
+
+    monkeypatch.setattr(quant_mod, "quantized_matmul", spy)
+
+    cache = qwen2.init_kv_cache(cfg, 1, 64)
+    emb = jnp.zeros((1, 1, cfg.hidden_size), jnp.float32)
+    pos = jnp.asarray([[0]], jnp.int32)
+    hidden, cache = qwen2.qwen2_forward(params, emb, pos, cfg,
+                                        cache=cache)
+    qwen2.lm_logits(params, hidden, w8a8=cfg.w4a8_decode)
+    assert seen and all(seen)          # decode step: every GEMM W4A8
+
+    seen.clear()
+    emb32 = jnp.zeros((1, 32, cfg.hidden_size), jnp.float32)
+    pos32 = jnp.arange(32, dtype=jnp.int32)[None]
+    qwen2.qwen2_forward(params, emb32, pos32, cfg,
+                        cache=qwen2.init_kv_cache(cfg, 1, 64))
+    assert seen and not any(seen)      # prefill: weight-only
+
+
+def _mk_stacked(L, din, dout):
+    ws, qps = [], []
+    for _ in range(L):
+        w, qp = _mk(din, dout, nf4=False)
+        ws.append(w)
+        qps.append(qp)
+    stacked = {k: jnp.stack([q[k] for q in qps]) for k in qps[0]}
+    return ws, qps, stacked
+
+
+def test_indexed_stacked_gemv_matches_dequant():
+    """The layer-indexed kernel (stacked weights, scalar-prefetch
+    index_map) matches the per-layer dequant reference for every
+    layer, bf16-dot and w4a8 variants."""
+    from cogstream_tpu.ops.quant_gemv import (gemv_viable_stacked,
+                                              int4_rank1_gemv_stacked)
+
+    L = 3
+    ws, qps, stacked = _mk_stacked(L, 256, 256)
+    assert gemv_viable_stacked(stacked, 1)
+    x = jnp.asarray(RNG.normal(size=(2, 256)).astype(np.float32))
+    for l in range(L):
+        ref = x @ dequantize_int4(qps[l], jnp.float32)
+        y = int4_rank1_gemv_stacked(x, stacked,
+                                    jnp.asarray(l, jnp.int32),
+                                    jnp.float32, interpret=True)
+        err = float(jnp.max(jnp.abs(y - ref)) / jnp.max(jnp.abs(ref)))
+        assert err < 2e-2, (l, err)
+        yw = int4_rank1_gemv_stacked(x, stacked,
+                                     jnp.asarray(l, jnp.int32),
+                                     jnp.float32, w4a8=True,
+                                     interpret=True)
+        errw = float(jnp.max(jnp.abs(yw - ref)) / jnp.max(jnp.abs(ref)))
+        assert errw < 4e-2, (l, errw)
+
+
+def test_stacked_dispatch_and_fallback(monkeypatch):
+    """int4_matmul on a stacked tree + 'layer' index: kernel route when
+    the gate is open, layer-gathered dequant fallback when closed —
+    both match the per-layer reference."""
+    from cogstream_tpu.ops.quant import int4_matmul
+
+    L = 2
+    ws, qps, stacked = _mk_stacked(L, 256, 256)
+    x = jnp.asarray(RNG.normal(size=(1, 256)).astype(np.float32))
+    qp = {**stacked, "layer": jnp.asarray(1, jnp.int32)}
+    ref = x @ dequantize_int4(qps[1], jnp.float32)
+    # gate closed (CPU): gathers the layer slice, exact dequant matmul
+    y0 = int4_matmul(x, qp, jnp.float32)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    monkeypatch.setattr(quant, "_gemv_route_ok", lambda: True)
+    y1 = int4_matmul(x, qp, jnp.float32)
+    err = float(jnp.max(jnp.abs(y1 - ref)) / jnp.max(jnp.abs(ref)))
+    assert err < 2e-2
+
+
+def test_qwen2_decode_scan_uses_indexed_kernels(monkeypatch):
+    """Decode-sized qwen2_forward on a stacked uniform-int4 tree routes
+    every projection through the indexed GEMV (no per-layer slice copy)
+    and matches the pure-XLA forward within kernel tolerance."""
+    import dataclasses
+
+    from cogstream_tpu.config import Qwen2Config
+    from cogstream_tpu.models import qwen2
+
+    cfg = Qwen2Config(vocab_size=512, hidden_size=256,
+                      intermediate_size=512, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      max_position_embeddings=512, bos_token_id=1,
+                      eos_token_id=2, dtype="float32")
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(1), cfg)
+    params = quant.quantize_tree(params, bits=4, rank1=True, nf4=False)
+
+    layers_xs, heavy = qwen2._split_stacked_gemv(params["layers"], 1)
+    assert heavy is None                 # gate closed on CPU: no-op
+
+    emb = jnp.asarray(RNG.normal(size=(1, 1, 256)).astype(np.float32))
+    pos = jnp.asarray([[3]], jnp.int32)
+
+    def fwd():
+        cache = qwen2.init_kv_cache(cfg, 1, 16)
+        h, c = qwen2.qwen2_forward(params, emb, pos, cfg, cache=cache)
+        return h, c
+
+    ref_h, ref_c = fwd()
+    monkeypatch.setattr(quant, "_gemv_route_ok", lambda: True)
+    layers_xs, heavy = qwen2._split_stacked_gemv(params["layers"], 1)
+    assert heavy is not None and len(heavy) == 7   # all sites pulled
+    got_h, got_c = fwd()
+    err = float(jnp.max(jnp.abs(got_h - ref_h))
+                / (float(jnp.max(jnp.abs(ref_h))) + 1e-9))
+    assert err < 3e-2
+    # the KV cache the indexed path wrote matches too
+    kerr = float(jnp.max(jnp.abs(got_c.k - ref_c.k)))
+    assert kerr < 3e-2 * float(jnp.max(jnp.abs(ref_c.k)) + 1e-9)
