@@ -541,13 +541,15 @@ def bench_session_7b_w8a8(use_pallas: bool):
     return T / float(np.median(ing[2:])), float(np.median(lat[2:]))
 
 
-def bench_session_7b_quant(use_pallas: bool, bits: int = 8):
+def bench_session_7b_quant(use_pallas: bool, bits: int = 8,
+                           uniform: bool = False, w4a8: bool = False):
     """FULL-WIDTH production turn: a StreamingSession over the real 7B
-    shapes — reference-scale 27L/1152 vision tower + int8-quantized
-    7B decoder on ONE v5e (~10 GB weights; bf16 would not fit) —
-    evidencing BASELINE.md's '<1 s p50 per-turn for 7B' with the FCC
-    selector decode included. Weights are synthetic; throughput depends
-    only on shapes/dtypes."""
+    shapes — reference-scale 27L/1152 vision tower + quantized 7B
+    decoder on ONE v5e (int8 ~10 GB weights, int4 ~5 GB; bf16 would
+    not fit) — evidencing BASELINE.md's '<1 s p50 per-turn for 7B'
+    with the FCC selector decode included. ``uniform``/``w4a8`` select
+    the int4 GEMV serving modes (ops/quant_gemv.py). Weights are
+    synthetic; throughput depends only on shapes/dtypes."""
     import dataclasses
     import time
 
@@ -562,13 +564,16 @@ def bench_session_7b_quant(use_pallas: bool, bits: int = 8):
     cfg = dataclasses.replace(
         presets.cogreasoner_7b(), compression=CompressionConfig(
             frames_per_event=8, keyframes_per_event=2))
+    if w4a8:
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, w4a8_decode=True))
     params = {
         "vision": init_vision_params(jax.random.PRNGKey(0), cfg.vision),
         "projector": init_projector_params(
             jax.random.PRNGKey(1), cfg.vision.hidden_size,
             cfg.text.hidden_size, cfg.mm_projector_type,
             dtype=cfg.text.jnp_dtype),
-        "text": _synthetic_7b_text_params(bits),
+        "text": _synthetic_7b_text_params(bits, uniform),
     }
     tok, tok_kind = _tokenizer_for(cfg)
     sess = StreamingSession(params, cfg, tok, max_len=4096,
@@ -1068,6 +1073,16 @@ def main():
             extras["turn_p50_fcc_7b_w8a8_typical_s"] = round(r[1], 4)
         else:
             extras["session_7b_w8a8_bench_error"] = repr(err)[:300]
+        # int4 W4A8 serving session: uniform rank-1 decoder (~5 GB)
+        # with W4A8 decode — both selector and answer decodes ride the
+        # indexed GEMV (faster than int8 at half its HBM)
+        r, err = _sect(bench_session_7b_quant, True, 4, True, True)
+        if r is not None:
+            extras["turn_p50_fcc_7b_int4_s"] = round(r[0], 4)
+            extras["session_ingest_fps_7b_int4"] = round(r[1], 1)
+            extras["turn_p50_fcc_7b_int4_typical_s"] = round(r[3], 4)
+        else:
+            extras["session_7b_int4_bench_error"] = repr(err)[:300]
         # B=4 and B=8 share one params build (decode is weights-bound,
         # so doubling the pooled batch should be near-free aggregate
         # throughput; KV at 8x2048 rows is ~1 GB next to the 7 GB of
