@@ -418,8 +418,9 @@ def _synthetic_7b_text_params(bits: int, uniform: bool = False):
     }
 
 
-def bench_lookahead_7b(bits: int = 8, K: int = 4):
-    """Prompt-lookup speculative decode at 7B int8. Two honest rows:
+def bench_lookahead_7b(bits: int = 8, K: int = 4,
+                       uniform: bool = False, w4a8: bool = False):
+    """Prompt-lookup speculative decode at 7B. Two honest rows:
 
     - ``la_verify_vs_decode_step``: time of one (K+1)-token verify
       forward over one 1-token decode step. Decode is weights-bound at
@@ -442,7 +443,11 @@ def bench_lookahead_7b(bits: int = 8, K: int = 4):
     from cogstream_tpu.runtime.generate import generate_tokens_lookahead
 
     cfg = presets.cogreasoner_7b().text
-    params = _synthetic_7b_text_params(bits)
+    if w4a8:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, w4a8_decode=True)
+    params = _synthetic_7b_text_params(bits, uniform)
     S, NEW = 512, 64
     ids = np.zeros((1, S), np.int32)
     emb = qwen2.embed(params, jnp.asarray(ids))
@@ -672,7 +677,8 @@ def bench_pool(full: bool, use_pallas: bool, n_rows: int = 4):
 
 
 def bench_pool_7b(use_pallas: bool, bits: int = 8,
-                  n_rows_list=(4, 8)):
+                  n_rows_list=(4, 8), uniform: bool = False,
+                  w4a8: bool = False):
     """PRODUCTION-scale pooled serving: n_rows streams share ONE
     int8-7B on one chip (single-storage pool rows). Decode is
     weights-bound, so the lockstep batched decode multiplies aggregate
@@ -697,13 +703,16 @@ def bench_pool_7b(use_pallas: bool, bits: int = 8,
     cfg = dataclasses.replace(
         presets.cogreasoner_7b(), compression=CompressionConfig(
             frames_per_event=8, keyframes_per_event=2))
+    if w4a8:
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, w4a8_decode=True))
     params = {
         "vision": init_vision_params(jax.random.PRNGKey(0), cfg.vision),
         "projector": init_projector_params(
             jax.random.PRNGKey(1), cfg.vision.hidden_size,
             cfg.text.hidden_size, cfg.mm_projector_type,
             dtype=cfg.text.jnp_dtype),
-        "text": _synthetic_7b_text_params(bits),
+        "text": _synthetic_7b_text_params(bits, uniform),
     }
     tok, _ = _tokenizer_for(cfg)
     rng = np.random.default_rng(0)
@@ -1056,6 +1065,15 @@ def main():
             extras["la_verify_vs_decode_step"] = round(r[2], 3)
         else:
             extras["lookahead_bench_error"] = repr(err)[:300]
+        # int4+W4A8 lookahead: the (K+1)-token verify forward rides the
+        # indexed GEMV too, so the drafting cost ratio holds at the
+        # faster step time
+        r, err = _sect(bench_lookahead_7b, 4, 4, True, True)
+        if r is not None:
+            extras["la_7b_int4_decode_tok_s"] = round(r[0], 2)
+            extras["la_7b_int4_verify_vs_step"] = round(r[2], 3)
+        else:
+            extras["lookahead_int4_bench_error"] = repr(err)[:300]
         # full-width production turn: 7B int8 session incl. FCC
         # selector decode (BASELINE.md '<1 s p50 per-turn for 7B')
         r, err = _sect(bench_session_7b_quant, True)
@@ -1096,6 +1114,17 @@ def main():
                     round(blended, 1)
         else:
             extras["pool_7b_bench_error"] = repr(err)[:300]
+        # pooled int4+W4A8: batched decode rows share the ~5 GB
+        # uniform int4 decoder; M=B stays on the indexed GEMV route
+        r, err = _sect(bench_pool_7b, True, 4, (4, 8), True, True)
+        if r is not None:
+            for n_rows, (marginal, blended) in r.items():
+                extras[f"pooled_7b_int4_decode_tok_s_b{n_rows}"] = \
+                    round(marginal, 1)
+                extras[f"pooled_7b_int4_ask_tok_s_b{n_rows}"] = \
+                    round(blended, 1)
+        else:
+            extras["pool_7b_int4_bench_error"] = repr(err)[:300]
     r, err = _sect(bench_preprocess)
     if r is not None:
         extras.update({"preprocess_fps": round(r[0], 1),
