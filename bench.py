@@ -336,9 +336,11 @@ def bench_7b_quantized(bits: int = 8, uniform: bool = False,
     dt_p = _median_time(lambda: pf(params, emb, positions),
                         iters=2, warmup=1)
     pf_w8_tok_s = None
-    if bits == 8:
-        # W8A8 serving prefill (config.w8a8_prefill): the compute-bound
-        # prefill GEMMs run int8xint8 on the MXU double-rate path
+    if bits == 8 or uniform:
+        # W8A8/W4A8 serving prefill (config.w8a8_prefill): the
+        # compute-bound prefill GEMMs run int8xint8 on the MXU
+        # double-rate path (int4 uniform: the unpacked nibbles ARE
+        # int8 — ops/quant.int4_matmul act_int8 branch)
         import dataclasses
 
         pf8 = make_pf(dataclasses.replace(cfg, w8a8_prefill=True))
@@ -1049,6 +1051,8 @@ def main():
         r, err = _sect(bench_7b_quantized, 4, True)
         if r is not None:
             extras["int4u_7b_decode_tok_s"] = round(r[0], 2)
+            if r[2] is not None:
+                extras["int4_7b_prefill_w4a8_tok_s"] = round(r[2], 1)
         else:
             extras["int4u_7b_bench_error"] = repr(err)[:300]
         # W4A8 decode: int8-activation GEMV on uniform int4 weights —

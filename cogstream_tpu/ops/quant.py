@@ -357,6 +357,26 @@ def int4_matmul(x: jax.Array, qp: Dict[str, jax.Array],
         a = qp["code"][0]
         cc = None if uniform else qp["code"][1]
         lo, hi = _unpack_halves(packed)
+        *bx, _ = x.shape
+        x2 = x.reshape(-1, din).astype(jnp.float32)
+        if act_int8 and uniform:
+            # W4A8 PREFILL: the unpacked nibbles already ARE int8
+            # values in [-7, 7], so quantizing the (rscale-folded)
+            # activations per row puts the big GEMMs on the MXU
+            # int8 double-rate path — same activation rounding as the
+            # decode GEMV's w4a8 variant, serving-only. The uniform
+            # slope folds into the output scale. Cubic trees skip this
+            # (their codebook bends the nibble values off-integer).
+            def half_mm(xs, nib):
+                xq, sx = quantize_int8_act(xs)
+                yi = jax.lax.dot_general(
+                    xq, nib, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return yi.astype(jnp.float32) * sx
+            yl = half_mm(x2[:, :half] * r[None, :half], lo)
+            yh = half_mm(x2[:, half:] * r[None, half:], hi)
+            y = (yl + yh) * (scale[None, :] * a)
+            return y.astype(dtype).reshape(*bx, dout)
 
         def cubic(nib):
             s = nib.astype(jnp.float32)
@@ -364,8 +384,6 @@ def int4_matmul(x: jax.Array, qp: Dict[str, jax.Array],
 
         wl = (cubic(lo) * scale[None, :]).astype(dtype)
         wh = (cubic(hi) * scale[None, :]).astype(dtype)
-        *bx, _ = x.shape
-        x2 = x.reshape(-1, din).astype(jnp.float32)
         xl = (x2[:, :half] * r[None, :half]).astype(dtype)
         xh = (x2[:, half:] * r[None, half:]).astype(dtype)
         return (xl @ wl + xh @ wh).reshape(*bx, dout)

@@ -259,3 +259,24 @@ def test_qwen2_decode_scan_uses_indexed_kernels(monkeypatch):
     # the KV cache the indexed path wrote matches too
     kerr = float(jnp.max(jnp.abs(got_c.k - ref_c.k)))
     assert kerr < 3e-2 * float(jnp.max(jnp.abs(ref_c.k)) + 1e-9)
+
+
+def test_w4a8_prefill_materializing_branch():
+    """act_int8 at prefill-sized M (kernel not viable / gate closed):
+    uniform trees take the int8-dot materializing branch within
+    activation-rounding tolerance; cubic trees ignore the flag
+    bit-for-bit (their codebook bends nibbles off-integer)."""
+    from cogstream_tpu.ops.quant import int4_matmul
+
+    x = jnp.asarray(RNG.normal(size=(128, 512)).astype(np.float32))
+    _, qpu = _mk(512, 256, nf4=False)
+    ref = x @ dequantize_int4(qpu, jnp.float32)
+    y = int4_matmul(x, qpu, jnp.float32, act_int8=True)
+    err = float(jnp.max(jnp.abs(y - ref)) / jnp.max(jnp.abs(ref)))
+    assert err < 4e-2
+    y0 = int4_matmul(x, qpu, jnp.float32, act_int8=False)
+    assert not np.array_equal(np.asarray(y), np.asarray(y0))
+    _, qpc = _mk(512, 256, nf4=True)
+    a = int4_matmul(x, qpc, jnp.float32, act_int8=True)
+    b = int4_matmul(x, qpc, jnp.float32, act_int8=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
