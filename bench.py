@@ -572,6 +572,12 @@ def bench_session_7b_quant(use_pallas: bool, bits: int = 8,
         presets.cogreasoner_7b(), compression=CompressionConfig(
             frames_per_event=8, keyframes_per_event=2))
     if w4a8:
+        # W4A8 decode only. Adding w8a8_prefill=True was MEASURED AND
+        # REJECTED here: the standalone 512-token prefill gains 28%
+        # (int4_7b_prefill_w4a8_tok_s) but the session LOSES (ingest
+        # 35 -> 21 fps, typical turn 0.58 -> 0.64 s) — the ingest
+        # buckets' GEMMs don't amortize the unpack-to-int8
+        # materialization the act path adds
         cfg = dataclasses.replace(
             cfg, text=dataclasses.replace(cfg.text, w4a8_decode=True))
     params = {
