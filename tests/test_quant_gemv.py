@@ -280,3 +280,46 @@ def test_w4a8_prefill_materializing_branch():
     a = int4_matmul(x, qpc, jnp.float32, act_int8=True)
     b = int4_matmul(x, qpc, jnp.float32, act_int8=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_indexed_route_composes_with_lora_adapters(monkeypatch):
+    """LoRA adapters scan alongside the restructured xs: the indexed
+    int4 route must leave adapter deltas bit-identical (they ride the
+    dense bf16 path on top of the quantized base)."""
+    import dataclasses
+
+    from cogstream_tpu.config import Qwen2Config, LoRAConfig
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.lora import init_qwen2_lora
+
+    cfg = Qwen2Config(vocab_size=512, hidden_size=256,
+                      intermediate_size=512, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      max_position_embeddings=512, bos_token_id=1,
+                      eos_token_id=2, dtype="float32")
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(1), cfg)
+    params = quant.quantize_tree(params, bits=4, rank1=True, nf4=False)
+    ad = init_qwen2_lora(jax.random.PRNGKey(7), cfg, LoRAConfig())
+    # standard LoRA inits b to zeros (delta 0) — randomize so adapter
+    # deltas actually flow through the restructured scan
+    ad = jax.tree.map(
+        lambda v: (jnp.asarray(RNG.normal(size=v.shape)
+                               .astype(np.float32)) * 0.05
+                   if v.shape[-2] == LoRAConfig().rank else v), ad)
+    adapters = [(ad, jnp.asarray(1.0))]
+
+    emb = jnp.asarray(RNG.normal(size=(1, 1, 256)).astype(np.float32))
+    pos = jnp.asarray([[0]], jnp.int32)
+
+    def fwd():
+        cache = qwen2.init_kv_cache(cfg, 1, 16)
+        h, _ = qwen2.qwen2_forward(params, emb, pos, cfg, cache=cache,
+                                   adapters=adapters)
+        return h
+
+    ref = fwd()
+    monkeypatch.setattr(quant, "_gemv_route_ok", lambda: True)
+    got = fwd()
+    err = float(jnp.max(jnp.abs(got - ref))
+                / (float(jnp.max(jnp.abs(ref))) + 1e-9))
+    assert err < 3e-2
