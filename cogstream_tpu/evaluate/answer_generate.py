@@ -375,6 +375,21 @@ def main():
                          "forwards); only takes effect with --sampling "
                          "greedy — sampled/penalized decodes fall back "
                          "to the vanilla decoder")
+    # quantized single-chip serving modes (same contract as the serve
+    # CLI): a bf16 7B does not fit one 16 GB v5e, so without these the
+    # published test set cannot be evaluated on a single chip at all
+    ap.add_argument("--quantize-weights", choices=("int8", "int4"),
+                    help="quantize decoder kernels at load (host-side "
+                         "streaming): int8 per-channel, int4 rank-1 "
+                         "uniform (fused Pallas GEMV decode)")
+    ap.add_argument("--w8a8-prefill", action="store_true",
+                    help="int8-activation prefill GEMMs (requires "
+                         "--quantize-weights)")
+    ap.add_argument("--w4a8-decode", action="store_true",
+                    help="int8-activation decode GEMVs (requires "
+                         "--quantize-weights int4)")
+    ap.add_argument("--encoder-int8", action="store_true",
+                    help="W8A8 vision tower (faster segment encode)")
     args = ap.parse_args()
 
     from ..config import load_hf_config
@@ -385,7 +400,25 @@ def main():
     from ..train.checkpoint import load_lora_adapter
 
     cfg = load_hf_config(os.path.join(args.model_dir, "config.json"))
-    params = load_cogreasoner_from_hf(args.model_dir, cfg)
+    text_flags = {}
+    if args.w8a8_prefill:
+        if not args.quantize_weights:
+            raise SystemExit("--w8a8-prefill requires --quantize-weights")
+        text_flags["w8a8_prefill"] = True
+    if args.w4a8_decode:
+        if args.quantize_weights != "int4":
+            raise SystemExit(
+                "--w4a8-decode requires --quantize-weights int4")
+        text_flags["w4a8_decode"] = True
+    if text_flags:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, **text_flags))
+    params = load_cogreasoner_from_hf(
+        args.model_dir, cfg,
+        quantize_text_bits={"int8": 8, "int4": 4}.get(
+            args.quantize_weights))
     tok = load_tokenizer(args.model_dir, cfg.image_token_index,
                          cfg.text.vocab_size)
     adapters = {}
@@ -397,7 +430,8 @@ def main():
     # parity engine to the jnp fallback made the two configs run
     # different attention kernels (and the parity run ~3x slower)
     engine = CogReasonerEngine(params, cfg, tok, adapters=adapters,
-                               use_pallas=True)
+                               use_pallas=True,
+                               encoder_int8=args.encoder_int8)
     processor = CogStreamProcessor(tok, cfg.processor)
     session_factory = None
     if args.streaming:
@@ -405,7 +439,8 @@ def main():
 
         def session_factory():
             return StreamingSession(params, cfg, tok, adapters=adapters,
-                                    use_pallas=True)
+                                    use_pallas=True,
+                                    encoder_int8=args.encoder_int8)
     from ..config import load_generation_config
 
     if args.sampling == "config":

@@ -173,3 +173,50 @@ def test_query_chain_eval_end_to_end(tmp_path):
     assert report["scores"]["groups"].keys() >= {"Basic", "Streaming"}
     assert "Streaming/Reasoning" in report["scores"]["classes"]
     assert report["coi"]["support"] >= 1
+
+
+def test_eval_cli_quantized_modes(tmp_path):
+    """The answer-generate CLI loads the decoder quantized (the only
+    way a real 7B fits one 16 GB chip) and threads the serving flags:
+    --quantize-weights int4 --w4a8-decode --encoder-int8 runs the
+    published query-chain layout end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    cv2 = pytest.importorskip("cv2")
+    from cogstream_tpu.__main__ import main
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.models.checkpoint import save_cogreasoner_to_hf
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+
+    qdir, vdir = _write_chain(tmp_path)
+    rng = np.random.default_rng(0)
+    for seg in ("segment_1.mp4", "segment_2.mp4"):
+        path = os.path.join(vdir, "vidA", seg)
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (64, 48))
+        for i in range(20):
+            w.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+        w.release()
+
+    cfg = CogReasonerConfig.tiny()
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    base = str(tmp_path / "base")
+    save_cogreasoner_to_hf(params, cfg, base, dtype=jnp.float32)
+
+    save = tmp_path / "preds"
+    rc = main(["answer-generate", "--model-dir", base,
+               "--video-dir", vdir, "--query-dir", qdir,
+               "--save-dir", str(save), "--mode", "AC",
+               "--streaming", "--max-new-tokens", "8",
+               "--quantize-weights", "int4", "--w4a8-decode",
+               "--encoder-int8"])
+    assert rc in (0, None)
+    out = json.loads((save / "vidA.json").read_text())
+    assert len(out["QAs"]) == 3
+
+    # flag validation mirrors the serve CLI
+    with pytest.raises(SystemExit):
+        main(["answer-generate", "--model-dir", base,
+              "--video-dir", vdir, "--query-dir", qdir,
+              "--save-dir", str(save), "--w4a8-decode"])
