@@ -323,3 +323,38 @@ def test_indexed_route_composes_with_lora_adapters(monkeypatch):
     err = float(jnp.max(jnp.abs(got - ref))
                 / (float(jnp.max(jnp.abs(ref))) + 1e-9))
     assert err < 3e-2
+
+
+def test_int4_session_with_fp8_kv(monkeypatch):
+    """Serving-matrix corner: rank-1 uniform int4 decoder (indexed GEMV
+    route forced) + fp8 KV cache + W4A8 decode in one streaming
+    session — the capacity-max single-chip configuration."""
+    import dataclasses
+
+    from cogstream_tpu.config import CogReasonerConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg = CogReasonerConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(
+            cfg.text, hidden_size=256, intermediate_size=512,
+            num_attention_heads=4, num_key_value_heads=2,
+            vocab_size=1024, w4a8_decode=True))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    params = {**params,
+              "text": quant.quantize_tree(params["text"], bits=4,
+                                          rank1=True, nf4=False)}
+    monkeypatch.setattr(quant, "_gemv_route_ok", lambda: True)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    sess = StreamingSession(params, cfg, tok, max_len=1024,
+                            summary_forward=False,
+                            kv_dtype=jnp.float8_e4m3fn)
+    assert sess.cache.k.dtype == jnp.float8_e4m3fn
+    rng = np.random.default_rng(4)
+    pv = rng.normal(size=(2 * 4 * 4, 3 * 14 * 14)).astype(np.float32)
+    sess.append_stream_segment(pv, (2, 4, 4), 2, [0.0, 1.0])
+    r = sess.ask("what?", mode="FCC", max_new_tokens=4)
+    assert isinstance(r["text"], str)
+    assert r["selection"] is not None
