@@ -734,9 +734,13 @@ def bench_pool_7b(use_pallas: bool, bits: int = 8,
         pool = SessionPool(params, cfg, tok, n_rows=n_rows, max_len=2048,
                            use_pallas=use_pallas, summary_forward=False)
         rows = [pool.open() for _ in range(n_rows)]
-        pool.ingest_batch([(r, pv, (T, gh, gw), 2,
-                            list(np.arange(T, dtype=float)))
-                           for r in rows])
+        # chunk the fused ingest at 8 streams/dispatch: one B=16
+        # vision-encode program OOMs the 16 GB chip (decode does not —
+        # its weights are shared and KV is 118 MB/row)
+        for i in range(0, n_rows, 8):
+            pool.ingest_batch([(r, pv, (T, gh, gw), 2,
+                                list(np.arange(T, dtype=float)))
+                               for r in rows[i:i + 8]])
         reqs = [(r, "what is happening in the video right now?")
                 for r in rows]
 
@@ -1126,7 +1130,7 @@ def main():
             extras["pool_7b_bench_error"] = repr(err)[:300]
         # pooled int4+W4A8: batched decode rows share the ~5 GB
         # uniform int4 decoder; M=B stays on the indexed GEMV route
-        r, err = _sect(bench_pool_7b, True, 4, (4, 8), True, True)
+        r, err = _sect(bench_pool_7b, True, 4, (4, 8, 16), True, True)
         if r is not None:
             for n_rows, (marginal, blended) in r.items():
                 extras[f"pooled_7b_int4_decode_tok_s_b{n_rows}"] = \
