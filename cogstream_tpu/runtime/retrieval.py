@@ -11,6 +11,7 @@ LogitsProcessor, with the lm_head sliced to the static allowed-id set
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -19,7 +20,7 @@ import numpy as np
 
 from ..config import Qwen2Config
 from ..models import qwen2
-from ..models.qwen2 import init_kv_cache
+from ..models.qwen2 import KVCache, init_kv_cache
 from ..processor.tokenizer import (constrained_selector_token_ids,
                                    selector_stop_token_ids)
 from .generate import bucket_length, decode_new_tokens, generate_tokens
@@ -60,15 +61,24 @@ Historical QA Pairs:
 ------------------------------"""
 
 
+def selector_prefix_text(include_demo: bool = True) -> str:
+    """The turn-invariant head of the selector prompt (system rubric +
+    few-shot demos + the ``Current Question:`` tag). Everything through
+    this string is byte-identical across turns and sessions, so its KV
+    can be prefilled once and reused (Selector prefix cache)."""
+    demo = SELECTOR_DEMO if include_demo else ""
+    return (f"{SELECTOR_SYSTEM}"
+            f"<|im_start|>user\n{demo}"
+            f"\nCurrent Question:")
+
+
 def build_selector_prompt(
     current_question: str,
     hist_qs: List[str],
     hist_as: List[str],
     include_demo: bool = True,
 ) -> str:
-    demo = SELECTOR_DEMO if include_demo else ""
-    user = f"""{demo}
-Current Question: {current_question}
+    user = f""" {current_question}
 
 Historical QA Pairs (ordered by time):"""
     for i, (q, a) in enumerate(zip(hist_qs, hist_as)):
@@ -76,8 +86,7 @@ Historical QA Pairs (ordered by time):"""
     user += ("\nGenerate a bracketed sequence (e.g., [yes,0,5] or [no,0,5]) "
              "indicating the dependency (yes or no) and the indices of "
              "helpful QA pairs. Only output the bracketed sequence.")
-    return (f"{SELECTOR_SYSTEM}"
-            f"<|im_start|>user\n{user}<|im_end|>"
+    return (f"{selector_prefix_text(include_demo)}{user}<|im_end|>"
             f"<|im_start|>assistant\n")
 
 
@@ -135,12 +144,58 @@ def normalize_selection(text: str) -> str:
     return text
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "lora_scale"))
+def _prefix_kv_device(params, ids, cfg: Qwen2Config, adapters,
+                      lora_scale: float) -> KVCache:
+    """One-time prefill of the turn-invariant selector prompt head:
+    returns an exact-length [L, 1, P, Hkv, D] KV cache of the prefix
+    (positions 0..P-1). Compiled once per prefix length per process."""
+    P = ids.shape[0]
+    emb = qwen2.embed(params, ids)[None]
+    positions = jnp.arange(P, dtype=jnp.int32)[None]
+    cache = init_kv_cache(cfg, 1, P)
+    _, cache = qwen2.qwen2_forward(
+        params, emb, positions, cfg, cache=cache, adapters=adapters,
+        lora_scale=lora_scale)
+    return cache
+
+
+@functools.partial(jax.jit, static_argnames=("total", "batch"))
+def _splice_prefix_cache(pre: KVCache, total: int, batch: int) -> KVCache:
+    """Build a fresh [batch, total]-slot turn cache whose first P slots
+    hold the shared prefix KV (broadcast over rows) with write_index =
+    P, so the suffix prefill continues right after it. One jitted
+    dispatch — assembling with eager ``.at`` sets would cost 3 axon
+    round trips (~5 ms each)."""
+    L, _, P, Hkv, D = pre.k.shape
+    k = jnp.zeros((L, batch, total, Hkv, D), pre.k.dtype)
+    v = jnp.zeros((L, batch, total, Hkv, D), pre.v.dtype)
+    k = k.at[:, :, :P].set(pre.k)
+    v = v.at[:, :, :P].set(pre.v)
+    pos = jnp.full((batch, total), -1, jnp.int32).at[:, :P].set(pre.pos)
+    return KVCache(k, v, pos, jnp.asarray(P, jnp.int32))
+
+
 class Selector:
-    """Runs the constrained retrieval decode with the language adapter."""
+    """Runs the constrained retrieval decode with the language adapter.
+
+    The prompt's head (system rubric + few-shot demos + the
+    ``Current Question:`` tag, ~40% of a typical selector prompt) is
+    byte-identical every turn; its KV is prefilled ONCE
+    (``_prefix_kv_device``) and spliced into each turn's cache, so the
+    per-turn prefill covers only the question + history suffix — often
+    a whole pad bucket smaller. Exactness is guaranteed by a per-call
+    token check: the suffix path engages only when the full prompt's
+    ids literally start with the cached prefix ids (BPE merges never
+    cross the split in practice — the prefix ends at ``:`` and the
+    suffix starts with a space-prefixed word — but a mismatch simply
+    falls back to the full prefill). The reference re-prefills the
+    whole selector prompt per turn (qaselect_module_predict.py:63-127).
+    """
 
     def __init__(self, params, cfg: Qwen2Config, tokenizer,
                  adapters=None, lora_scale: float = 2.0,
-                 max_new_tokens: int = 50):
+                 max_new_tokens: int = 50, prefix_cache: bool = True):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -162,22 +217,49 @@ class Selector:
         # of decoding filler up to the 50-token cap (each decode step
         # re-reads the full quantized weight set)
         self.stop_ids = tuple(selector_stop_token_ids(tokenizer))
+        self.prefix_cache = prefix_cache
+        self._prefix = {}        # include_demo -> (ids np, KVCache)
+        self.prefix_hits = 0     # suffix-path engagements (observability)
 
-    def select_batch(self, items, include_demo: bool = True,
-                     key: Optional[jax.Array] = None) -> List[str]:
-        """Batched constrained retrieval: ``items`` is a list of
-        (current_question, hist_qs, hist_as); one prefill+decode covers
-        all of them (used by the pooled serving path)."""
-        import numpy as np
+    def _prefix_for(self, include_demo: bool):
+        """Lazy shared prefix KV for this (params, adapters) pair."""
+        if not self.prefix_cache:
+            return None
+        got = self._prefix.get(include_demo)
+        if got is None:
+            ids = np.asarray(self.tokenizer.encode(
+                selector_prefix_text(include_demo)), np.int32)
+            cache = _prefix_kv_device(
+                self.params, jnp.asarray(ids), self.cfg, self.adapters,
+                self.lora_scale)
+            got = (ids, cache)
+            self._prefix[include_demo] = got
+        return got
 
-        windowed = [window_selector_history(
-            self.tokenizer, q, hq, ha, self.max_prompt_tokens,
-            include_demo) for q, hq, ha in items]
-        prompts = [build_selector_prompt(q, hq, ha, include_demo)
-                   for (q, _, _), (hq, ha, _) in zip(items, windowed)]
-        ids_list = [np.asarray(self.tokenizer.encode(p), np.int32)
-                    for p in prompts]
+    def _prep_batch(self, ids_list, include_demo: bool):
+        """Pad/position a batch of full selector prompts, continuing
+        from the shared prefix KV when every row's ids literally start
+        with the cached prefix ids (else: full prefill, same result)."""
         B = len(ids_list)
+        pre = self._prefix_for(include_demo)
+        if pre is not None:
+            pids, pcache = pre
+            P = len(pids)
+            if all(len(i) > P and np.array_equal(i[:P], pids)
+                   for i in ids_list):
+                sufs = [i[P:] for i in ids_list]
+                S = bucket_length(max(len(s) for s in sufs))
+                padded = np.zeros((B, S), np.int32)
+                positions = np.full((B, S), -1, np.int32)
+                last = np.zeros((B,), np.int32)
+                for b, s in enumerate(sufs):
+                    padded[b, :len(s)] = s
+                    positions[b, :len(s)] = np.arange(P, P + len(s))
+                    last[b] = len(s) - 1
+                cache = _splice_prefix_cache(
+                    pcache, P + S + self.max_new_tokens, B)
+                self.prefix_hits += 1
+                return padded, positions, last, cache
         S = bucket_length(max(len(i) for i in ids_list))
         padded = np.zeros((B, S), np.int32)
         positions = np.full((B, S), -1, np.int32)
@@ -187,6 +269,22 @@ class Selector:
             positions[b, :len(ids)] = np.arange(len(ids))
             last[b] = len(ids) - 1
         cache = init_kv_cache(self.cfg, B, S + self.max_new_tokens)
+        return padded, positions, last, cache
+
+    def select_batch(self, items, include_demo: bool = True,
+                     key: Optional[jax.Array] = None) -> List[str]:
+        """Batched constrained retrieval: ``items`` is a list of
+        (current_question, hist_qs, hist_as); one prefill+decode covers
+        all of them (used by the pooled serving path)."""
+        windowed = [window_selector_history(
+            self.tokenizer, q, hq, ha, self.max_prompt_tokens,
+            include_demo) for q, hq, ha in items]
+        prompts = [build_selector_prompt(q, hq, ha, include_demo)
+                   for (q, _, _), (hq, ha, _) in zip(items, windowed)]
+        ids_list = [np.asarray(self.tokenizer.encode(p), np.int32)
+                    for p in prompts]
+        padded, positions, last, cache = self._prep_batch(
+            ids_list, include_demo)
         emb = qwen2.embed(self.params, jnp.asarray(padded))
         result = generate_tokens(
             self.params, emb, jnp.asarray(positions),
@@ -199,7 +297,7 @@ class Selector:
         toks = np.asarray(result.tokens)
         nums = np.asarray(result.num_tokens)
         outs = []
-        for b in range(B):
+        for b in range(len(ids_list)):
             ids_out = toks[b, :int(nums[b])].tolist()
             if ids_out and ids_out[-1] == self.tokenizer.eos_token_id:
                 ids_out = ids_out[:-1]
@@ -218,20 +316,12 @@ class Selector:
         prompt = build_selector_prompt(current_question, hist_qs, hist_as,
                                        include_demo)
         ids = np.asarray(self.tokenizer.encode(prompt), np.int32)
-        S = bucket_length(len(ids))
-        padded = np.zeros((1, S), np.int32)
-        padded[0, :len(ids)] = ids
-        positions = np.full((1, S), -1, np.int32)
-        positions[0, :len(ids)] = np.arange(len(ids))
-
-        cache = init_kv_cache(self.cfg, 1, S + self.max_new_tokens)
+        padded, positions, last, cache = self._prep_batch([ids],
+                                                          include_demo)
         emb = qwen2.embed(self.params, jnp.asarray(padded))
-        if self.adapters:
-            # adapter deltas must also shape the prompt representations
-            emb = emb  # embeddings are not LoRA targets; forward applies them
         result = generate_tokens(
             self.params, emb, jnp.asarray(positions),
-            jnp.asarray([len(ids) - 1], jnp.int32), cache,
+            jnp.asarray(last), cache,
             key if key is not None else jax.random.PRNGKey(0),
             self.cfg, self.max_new_tokens, self.tokenizer.eos_token_id,
             temperature=0.0, logit_ids=self.allowed_ids,
