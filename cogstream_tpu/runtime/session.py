@@ -743,7 +743,10 @@ class StreamingSession:
         no recompute, the cache simply continues. Ends by yielding the
         final result dict (same shape as ``ask``)."""
         turn = len(self.hist_qs)
+        question_ids = np.asarray(self.tok.encode(question), np.int32)
+        prefetched = None
         if mode == "FCC" and self.hist_qs:
+            prefetched = self._prefetch_question_rep(question_ids)
             selection = self.selector.select(
                 question, self.hist_qs, self.hist_as,
                 key=self._next_key())
@@ -761,8 +764,8 @@ class StreamingSession:
         Sp = self._bucket(S)
         self.evict_for(Sp + max_new_tokens)
         allowed = jnp.asarray(self._allowed_mask(
-            if_visual, sel_idx,
-            np.asarray(self.tok.encode(question), np.int32)))[None]
+            if_visual, sel_idx, question_ids,
+            prefetched=prefetched))[None]
         start = self.write_index
         if start + Sp + max_new_tokens > self.max_len:
             raise RuntimeError("session cache overflow")
@@ -994,9 +997,36 @@ class StreamingSession:
         return _question_rep_device(self.params["text"], jnp.asarray(ids),
                                     jnp.asarray(q_pos), self.cfg.text)
 
+    def _prefetch_question_rep(self, question_ids: np.ndarray):
+        """Dispatch the question-rep forward and the batched
+        uncached-event-rep fetch BEFORE the selector's constrained
+        decode, and start their device→host copies asynchronously —
+        both then ride under the selector's mandatory round trip
+        instead of adding their own (~30 ms each over the axon tunnel).
+        Returns (q_dev, uncached_events, rep_stack) for _allowed_mask
+        to consume, or None when event pruning can't apply. Safe across
+        the evict_for between dispatch and use: reps are slot-
+        independent features, and rep_host writes for since-evicted
+        events are harmless."""
+        cc = self.cfg.compression
+        if not (self.events
+                and len(self.events) >= cc.min_events_for_compression):
+            return None
+        q_dev = self._question_rep(question_ids)
+        uncached = [e for e in self.events if e.rep_host is None]
+        stack = jnp.stack([e.rep for e in uncached]) if uncached else None
+        for a in (q_dev, stack):
+            if a is not None:
+                try:
+                    a.copy_to_host_async()
+                except Exception:   # backend without async host copies
+                    pass
+        return q_dev, uncached, stack
+
     def _allowed_mask(self, if_visual: bool,
                       selected_turns: Sequence[int],
-                      question_ids: np.ndarray) -> np.ndarray:
+                      question_ids: np.ndarray,
+                      prefetched=None) -> np.ndarray:
         allowed = np.zeros((self.max_len,), bool)
         allowed[self.write_index:] = True               # future slots
         sel = set(selected_turns)
@@ -1019,7 +1049,14 @@ class StreamingSession:
             # pooled SHADOW slot (+ its always-visible timestamp text)
             # — exact pool_minor_frames semantics (ref :434-447) on
             # cached KV.
-            q_dev = self._question_rep(question_ids)   # async dispatch
+            if prefetched is not None:
+                q_dev, pre_unc, pre_stack = prefetched
+                if pre_stack is not None:
+                    fetched = np.asarray(pre_stack)
+                    for e, r in zip(pre_unc, fetched):
+                        e.rep_host = r
+            else:
+                q_dev = self._question_rep(question_ids)  # async dispatch
             uncached = [e for e in self.events if e.rep_host is None]
             if uncached:
                 # ONE batched fetch for all new events, mirrored on the
@@ -1062,7 +1099,12 @@ class StreamingSession:
                   and repetition_penalty == 1.0 and self._pool is None)
         la_pad = lookahead_k + 1 if use_la else 0
         turn = len(self.hist_qs)
+        question_ids = np.asarray(self.tok.encode(question), np.int32)
+        prefetched = None
         if mode == "FCC" and self.hist_qs:
+            # overlap: question-rep + event-rep transfers ride under the
+            # selector's decode round trip (_prefetch_question_rep)
+            prefetched = self._prefetch_question_rep(question_ids)
             selection = self.selector.select(
                 question, self.hist_qs, self.hist_as, key=self._next_key())
             if_visual, sel_idx = parse_selection(selection)
@@ -1079,9 +1121,8 @@ class StreamingSession:
         # evict BEFORE building the visibility mask — compaction moves
         # slots, which would invalidate a pre-built mask
         self.evict_for(Sp + max_new_tokens + la_pad)
-        allowed = self._allowed_mask(
-            if_visual, sel_idx, np.asarray(self.tok.encode(question),
-                                           np.int32))
+        allowed = self._allowed_mask(if_visual, sel_idx, question_ids,
+                                     prefetched=prefetched)
         start = self.write_index
         if start + Sp + max_new_tokens + la_pad > self.max_len:
             raise RuntimeError("session cache overflow")

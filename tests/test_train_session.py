@@ -170,6 +170,39 @@ def test_session_event_pruning_mask(session_setup):
             assert not open_mask[shadow]
 
 
+def test_prefetched_question_rep_mask_parity(session_setup):
+    """_prefetch_question_rep (the ask-path overlap that rides the
+    question-rep + event-rep fetches under the selector's round trip)
+    must yield the exact same visibility mask as the lazy path, and
+    must populate every event's rep_host mirror."""
+    from cogstream_tpu.runtime.session import StreamingSession
+
+    cfg, params, tok = session_setup
+    cfg = dataclasses.replace(cfg, compression=dataclasses.replace(
+        cfg.compression, min_events_for_compression=1,
+        similarity_threshold=2.0))
+    sess = StreamingSession(params, cfg, tok, max_len=2048)
+    rng = np.random.default_rng(3)
+    t, gh, gw = 4, 4, 4
+    pv = rng.normal(size=(t * gh * gw, 3 * 14 * 14)).astype(np.float32)
+    sess.append_stream_segment(pv, (t, gh, gw), 2,
+                               timestamps=[0.0, 1.0, 2.0, 3.0])
+    qids = np.asarray(tok.encode("test question"), np.int32)
+    pre = sess._prefetch_question_rep(qids)
+    assert pre is not None
+    lazy = sess._allowed_mask(True, [], qids)          # populates rep_host
+    for ev in sess.events:
+        ev.rep_host = None                             # force re-fetch
+    eager = sess._allowed_mask(True, [], qids, prefetched=pre)
+    np.testing.assert_array_equal(lazy, eager)
+    assert all(ev.rep_host is not None for ev in sess.events)
+    # below the compression floor the prefetch declines (returns None)
+    hi = dataclasses.replace(cfg, compression=dataclasses.replace(
+        cfg.compression, min_events_for_compression=99))
+    sess.cfg = hi
+    assert sess._prefetch_question_rep(qids) is None
+
+
 def test_shadow_slot_holds_exact_pooled_token(session_setup):
     """The shadow slot's cached V must equal v_proj(rms_norm(pooled)),
     where pooled is the engine path's pool_minor_frames value — i.e. the
