@@ -32,17 +32,25 @@ _enabled = False
 def _cpu_host_tag() -> str:
     """Fingerprint of the host CPU's instruction-set features.
 
-    /proc/cpuinfo's ``flags`` line is exactly the feature set LLVM
-    targets for XLA:CPU AOT results; hashing it gives a stable
-    same-host key that changes whenever the machine (or its microcode
-    feature mask) does.
+    Hashes /proc/cpuinfo's ``flags`` line PLUS the ``model name``:
+    the flags line alone is NOT sufficient — LLVM derives extra tuning
+    features from the CPU *model* (e.g. ``+prefer-no-scatter`` /
+    ``+prefer-no-gather`` on some Intel parts), and two hosts with
+    byte-identical flags lines were observed producing AOT entries the
+    other rejects ("Machine type used for XLA:CPU compilation doesn't
+    match"). The model name pins the microarchitecture those derived
+    features come from.
     """
     try:
         with open("/proc/cpuinfo") as f:
+            keyed = []
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    h = hashlib.sha1(line.encode()).hexdigest()[:12]
-                    return h
+                if line.startswith(("flags", "Features", "model name")):
+                    keyed.append(line)
+                    if len(keyed) == 2:
+                        break
+            if keyed:
+                return hashlib.sha1("".join(keyed).encode()).hexdigest()[:12]
     except OSError:
         pass
     return _platform.machine() or "unknown"
