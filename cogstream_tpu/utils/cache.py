@@ -67,7 +67,19 @@ def enable_compilation_cache(cache_dir: str = _DEFAULT_DIR) -> str:
 
     if _enabled:
         return jax.config.jax_compilation_cache_dir
-    if jax.default_backend() == "cpu":
+    # Resolve the backend WITHOUT initializing it: jax.default_backend()
+    # claims the device, and bench.py must enable the cache before
+    # spawning its overlap subprocess — two processes attached to the
+    # axon tunnel crash the TPU worker (the 3x-retried
+    # ingest_overlap_bench_error of 2026-08-20). The platform is pinned
+    # in this image (sitecustomize sets axon; tests pin cpu), so the
+    # config answers; fall back to backend init only when unpinned.
+    platforms = jax.config.jax_platforms or ""
+    if platforms:
+        is_cpu = platforms.split(",")[0] == "cpu"
+    else:
+        is_cpu = jax.default_backend() == "cpu"
+    if is_cpu:
         cache_dir = os.path.join(
             cache_dir, f"cpu-{jax.__version__}-{_cpu_host_tag()}")
     os.makedirs(cache_dir, exist_ok=True)

@@ -59,3 +59,30 @@ def test_compilation_cache_dir_is_host_keyed_on_cpu(tmp_path, monkeypatch):
         assert cache_mod._cpu_host_tag() == tag.rsplit("-", 1)[1]
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_enable_compilation_cache_does_not_claim_a_device(tmp_path):
+    """enable_compilation_cache must not initialize the JAX backend:
+    bench.py enables the cache BEFORE spawning its overlap subprocess,
+    and a parent that has attached to the axon tunnel makes the child's
+    attach crash the TPU worker (single-holder constraint; observed as
+    3x ingest_overlap_bench_error on 2026-08-20). With the platform
+    pinned (as this image's sitecustomize and the test conftest both
+    do), the cache decision must come from config alone."""
+    import subprocess
+    import sys
+
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")   # pinned, like conftest
+from cogstream_tpu.utils.cache import enable_compilation_cache
+d = enable_compilation_cache({str(tmp_path)!r})
+from jax._src import xla_bridge
+assert xla_bridge._backends == {{}}, f"backend initialized: {{list(xla_bridge._backends)}}"
+assert "cpu-" in d
+print("NOINIT-OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code], text=True,
+                         capture_output=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "NOINIT-OK" in out.stdout
