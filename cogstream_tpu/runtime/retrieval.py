@@ -132,6 +132,42 @@ def _remap_selection(selection: str, offset: int) -> str:
     return selection_string(if_visual, [i + offset for i in idx])
 
 
+# Decode-cap buckets: each distinct max_new_tokens compiles its own
+# decode program (static arg), so the history-derived cap snaps up to
+# one of these. 50 is the reference's constant ceiling
+# (qaselect_module_predict.py:107-115).
+CAP_BUCKETS = (12, 24, 36, 50)
+
+
+def maximal_selection(history_len: int) -> str:
+    """The longest grammatical selector output over ``history_len``
+    history QAs: dependency marker plus EVERY index selected."""
+    return "[yes" + "".join(f",{i}" for i in range(history_len)) + "]"
+
+
+def selector_token_cap(history_len: int, tokenizer,
+                       ceiling: int = 50, buckets=CAP_BUCKETS) -> int:
+    """Worst-case decode length for a grammatical selection over
+    ``history_len`` history QAs, bucketed.
+
+    The constrained grammar output is ``[yes,i1,...,iK]`` with distinct
+    indices drawn from 0..H-1, so the longest legitimate decode is the
+    maximal selection (every index once) plus eos — measured EXACTLY by
+    tokenizing it with the serving tokenizer (BPE emits 'yes' as one
+    token, the byte fallback as three; a closed-form bound would be
+    wrong for one of them). The reference always decodes up to a
+    constant 50-token cap (qaselect_module_predict.py:107-115) — but
+    with H history turns the selector can never legitimately need more
+    than this bound, and the worst-case turn cost (an untrained
+    selector that never emits ``]``) converges to the typical case for
+    short histories. Parity: tests/test_selector_cap.py."""
+    need = len(tokenizer.encode(maximal_selection(history_len))) + 1
+    for b in buckets:
+        if need <= b:
+            return min(b, ceiling)
+    return ceiling
+
+
 def normalize_selection(text: str) -> str:
     """Bracket-normalize the raw decode (ref :120-127)."""
     text = text.strip()
@@ -218,6 +254,7 @@ class Selector:
         # re-reads the full quantized weight set)
         self.stop_ids = tuple(selector_stop_token_ids(tokenizer))
         self.prefix_cache = prefix_cache
+        self._cap_cache = {}     # history len -> bucketed decode cap
         self._prefix = {}        # include_demo -> (ids np, KVCache)
         self.prefix_hits = 0     # suffix-path engagements (observability)
 
@@ -236,7 +273,20 @@ class Selector:
             self._prefix[include_demo] = got
         return got
 
-    def _prep_batch(self, ids_list, include_demo: bool):
+    def _cap_for(self, history_lens) -> int:
+        """History-derived decode cap (never above the configured
+        ceiling): the largest windowed history in the batch bounds the
+        longest grammatical selection any row can need."""
+        h = max(history_lens) if history_lens else 0
+        key = (h, self.max_new_tokens)   # ceiling is mutable (benches
+        got = self._cap_cache.get(key)   # lower it mid-session)
+        if got is None:
+            got = selector_token_cap(h, self.tokenizer,
+                                     self.max_new_tokens)
+            self._cap_cache[key] = got
+        return got
+
+    def _prep_batch(self, ids_list, include_demo: bool, cap: int):
         """Pad/position a batch of full selector prompts, continuing
         from the shared prefix KV when every row's ids literally start
         with the cached prefix ids (else: full prefill, same result)."""
@@ -256,8 +306,7 @@ class Selector:
                     padded[b, :len(s)] = s
                     positions[b, :len(s)] = np.arange(P, P + len(s))
                     last[b] = len(s) - 1
-                cache = _splice_prefix_cache(
-                    pcache, P + S + self.max_new_tokens, B)
+                cache = _splice_prefix_cache(pcache, P + S + cap, B)
                 self.prefix_hits += 1
                 return padded, positions, last, cache
         S = bucket_length(max(len(i) for i in ids_list))
@@ -268,7 +317,7 @@ class Selector:
             padded[b, :len(ids)] = ids
             positions[b, :len(ids)] = np.arange(len(ids))
             last[b] = len(ids) - 1
-        cache = init_kv_cache(self.cfg, B, S + self.max_new_tokens)
+        cache = init_kv_cache(self.cfg, B, S + cap)
         return padded, positions, last, cache
 
     def select_batch(self, items, include_demo: bool = True,
@@ -283,14 +332,15 @@ class Selector:
                    for (q, _, _), (hq, ha, _) in zip(items, windowed)]
         ids_list = [np.asarray(self.tokenizer.encode(p), np.int32)
                     for p in prompts]
+        cap = self._cap_for([len(hq) for hq, _, _ in windowed])
         padded, positions, last, cache = self._prep_batch(
-            ids_list, include_demo)
+            ids_list, include_demo, cap)
         emb = qwen2.embed(self.params, jnp.asarray(padded))
         result = generate_tokens(
             self.params, emb, jnp.asarray(positions),
             jnp.asarray(last), cache,
             key if key is not None else jax.random.PRNGKey(0),
-            self.cfg, self.max_new_tokens, self.tokenizer.eos_token_id,
+            self.cfg, cap, self.tokenizer.eos_token_id,
             temperature=0.0, logit_ids=self.allowed_ids,
             adapters=self.adapters, lora_scale=self.lora_scale,
             stop_ids=self.stop_ids)
@@ -316,14 +366,16 @@ class Selector:
         prompt = build_selector_prompt(current_question, hist_qs, hist_as,
                                        include_demo)
         ids = np.asarray(self.tokenizer.encode(prompt), np.int32)
+        cap = self._cap_for([len(hist_qs)])
         padded, positions, last, cache = self._prep_batch([ids],
-                                                          include_demo)
+                                                          include_demo,
+                                                          cap)
         emb = qwen2.embed(self.params, jnp.asarray(padded))
         result = generate_tokens(
             self.params, emb, jnp.asarray(positions),
             jnp.asarray(last), cache,
             key if key is not None else jax.random.PRNGKey(0),
-            self.cfg, self.max_new_tokens, self.tokenizer.eos_token_id,
+            self.cfg, cap, self.tokenizer.eos_token_id,
             temperature=0.0, logit_ids=self.allowed_ids,
             adapters=self.adapters, lora_scale=self.lora_scale,
             stop_ids=self.stop_ids)
