@@ -170,37 +170,23 @@ def _cv2_stream(path: str, start: Optional[float], end: Optional[float],
 
     def reader():
         try:
-            want_pos, idx = 0, 0
-            while want_pos < len(src_idx) and not stop.is_set():
-                # grab() decodes without the BGR buffer copy/convert;
-                # retrieve() only runs on wanted frames — at 1 fps over
-                # a 24 fps source that skips 23/24 conversions
-                if not cap.grab():
+            # shared access strategy (video_loader.cv2_iter_wanted):
+            # sequential grab/retrieve for dense sampling, seek-based
+            # access for sparse strides — corrupt wanted frames are
+            # skipped, never stalling the index walk
+            from .video_loader import cv2_iter_wanted
+
+            for want_pos, frame in cv2_iter_wanted(cap, src_idx):
+                if stop.is_set():
                     break
-                frame = None
-                while (want_pos < len(src_idx)
-                       and src_idx[want_pos] == idx):
-                    if frame is None:
-                        ok, frame = cap.retrieve()
-                        if not ok:
-                            # corrupt frame: SKIP its wanted entries —
-                            # stalling want_pos here would mismatch
-                            # every later index and silently drop the
-                            # rest of the video
-                            while (want_pos < len(src_idx)
-                                   and src_idx[want_pos] == idx):
-                                want_pos += 1
-                            break
-                    rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                    item = (rgb, float(wanted[want_pos]))
-                    while not stop.is_set():
-                        try:            # bounded put = back-pressure
-                            q.put(item, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
-                    want_pos += 1
-                idx += 1
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                item = (rgb, float(wanted[want_pos]))
+                while not stop.is_set():
+                    try:                # bounded put = back-pressure
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         finally:
             cap.release()
             # EOF sentinel: must never be dropped — a consumer stalled

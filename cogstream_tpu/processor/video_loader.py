@@ -240,6 +240,70 @@ def cv2_frame_plan(
     return src_idx, labels, float(duration)
 
 
+# Seek-vs-sequential crossover. Measured on this host (640x360 mp4v,
+# stride 24): sequential grab walks ~3000 decoded fps (0.34 ms/frame)
+# while each CAP_PROP_POS_FRAMES seek costs ~11 ms (keyframe re-decode)
+# — sequential WINS at typical 24-30 fps sources sampled at 1 fps, so
+# the reference's decord random access (processing_cogreasoner.py:
+# 156-160) is NOT the model here. Seeking pays off only when the
+# sampling stride is much larger than a GOP (sparse sampling of long
+# high-fps sources) — gate it there.
+SEEK_MIN_STRIDE = 32
+
+
+def cv2_iter_wanted(cap, src_idx, allow_seek: bool = True):
+    """Yield ``(want_pos, bgr_frame)`` for each wanted source index of
+    a cv2 capture positioned at frame 0 — the shared access strategy
+    for the buffered loader and the streaming reader thread.
+
+    Dense sampling walks sequentially with ``grab()`` (decode without
+    the BGR convert/copy) and ``retrieve()`` only on wanted frames.
+    Sparse sampling (min stride ≥ ``SEEK_MIN_STRIDE``) seeks with
+    ``CAP_PROP_POS_FRAMES`` instead — frame-accurate for the codecs
+    OpenCV's ffmpeg backend decodes here (parity-tested vs the
+    sequential walk in tests/test_video_loader.py).
+
+    A wanted frame that fails to decode is skipped (its entries are
+    dropped), matching the sequential reader's corrupt-frame semantics.
+    """
+    import cv2
+
+    n = len(src_idx)
+    if n == 0:
+        return
+    strides = np.diff(np.unique(src_idx))
+    sparse = (allow_seek and len(strides)
+              and int(strides.min()) >= SEEK_MIN_STRIDE)
+    if sparse:
+        want_pos = 0
+        while want_pos < n:
+            tgt = int(src_idx[want_pos])
+            cap.set(cv2.CAP_PROP_POS_FRAMES, tgt)
+            ok, frame = cap.read()
+            if not ok:
+                want_pos += 1
+                continue
+            while want_pos < n and src_idx[want_pos] == tgt:
+                yield want_pos, frame
+                want_pos += 1
+        return
+    want_pos, idx = 0, 0
+    while want_pos < n:
+        if not cap.grab():
+            break
+        frame = None
+        while want_pos < n and src_idx[want_pos] == idx:
+            if frame is None:
+                ok, frame = cap.retrieve()
+                if not ok:
+                    while want_pos < n and src_idx[want_pos] == idx:
+                        want_pos += 1
+                    break
+            yield want_pos, frame
+            want_pos += 1
+        idx += 1
+
+
 def temporal_pad(frames: List, timestamps: List[float],
                  temporal_factor: int, step: float):
     """Reference temporal padding (processing_cogreasoner.py:421-424):
@@ -283,26 +347,17 @@ def _load_video_cv2(video_path, start_time, end_time, fps, max_frames,
 
     frames: List[np.ndarray] = []
     timestamps: List[float] = []
-    want_pos = 0
-    idx = 0
-    while want_pos < len(src_idx_wanted):
-        ok, frame = cap.read()
-        if not ok:
-            break
-        while (want_pos < len(src_idx_wanted)
-               and src_idx_wanted[want_pos] == idx):
-            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            if size is not None:
-                h, w = rgb.shape[:2]
-                scale = size / min(w, h)
-                nw = round(w * scale) // size_divisible * size_divisible
-                nh = round(h * scale) // size_divisible * size_divisible
-                rgb = cv2.resize(rgb, (nw, nh),
-                                 interpolation=cv2.INTER_AREA)
-            frames.append(rgb.transpose(2, 0, 1))
-            timestamps.append(float(labels[want_pos]))
-            want_pos += 1
-        idx += 1
+    for want_pos, frame in cv2_iter_wanted(cap, src_idx_wanted):
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if size is not None:
+            h, w = rgb.shape[:2]
+            scale = size / min(w, h)
+            nw = round(w * scale) // size_divisible * size_divisible
+            nh = round(h * scale) // size_divisible * size_divisible
+            rgb = cv2.resize(rgb, (nw, nh),
+                             interpolation=cv2.INTER_AREA)
+        frames.append(rgb.transpose(2, 0, 1))
+        timestamps.append(float(labels[want_pos]))
     cap.release()
 
     frames, timestamps = temporal_pad(frames, timestamps,

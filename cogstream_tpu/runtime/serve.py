@@ -248,6 +248,12 @@ class SessionServer:
         pool / bare session)."""
         batch = proc([frames], modals=["video"], raw_uint8=True,
                      target_sizes=target_sizes)
+        self._dispatch_batch(session_id, sess, batch, timestamps)
+
+    def _dispatch_batch(self, session_id: str, sess, batch,
+                        timestamps: List[float]) -> None:
+        """Dispatch an already-preprocessed batch (the preprocess-ahead
+        ingest thread hands these over directly)."""
         t, gh, gw = batch.grid_sizes[0]
         grid = (int(t), int(gh), int(gw))
         ms = int(batch.merge_sizes[0])
@@ -296,20 +302,56 @@ class SessionServer:
                 from ..processor.image_processor import (
                     smart_resize_single_factor)
 
-                target = None
+                # preprocess-AHEAD: resize+patchify of chunk k+1 runs
+                # in a worker thread while chunk k's device ingest is
+                # in flight, so the host stages (decode thread →
+                # preprocess thread) both overlap TPU encode. Serial,
+                # the three stages sum to ~1/124 + 1/134 + 1/32 s per
+                # frame at 7B (≈21 fps); pipelined, the slowest stage
+                # (device ingest) sets the rate.
+                import queue as _queue
+
+                pq: "_queue.Queue" = _queue.Queue(maxsize=2)
+                perr: list = []
+
+                def _preprocess_worker():
+                    target = None
+                    try:
+                        for chunk, ts in stream:
+                            if target is None:
+                                pc = self.cfg.processor
+                                total = max(stream.total_frames_hint,
+                                            len(chunk))
+                                target = smart_resize_single_factor(
+                                    [chunk[0]],
+                                    pc.patch_size * pc.video_merge_size,
+                                    pc.min_tokens, pc.max_tokens,
+                                    num_frames_override=total)
+                            batch = proc([chunk], modals=["video"],
+                                         raw_uint8=True,
+                                         target_sizes=target)
+                            pq.put((batch, ts))
+                    except Exception as e:  # noqa: BLE001
+                        perr.append(e)
+                    finally:
+                        pq.put(None)
+
+                import threading as _threading
+
                 with stream:
-                    for chunk, ts in stream:
-                        if target is None:
-                            pc = self.cfg.processor
-                            total = max(stream.total_frames_hint,
-                                        len(chunk))
-                            target = smart_resize_single_factor(
-                                [chunk[0]],
-                                pc.patch_size * pc.video_merge_size,
-                                pc.min_tokens, pc.max_tokens,
-                                num_frames_override=total)
-                        self._dispatch_segment(session_id, sess, proc,
-                                               chunk, ts, target)
+                    th = _threading.Thread(target=_preprocess_worker,
+                                           daemon=True)
+                    th.start()
+                    while True:
+                        item = pq.get()
+                        if item is None:
+                            break
+                        batch, ts = item
+                        self._dispatch_batch(session_id, sess, batch,
+                                             ts)
+                    th.join(timeout=5.0)
+                    if perr:
+                        raise perr[0]
                 decode_stats = {
                     "backend": stream.backend,
                     "buffered_max": stream.buffered_max,

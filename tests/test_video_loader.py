@@ -153,3 +153,79 @@ def test_cv2_plan_shared_with_stream(clip):
     for chunk, chunk_ts in stream:
         got_ts.extend(chunk_ts)
     assert got_ts == ts
+
+
+@pytest.fixture(scope="module")
+def long_clip(tmp_path_factory):
+    """Distinct-content 40 fps clip long enough that sparse sampling
+    crosses the SEEK_MIN_STRIDE threshold."""
+    path = str(tmp_path_factory.mktemp("v2") / "long.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 40,
+                        (128, 96))
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    for i in range(400):   # 10 s @ 40 fps
+        f = base.copy()
+        f[:16, :16] = (i * 3) % 255
+        f[16:32, :16] = (i * 7) % 255
+        w.write(f)
+    w.release()
+    return path
+
+
+def test_seek_access_matches_sequential(long_clip):
+    """Sparse sampling seeks with CAP_PROP_POS_FRAMES; the frames must
+    be bit-identical to the sequential grab/retrieve walk (the parity
+    guard for the seek escalation in cv2_iter_wanted)."""
+    src_idx = np.arange(0, 400, 40)   # stride 40 >= SEEK_MIN_STRIDE
+    assert src_idx[1] - src_idx[0] >= video_loader.SEEK_MIN_STRIDE
+
+    def collect(allow_seek):
+        cap = cv2.VideoCapture(long_clip)
+        out = {p: f.copy() for p, f in
+               video_loader.cv2_iter_wanted(cap, src_idx,
+                                            allow_seek=allow_seek)}
+        cap.release()
+        return out
+
+    seq, skp = collect(False), collect(True)
+    assert sorted(seq) == sorted(skp) == list(range(len(src_idx)))
+    for p in seq:
+        assert np.array_equal(seq[p], skp[p]), p
+
+
+def test_seek_not_engaged_for_dense_sampling(long_clip, monkeypatch):
+    """Dense strides stay on the (faster-at-this-stride) sequential
+    walk — seeking must not engage below the threshold."""
+    calls = []
+    real_cap = cv2.VideoCapture
+
+    class SpyCap:
+        def __init__(self, path):
+            self._c = real_cap(path)
+
+        def set(self, prop, val):
+            calls.append((prop, val))
+            return self._c.set(prop, val)
+
+        def __getattr__(self, k):
+            return getattr(self._c, k)
+
+    cap = SpyCap(long_clip)
+    src_idx = np.arange(0, 400, 8)   # stride 8 < SEEK_MIN_STRIDE
+    n = sum(1 for _ in video_loader.cv2_iter_wanted(cap, src_idx))
+    cap._c.release()
+    assert n == len(src_idx)
+    assert not calls
+
+
+def test_duplicate_wanted_indices_with_seek(long_clip):
+    """fps above source rate wants the same frame repeatedly; the seek
+    path must yield every duplicate without re-seeking per entry."""
+    src_idx = np.asarray([0, 0, 40, 40, 40, 80])
+    cap = cv2.VideoCapture(long_clip)
+    got = list(video_loader.cv2_iter_wanted(cap, src_idx))
+    cap.release()
+    assert [p for p, _ in got] == list(range(6))
+    assert np.array_equal(got[0][1], got[1][1])
+    assert np.array_equal(got[2][1], got[3][1])
