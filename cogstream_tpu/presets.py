@@ -4,7 +4,8 @@
 (config.json:10-43 + vision_encoder_config). ``demo`` keeps every
 structural ratio (GQA 7:1, SwiGLU ~5.3x, SigLIP tower shape) at a size
 that initializes and compiles quickly on a single chip — used by the
-driver's compile check and by bench.py unless COGSTREAM_BENCH_FULL=1.
+driver's compile check and by bench.py's demo-scale sections (the 7B
+sections run quantized synthetic weights at the real shapes).
 """
 
 from __future__ import annotations
