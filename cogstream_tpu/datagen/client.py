@@ -28,41 +28,77 @@ def _b64_image(image) -> str:
 
 
 class MLLMClient:
-    """OpenAI-compatible multimodal chat client."""
+    """OpenAI-compatible multimodal chat client.
+
+    Transport: the ``openai`` SDK when installed, else a stdlib
+    ``urllib`` POST speaking the same ``/chat/completions`` wire format
+    — the TPU image ships no openai package, and the reference's own
+    judge clients were MISSING from its repo entirely
+    (eval_1_IA.py:4-5), so the client must not depend on an optional
+    SDK to function. Retry/backoff/fallback/usage logic is transport-
+    independent (``_call``) and covered offline by a local HTTP stub
+    (tests/test_judge_http.py)."""
 
     def __init__(self, model: str, api_key: Optional[str] = None,
                  base_url: Optional[str] = None, max_retries: int = 5,
                  fallback_model: Optional[str] = None,
-                 temperature: float = 0.7):
-        from openai import OpenAI  # gated import
+                 temperature: float = 0.7,
+                 backoff: Optional[callable] = None):
+        self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
+        self.base_url = (base_url or os.environ.get("OPENAI_BASE_URL")
+                         or "https://api.openai.com/v1").rstrip("/")
+        try:
+            from openai import OpenAI  # gated import
 
-        self.client = OpenAI(
-            api_key=api_key or os.environ.get("OPENAI_API_KEY", ""),
-            base_url=base_url or os.environ.get("OPENAI_BASE_URL"))
+            self.client = OpenAI(api_key=self.api_key,
+                                 base_url=self.base_url)
+        except ImportError:
+            self.client = None         # stdlib urllib transport
         self.model = model
         self.fallback_model = fallback_model
         self.max_retries = max_retries
         self.temperature = temperature
         self.prompt_tokens = 0
         self.completion_tokens = 0
+        self._backoff = backoff or time.sleep
+
+    def _request(self, messages: List[Dict], model: str) -> str:
+        """One transport round trip; raises on any failure."""
+        if self.client is not None:
+            r = self.client.chat.completions.create(
+                model=model, messages=messages,
+                temperature=self.temperature)
+            if r.usage:
+                self.prompt_tokens += r.usage.prompt_tokens or 0
+                self.completion_tokens += r.usage.completion_tokens or 0
+            return r.choices[0].message.content or ""
+        import urllib.request
+
+        body = json.dumps({"model": model, "messages": messages,
+                           "temperature": self.temperature}).encode()
+        req = urllib.request.Request(
+            f"{self.base_url}/chat/completions", data=body,
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {self.api_key}"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            data = json.loads(resp.read().decode())
+        usage = data.get("usage") or {}
+        self.prompt_tokens += usage.get("prompt_tokens") or 0
+        self.completion_tokens += usage.get("completion_tokens") or 0
+        return (data["choices"][0]["message"].get("content")
+                or "")
 
     def _call(self, messages: List[Dict]) -> str:
         model = self.model
         for attempt in range(self.max_retries):
             try:
-                r = self.client.chat.completions.create(
-                    model=model, messages=messages,
-                    temperature=self.temperature)
-                if r.usage:
-                    self.prompt_tokens += r.usage.prompt_tokens or 0
-                    self.completion_tokens += r.usage.completion_tokens or 0
-                return r.choices[0].message.content or ""
+                return self._request(messages, model)
             except Exception:
                 if attempt == self.max_retries - 1:
                     raise
                 if self.fallback_model and attempt >= self.max_retries // 2:
                     model = self.fallback_model
-                time.sleep(min(2 ** attempt, 20))
+                self._backoff(min(2 ** attempt, 20))
         return ""
 
     def chat(self, prompt: str, system: Optional[str] = None) -> str:

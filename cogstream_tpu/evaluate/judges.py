@@ -72,13 +72,13 @@ class OpenAICompatJudge:
 
     def __init__(self, model: str, api_key: Optional[str] = None,
                  base_url: Optional[str] = None, max_retries: int = 5,
-                 fallback_model: Optional[str] = None):
+                 fallback_model: Optional[str] = None, backoff=None):
         from ..datagen.client import MLLMClient
 
         self._client = MLLMClient(
             model, api_key=api_key, base_url=base_url,
             max_retries=max_retries, fallback_model=fallback_model,
-            temperature=0.0)
+            temperature=0.0, backoff=backoff)
 
     @property
     def prompt_tokens(self):
