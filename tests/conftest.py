@@ -49,6 +49,29 @@ def _bound_compiled_executable_maps():
     gc.collect()
 
 
+# The quick subset (`pytest -m quick`): the invariant core at
+# module granularity, chosen so a COLD host (empty XLA:CPU compile
+# cache — a fresh driver/judge machine recompiles everything; the full
+# suite then takes ~17 min, not the warm ~3) still finishes in a few
+# minutes. Criteria: parity/spec tests that pin reference semantics
+# (prompts, plans, labels, metrics) plus the host-side runtime pieces,
+# excluding the model-forward-heavy e2e suites.
+QUICK_MODULES = {
+    "test_chat_template", "test_history_parity", "test_image_processor",
+    "test_prompt_parity", "test_label_taxonomy_parity",
+    "test_video_loader", "test_frame_stream", "test_sampling",
+    "test_kmeans", "test_utils_io", "test_quant_utils",
+    "test_datagen_eval", "test_nlp_meteor", "test_judge_http",
+    "test_eval_querychain", "test_selector_cap", "test_docs_sync",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
