@@ -172,7 +172,7 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
     H, D = cfg.num_attention_heads, cfg.head_dim
     Dp = _round_up(D, 128)
     cos2d, sin2d, perm128 = rope_cs128
-    kv_start, kv_count, kmax, block = flash
+    kv_start, kv_count, kmax, block, aligned = flash
     # The W8A8 fast path requires ALL FOUR projections in the int8
     # form: quantize_tree(bits=4) int8-fallbacks group-indivisible
     # kernels, so a mixed q4/int8 tree must materialize instead.
@@ -218,7 +218,8 @@ def _attn_block_packed(x, p, rope_cs128, seg_row, cfg, flash):
     out = flash_attention_packed_rope_fusedqkv(
         qkv, cos2d, sin2d, perm128, seg_row, kv_start, kv_count,
         H, Dp, block, block, kmax,
-        1.0 / math.sqrt(D), jax.default_backend() != "tpu")
+        1.0 / math.sqrt(D), jax.default_backend() != "tpu",
+        aligned=aligned)
     if w8a8:
         kern = p["o"]["kernel"]
         qo = jnp.pad(kern["q"].reshape(H, D, -1),
@@ -271,6 +272,7 @@ def vision_encoder_core(
     flash_kv=None,              # (kv_start [nq], kv_count [nq]) device arrays
     flash_kmax: int = 0,        # static — minor grid extent of the kernel
     flash_block: int = 0,       # static — q/k block size (0 = default)
+    flash_aligned: bool = False,  # static — whole-frame blocks, maskless
 ) -> jax.Array:
     """Jittable core: patch rows → merged features [num_out_tokens, hidden].
 
@@ -341,7 +343,8 @@ def vision_encoder_core(
         # as the unfused path)
         cs = jnp.pad(cos2[:, 0, :], ((0, extra), (0, Dp - D)))
         sn = jnp.pad(sin2[:, 0, :], ((0, extra), (0, Dp - D)))
-        flash = (flash_kv[0], flash_kv[1], flash_kmax, bq)
+        flash = (flash_kv[0], flash_kv[1], flash_kmax, bq,
+                 flash_aligned)
         # fused single-pass LN (ops/layernorm.py): ~6 ms/forward over
         # the jnp form at 32x1024 tokens (see the kernel's docstring)
         from ..ops.layernorm import pallas_layernorm
@@ -405,6 +408,7 @@ class VisionMetadata(NamedTuple):
     kv_count: Optional[np.ndarray] = None   # [nq] flash KV range lengths
     kmax: int = 0                            # static minor grid extent
     block_q: int = 0                         # static q/k block size
+    aligned: bool = False                    # whole-frame homogeneous blocks
 
 
 def build_vision_metadata(
@@ -452,7 +456,8 @@ def build_vision_metadata(
         kv_start=None if fr is None else fr.kv_start,
         kv_count=None if fr is None else fr.kv_count,
         kmax=0 if fr is None else fr.kmax,
-        block_q=0 if fr is None else fr.block_q)
+        block_q=0 if fr is None else fr.block_q,
+        aligned=False if fr is None else fr.aligned)
 
 
 def vision_encoder_forward(
@@ -482,13 +487,14 @@ def vision_encoder_forward(
                        jnp.asarray(meta.merge_group_ids),
                        flash_kv,
                        meta.num_out_tokens, cfg, use_pallas, meta.kmax,
-                       meta.block_q)
+                       meta.block_q, meta.aligned)
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
 def _jitted_core(params, pv, pos, seg, grp, flash_kv, num_out, cfg,
-                 use_pallas, kmax, block_q):
+                 use_pallas, kmax, block_q, aligned=False):
     return vision_encoder_core(params, pv, pos, seg, grp, num_out, cfg,
                                use_pallas=use_pallas, flash_kv=flash_kv,
-                               flash_kmax=kmax, flash_block=block_q)
+                               flash_kmax=kmax, flash_block=block_q,
+                               flash_aligned=aligned)

@@ -106,6 +106,7 @@ def _flash_kernel(
     *,
     scale: float,
     kmax: int,
+    aligned: bool = False,
 ):
     iq = pl.program_id(1)
     j = pl.program_id(2)
@@ -126,17 +127,26 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [BQ, BK]
-        qseg = qseg_ref[0]                                # [BQ]
-        kseg = kseg_ref[0]                                # [BK]
-        mask = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] >= 0)
-        s = jnp.where(mask, s, NEG_INF)
+        if aligned:
+            # whole-frame blocks (FlashRanges.aligned): every block is
+            # homogeneous — one frame or all-pad (and all-pad blocks
+            # never reach here: kv_count is 0) — so the per-token
+            # segment compare vanishes entirely
+            mask = None
+        else:
+            qseg = qseg_ref[0]                            # [BQ]
+            kseg = kseg_ref[0]                            # [BK]
+            mask = (qseg[:, None] == kseg[None, :]) \
+                & (qseg[:, None] >= 0)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, :1]                             # [BQ, 1]
         m_cur = jnp.max(s, axis=1, keepdims=True)         # [BQ, 1]
         m_new = jnp.maximum(m_prev, m_cur)
         # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be exp(0)
         p = jnp.exp(s - jnp.where(m_new <= NEG_INF / 2, 0.0, m_new))
-        p = jnp.where(mask, p, 0.0)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(
             jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev - m_new))
         l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
@@ -157,14 +167,15 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k", "kmax", "scale", "interpret"),
+    static_argnames=("block_q", "block_k", "kmax", "scale", "interpret",
+                     "aligned"),
 )
 def _flash_call(
     q, k, v,                   # [H, Np, Dp]
     qseg, kseg,                # [1, Np] int32
     kv_start, kv_count,        # [nq] int32
     block_q: int, block_k: int, kmax: int,
-    scale: float, interpret: bool,
+    scale: float, interpret: bool, aligned: bool = False,
 ):
     H, Np, Dp = q.shape
     nq = Np // block_q
@@ -184,6 +195,18 @@ def _flash_call(
         blk = jnp.minimum(ks[iq] + j, nk - 1)
         return (0, blk)
 
+    if aligned:
+        # whole-frame blocks: the kernel never reads segment ids, and a
+        # non-128-multiple block_q could not legally shape a (1, BQ)
+        # block anyway (Mosaic wants the LAST block dim % 128 == 0) —
+        # feed a fixed dummy tile instead
+        qseg = kseg = jnp.zeros((1, 128), jnp.int32)
+        qseg_spec = pl.BlockSpec((1, 128), lambda h, iq, j, ks, kc: (0, 0))
+        kseg_spec = qseg_spec
+    else:
+        qseg_spec = pl.BlockSpec((1, block_q), qseg_map)
+        kseg_spec = pl.BlockSpec((1, block_k), kseg_map)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(H, nq, kmax),
@@ -191,8 +214,8 @@ def _flash_call(
             pl.BlockSpec((1, block_q, Dp), q_map),
             pl.BlockSpec((1, block_k, Dp), kv_map),
             pl.BlockSpec((1, block_k, Dp), kv_map),
-            pl.BlockSpec((1, block_q), qseg_map),
-            pl.BlockSpec((1, block_k), kseg_map),
+            qseg_spec,
+            kseg_spec,
         ],
         out_specs=pl.BlockSpec((1, block_q, Dp), q_map),
         scratch_shapes=[
@@ -201,7 +224,8 @@ def _flash_call(
             pltpu.VMEM((block_q, Dp), jnp.float32),
         ],
     )
-    kernel = functools.partial(_flash_kernel, scale=scale, kmax=kmax)
+    kernel = functools.partial(_flash_kernel, scale=scale, kmax=kmax,
+                               aligned=aligned)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -219,7 +243,8 @@ class FlashRanges:
     """
 
     def __init__(self, kv_start, kv_count,
-                 kmax: int, block_q: int, block_k: int, n_padded: int):
+                 kmax: int, block_q: int, block_k: int, n_padded: int,
+                 aligned: bool = False):
         # kv_start/kv_count may be host numpy or traced device arrays
         # (the metadata is host-built; inside jit it arrives as operands)
         self.kv_start = kv_start
@@ -227,6 +252,10 @@ class FlashRanges:
         self.kmax = int(kmax)
         self.block_q = int(block_q)
         self.block_k = int(block_k)
+        # True when the block exactly tiles uniform same-length frames:
+        # every block is homogeneous (one frame, or all-pad with
+        # kv_count 0) and the kernels skip the per-token segment mask
+        self.aligned = bool(aligned)
         self.n_padded = int(n_padded)
 
     @staticmethod
@@ -247,23 +276,52 @@ class FlashRanges:
         seg = np.asarray(segment_ids, np.int32)
         n = seg.shape[0]
         if block_q is None:
+            cands = [128, 256, 512, 1024]
+            # UNIFORM-FRAME candidate: when every segment has the same
+            # length L (one video's frames always do) and L is a
+            # sublane multiple, an L-sized block tiles the frames
+            # EXACTLY — kmax=1, zero cross-frame masked work. Matters
+            # whenever L is not a power-of-two multiple of 128: the
+            # real streaming resize yields e.g. 24x42 = 1008-patch
+            # frames (640x360 source under the 64-frame token budget),
+            # where the best power-of-two block (1024) straddles
+            # frames at kmax=3 — measured 3x the encode time of the
+            # aligned block on v5e. 2048 caps the VMEM footprint
+            # (~5 MB tiles+scratch of ~16 MB).
+            seg_valid = seg[seg >= 0]
+            uniform_L = 0
+            if seg_valid.size:
+                counts = np.bincount(seg_valid - seg_valid.min())
+                counts = counts[counts > 0]
+                L = int(counts[0])
+                if (counts == L).all() and L % 8 == 0 and L <= 2048:
+                    uniform_L = L
+                    if L not in cands:
+                        cands.append(L)
             best = None
-            for b in (128, 256, 512, 1024):
+            # Per-step cost model: one grid step costs a fixed overhead
+            # plus the tile's MACs. The overhead calibrates to ~512x1024
+            # MAC-equivalents from two v5e measurements (128² tiles:
+            # 29.3 ms/layer at 256 steps; 1024² tiles: 9.4 ms at 32 —
+            # the model predicts 2.8x, measured 3.1x). Raw step count
+            # alone mis-ranks mixed tile sizes (a few huge straddling
+            # tiles beat many exact ones on steps while doing 3x the
+            # masked MACs). Ties keep the SMALLER block, whose tiles
+            # carry less padding DMA.
+            OVERHEAD_MACS = 512 * 1024
+            for b in cands:
                 n_pad = _round_up(max(n, b), b)
                 seg_pad = np.full((n_pad,), -1, np.int32)
                 seg_pad[:n] = seg
                 ks, kc, kmax = kv_block_ranges(seg_pad, b, b)
                 steps = (n_pad // b) * kmax
-                # strictly fewer steps wins (per-step overhead dominates
-                # tile MACs on v5e — 1024² tiles measured 3.1x faster
-                # than 128² at 32x1024 tokens); ties keep the SMALLER
-                # block, whose tiles carry less padding DMA (a single
-                # 256-token frame ties 256/512/1024 at one step — the
-                # 1024 tile would stream 4x the bytes for masked zeros)
-                if best is None or steps < best[0]:
-                    best = (steps, b, ks, kc, kmax, n_pad)
+                score = steps * (b * b + OVERHEAD_MACS)
+                if best is None or score < best[0] or \
+                        (score == best[0] and b < best[1]):
+                    best = (score, b, ks, kc, kmax, n_pad)
             _, b, ks, kc, kmax, n_pad = best
-            return FlashRanges(ks, kc, kmax, b, b, n_pad)
+            return FlashRanges(ks, kc, kmax, b, b, n_pad,
+                               aligned=(b == uniform_L))
         block_k = block_k or block_q
         n_pad = _round_up(max(n, block_q), max(block_q, block_k))
         seg_pad = np.full((n_pad,), -1, np.int32)
@@ -297,6 +355,7 @@ def _flash_kernel_packed_rope(
     *,
     scale: float,
     kmax: int,
+    aligned: bool = False,
 ):
     """Packed flash kernel with the 2D RoPE rotation FUSED in.
 
@@ -335,16 +394,22 @@ def _flash_kernel_packed_rope(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [BQ, BK]
-        qseg = qseg_ref[0]
-        kseg = kseg_ref[0]
-        mask = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] >= 0)
-        s = jnp.where(mask, s, NEG_INF)
+        if aligned:
+            mask = None     # homogeneous whole-frame blocks (see
+            # _flash_kernel): pad blocks are kv_count-gated out
+        else:
+            qseg = qseg_ref[0]
+            kseg = kseg_ref[0]
+            mask = (qseg[:, None] == kseg[None, :]) \
+                & (qseg[:, None] >= 0)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - jnp.where(m_new <= NEG_INF / 2, 0.0, m_new))
-        p = jnp.where(mask, p, 0.0)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(
             jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev - m_new))
         l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
@@ -366,7 +431,7 @@ def _flash_kernel_packed_rope(
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "dp", "block_q", "block_k", "kmax", "scale",
-                     "interpret"),
+                     "interpret", "aligned"),
 )
 def flash_attention_packed_rope_fusedqkv(
     qkv,                       # [Np, 3*H*Dp]: q | k | v column groups
@@ -376,7 +441,7 @@ def flash_attention_packed_rope_fusedqkv(
     kv_start, kv_count,        # [nq] int32
     heads: int, dp: int,
     block_q: int, block_k: int, kmax: int,
-    scale: float, interpret: bool,
+    scale: float, interpret: bool, aligned: bool = False,
 ):
     """flash_attention_packed with the 2D RoPE rotation fused into the
     kernel (_flash_kernel_packed_rope), reading q/k/v straight out of
@@ -424,6 +489,17 @@ def flash_attention_packed_rope_fusedqkv(
         blk = jnp.minimum(ks[iq] + j, nk - 1)
         return (0, blk)
 
+    if aligned:
+        # kernel never reads seg in aligned mode (homogeneous blocks);
+        # a non-128-multiple block_q could not legally shape a (1, BQ)
+        # block (Mosaic: last block dim % 128) — dummy fixed tile
+        seg = jnp.zeros((1, 128), jnp.int32)
+        qseg_spec = pl.BlockSpec((1, 128), lambda iq, h, j, ks, kc: (0, 0))
+        kseg_spec = qseg_spec
+    else:
+        qseg_spec = pl.BlockSpec((1, block_q), qseg_map)
+        kseg_spec = pl.BlockSpec((1, block_k), kseg_map)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nq, heads, kmax),
@@ -436,8 +512,8 @@ def flash_attention_packed_rope_fusedqkv(
             pl.BlockSpec((block_k, dp), kcs_map),
             pl.BlockSpec((block_k, dp), kcs_map),
             pl.BlockSpec((dp, dp), perm_map),
-            pl.BlockSpec((1, block_q), qseg_map),
-            pl.BlockSpec((1, block_k), kseg_map),
+            qseg_spec,
+            kseg_spec,
         ],
         out_specs=pl.BlockSpec((block_q, dp), q_map),
         scratch_shapes=[
@@ -448,7 +524,7 @@ def flash_attention_packed_rope_fusedqkv(
         ],
     )
     kernel = functools.partial(_flash_kernel_packed_rope, scale=scale,
-                               kmax=kmax)
+                               kmax=kmax, aligned=aligned)
     cosf = cos.astype(jnp.float32)
     sinf = sin.astype(jnp.float32)
     return pl.pallas_call(
@@ -502,5 +578,6 @@ def segment_flash_attention(
     out = _flash_call(
         qp, kp, vp, seg_dev, seg_dev,
         jnp.asarray(ranges.kv_start), jnp.asarray(ranges.kv_count),
-        block_q, block_k, ranges.kmax, float(scale), bool(interpret))
+        block_q, block_k, ranges.kmax, float(scale), bool(interpret),
+        aligned=getattr(ranges, "aligned", False))
     return jnp.transpose(out[:, :N, :D], (1, 0, 2))

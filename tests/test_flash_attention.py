@@ -128,3 +128,52 @@ def test_vision_encoder_pallas_path_matches(tiny_config, rng):
                                  use_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_uniform_frame_block_candidate():
+    """Non-power-of-two uniform frames get an EXACT whole-frame block:
+    the 640x360 streaming resize yields 24x42 = 1008-patch frames where
+    the best power-of-two block (1024) straddles frames at kmax=3 —
+    3x the masked work (measured 3x encode time at 7B e2e ingest)."""
+    seg = segment_ids_from_lengths(np.array([1008] * 16))
+    r = FlashRanges.build(seg)
+    assert r.block_q == 1008 and r.kmax == 1
+    assert r.n_padded == 16 * 1008
+    # frames not a sublane multiple keep the power-of-two search
+    seg2 = segment_ids_from_lengths(np.array([1196] * 4))
+    r2 = FlashRanges.build(seg2)
+    assert r2.block_q in (128, 256, 512, 1024)
+
+
+def test_uniform_frame_block_numerics(rng):
+    """Aligned odd-size blocks stay numerically exact vs the dense
+    reference (interpret mode)."""
+    seg = segment_ids_from_lengths(np.array([136] * 16))
+    r = FlashRanges.build(seg)
+    assert r.block_q == 136 and r.kmax == 1
+    N = seg.shape[0]
+    q = jnp.asarray(rng.normal(size=(N, 2, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(N, 2, 16)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(N, 2, 16)), jnp.float32)
+    out = segment_flash_attention(q, k, v, seg, ranges=r, interpret=True)
+    ref = segment_attention(q, k, v, jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_vision_encoder_padded_beyond_frames(rng):
+    """The session pads encode shapes to 1024-row buckets; the
+    whole-frame block candidate must stay correct when trailing pad
+    rows (-1 segments) round the buffer past the frame grid."""
+    lengths = np.array([136] * 6)
+    seg = segment_ids_from_lengths(lengths)
+    n = seg.shape[0]                       # 816
+    pad_to = 1024
+    seg_pad = np.concatenate([seg, np.full((pad_to - n,), -1, np.int32)])
+    r = FlashRanges.build(seg_pad)
+    q = jnp.asarray(rng.normal(size=(pad_to, 2, 16)), jnp.float32)
+    out = segment_flash_attention(q, q, q, seg_pad, ranges=r,
+                                  interpret=True)
+    ref = segment_attention(q, q, q, jnp.asarray(seg_pad))
+    np.testing.assert_allclose(np.asarray(out[:n]), np.asarray(ref[:n]),
+                               atol=2e-5)
