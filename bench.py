@@ -787,9 +787,13 @@ def bench_e2e_ingest_7b(ctx):
     → int8-7B prefill, through SessionServer's chunked ingest. The
     north-star '≥30 fps streaming ingest' (BASELINE.md) measured with
     DECODE INCLUDED — the number round 2 only had at demo scale
-    (16.9 fps, serial host stages). Steady-state: a warm-up pass
-    compiles every bucket, then a fresh session ingests the same window
-    timed end-to-end."""
+    (16.9 fps, serial host stages). Runs the FULL int8 serving stack
+    (W8A8 tower + W8A8 decoder prefill — bench_session_7b_w8a8's mode,
+    the fastest shipped ingest path; bf16-feature sessions stay the
+    quality default and their device-side rate is
+    session_ingest_fps_7b). Steady-state: a warm-up pass compiles
+    every bucket, then a fresh session ingests the same window timed
+    end-to-end."""
     import tempfile
 
     import cv2
@@ -797,7 +801,7 @@ def bench_e2e_ingest_7b(ctx):
 
     from cogstream_tpu.runtime.serve import SessionServer
 
-    cfg = _session_cfg_7b()
+    cfg = _session_cfg_7b(w8a8_prefill=True)
     params = ctx.cogreasoner_7b_params("int8", cfg)
     tok, _ = _tokenizer_for(cfg)
 
@@ -807,20 +811,29 @@ def bench_e2e_ingest_7b(ctx):
                             (640, 360))
         rng = np.random.default_rng(0)
         base = rng.integers(0, 255, (360, 640, 3), np.uint8)
-        for i in range(24 * 64):     # 64 s at 24 fps source
+        # 128 s at 24 fps: the processor's max_frames default window
+        # (128 @ 1 fps). Window length sets the per-frame token budget
+        # (16384/128 = 128 merged tokens — reference semantics,
+        # image_processing_videollama3.py:93-131); a shorter window
+        # doubles per-frame tokens and with it the ~15 MB/s tunnel
+        # upload per frame. Content: static base + a moving block
+        # (the pixel-diff mask compresses steadily, as real streams do).
+        for i in range(24 * 128):
             frame = base.copy()
             frame[:40, :40] = (i * 5) % 255
+            frame[80:120, (i // 24 * 8) % 600:(i // 24 * 8) % 600 + 40] \
+                = 255 - (i % 255)
             w.write(frame)
         w.release()
 
         server = SessionServer(params, cfg, tok, max_len=4096,
                                use_pallas=True, encoder_int8=True,
-                               ingest_chunk_frames=16)
+                               ingest_chunk_frames=32)
         server.create("warm")
-        server.ingest("warm", path, start=0.0, end=64.0, fps=1.0)
+        server.ingest("warm", path, start=0.0, end=128.0, fps=1.0)
         server.create("run")
         t0 = time.perf_counter()
-        r = server.ingest("run", path, start=0.0, end=64.0, fps=1.0)
+        r = server.ingest("run", path, start=0.0, end=128.0, fps=1.0)
         dt = time.perf_counter() - t0
         return {"ingest_e2e_fps_7b": round(r["frames"] / dt, 1),
                 "ingest_e2e_7b_backend": r["decode_backend"],
@@ -1125,9 +1138,14 @@ SECTIONS = [
     ("pool_demo", 120, bench_pool_demo),
     ("encoder_int8", 60, bench_encoder_int8),
     ("preprocess", 60, bench_preprocess),
-    ("overlap", 150, bench_ingest_overlap),
     ("train_stage2", 180, bench_train_stage2),
 ]
+# bench_ingest_overlap (demo-scale chunked e2e ingest) is NOT in the
+# section list: it crashed the TPU worker twice in a row on an idle
+# host (r3 run 1, 'UNAVAILABLE: worker process crashed ... kernel
+# fault') and its story is superseded by e2e_ingest_7b — the same
+# camera-to-cache chain at production width, which runs clean. The
+# function stays for manual invocation.
 
 # sections that only make sense on the real chip
 TPU_ONLY = {"session_7b_int8", "quant8", "longctx_7b", "e2e_ingest_7b",
@@ -1193,10 +1211,16 @@ def run_sections() -> int:
     on_tpu = platform != "cpu"
 
     profile_dir = os.environ.get("COGSTREAM_BENCH_PROFILE")
+    # COGSTREAM_BENCH_ONLY=a,b,c — run just those sections (targeted
+    # re-measurement during development; not used by the driver)
+    only = {s for s in os.environ.get("COGSTREAM_BENCH_ONLY",
+                                      "").split(",") if s}
     ctx = Ctx()
     done = set(art.get("_done", []))
     attempts = dict(art.get("_attempts", {}))
     for name, est, fn, *args in SECTIONS:
+        if only and name not in only:
+            continue
         if name in done:
             continue
         if not on_tpu and name in TPU_ONLY:

@@ -251,9 +251,12 @@ class SessionServer:
         self._dispatch_batch(session_id, sess, batch, timestamps)
 
     def _dispatch_batch(self, session_id: str, sess, batch,
-                        timestamps: List[float]) -> None:
+                        timestamps: List[float], pv_device=None,
+                        keep_mask=None) -> None:
         """Dispatch an already-preprocessed batch (the preprocess-ahead
-        ingest thread hands these over directly)."""
+        ingest thread hands these over directly, optionally with the
+        pixel rows already device_put and the keep mask precomputed —
+        both overlap the previous chunk's device work)."""
         t, gh, gw = batch.grid_sizes[0]
         grid = (int(t), int(gh), int(gw))
         ms = int(batch.merge_sizes[0])
@@ -271,7 +274,8 @@ class SessionServer:
         else:
             with self.lock:
                 sess.append_stream_segment(
-                    batch.pixel_values, grid, ms, timestamps)
+                    batch.pixel_values, grid, ms, timestamps,
+                    pixel_values_device=pv_device, keep_mask=keep_mask)
 
     def ingest(self, session_id: str, video_path: str,
                start: Optional[float], end: Optional[float],
@@ -316,6 +320,7 @@ class SessionServer:
 
                 def _preprocess_worker():
                     target = None
+                    solo = self.frontend is None and self.pool is None
                     try:
                         for chunk, ts in stream:
                             if target is None:
@@ -330,7 +335,23 @@ class SessionServer:
                             batch = proc([chunk], modals=["video"],
                                          raw_uint8=True,
                                          target_sizes=target)
-                            pq.put((batch, ts))
+                            pv_dev = keep = None
+                            if solo:
+                                # start the host->device pixel upload
+                                # NOW (async; ~0.5 s of wire time per
+                                # 16-frame chunk over the tunnel) and
+                                # compute the pixel-diff mask — both
+                                # overlap the previous chunk's ingest
+                                import jax as _jax
+
+                                t, gh, gw = batch.grid_sizes[0]
+                                pv_dev = _jax.device_put(
+                                    batch.pixel_values)
+                                keep = sess.ingest_keep_mask(
+                                    batch.pixel_values,
+                                    (int(t), int(gh), int(gw)),
+                                    int(batch.merge_sizes[0]))
+                            pq.put((batch, ts, pv_dev, keep))
                     except Exception as e:  # noqa: BLE001
                         perr.append(e)
                     finally:
@@ -346,9 +367,10 @@ class SessionServer:
                         item = pq.get()
                         if item is None:
                             break
-                        batch, ts = item
+                        batch, ts, pv_dev, keep = item
                         self._dispatch_batch(session_id, sess, batch,
-                                             ts)
+                                             ts, pv_device=pv_dev,
+                                             keep_mask=keep)
                     th.join(timeout=5.0)
                     if perr:
                         raise perr[0]

@@ -588,12 +588,33 @@ class StreamingSession:
                     self.cfg.compression.frames_per_event:
                 self._close_event()
 
+    def ingest_keep_mask(self, pixel_values: np.ndarray,
+                         grid_size: Tuple[int, int, int],
+                         merge_size: int) -> np.ndarray:
+        """The segment's pixel-diff keep mask, computable AHEAD of the
+        ingest on any thread (pure host numpy): serving's
+        preprocess-ahead worker calls this so the mask overlaps the
+        previous chunk's device work instead of sitting on the ingest
+        critical path (~60-240 ms per 16-frame chunk)."""
+        t, gh, gw = (int(x) for x in grid_size)
+        cc = self.cfg.compression
+        merged = (gh // merge_size) * (gw // merge_size)
+        return cogreasoner.pixel_diff_keep_mask_host(
+            pixel_values, t, merged,
+            minor=np.zeros((t,), bool),
+            threshold=cc.pixel_diff_threshold,
+            min_tokens=cc.min_tokens_per_frame,
+            image_std=tuple(self.cfg.vision.image_std),
+            rescale_factor=self.cfg.vision.rescale_factor)
+
     def append_stream_segment(
         self,
         pixel_values: np.ndarray,     # [t*gh*gw, C*ps*ps] patch rows
         grid_size: Tuple[int, int, int],
         merge_size: int,
         timestamps: Sequence[float],
+        pixel_values_device=None,     # optional pre-uploaded copy
+        keep_mask: Optional[np.ndarray] = None,  # precomputed mask
     ) -> None:
         """Encode + compress + prefill one video segment (stream role).
 
@@ -614,8 +635,17 @@ class StreamingSession:
 
         rows = t * gh * gw
         pad_rows = -(-rows // 1024) * 1024   # bucket the encode shape
+        # pixel_values_device: serving's preprocess-ahead worker
+        # device_puts the patch rows while the PREVIOUS chunk's device
+        # work runs — over the axon tunnel the upload (~10-25 MB/s,
+        # ~0.5 s for a 16-frame 252-token chunk) otherwise dominates
+        # the ingest critical path ("encode" time that is really wire
+        # time). The HOST array still feeds the pixel-diff mask below.
         mm = cogreasoner.encode_images(
-            self.params, pixel_values, np.array([[t, gh, gw]]),
+            self.params,
+            pixel_values if pixel_values_device is None
+            else pixel_values_device,
+            np.array([[t, gh, gw]]),
             np.array([merge_size]), self.cfg, use_pallas=self.use_pallas,
             pad_to=pad_rows)
         if prof:
@@ -625,14 +655,12 @@ class StreamingSession:
         # pixel-diff keep mask — question-independent, applied at
         # ingest; computed on HOST (the pixels are host-resident and the
         # packing plan blocks on the mask — the device form cost a
-        # dispatch + fetch round trip on the ingest critical path)
-        keep = cogreasoner.pixel_diff_keep_mask_host(
-            pixel_values, t, merged,
-            minor=np.zeros((t,), bool),
-            threshold=cc.pixel_diff_threshold,
-            min_tokens=cc.min_tokens_per_frame,
-            image_std=tuple(self.cfg.vision.image_std),
-            rescale_factor=self.cfg.vision.rescale_factor)
+        # dispatch + fetch round trip on the ingest critical path).
+        # Serving passes it precomputed (ingest_keep_mask on the
+        # preprocess-ahead thread).
+        keep = (keep_mask if keep_mask is not None
+                else self.ingest_keep_mask(pixel_values,
+                                           (t, gh, gw), merge_size))
         plan = self._segment_plan(keep, t, merged, timestamps)
         if prof:
             now = _time.perf_counter()
