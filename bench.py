@@ -826,9 +826,22 @@ def bench_e2e_ingest_7b(ctx):
             w.write(frame)
         w.release()
 
+        # chunk 16: 32-frame chunks crashed the TPU worker twice in a
+        # row ('kernel fault') — 16 is the proven-stable shape
+        # the axon tunnel's host->device rate bounds camera-to-cache
+        # ingest (~300 KB/frame at the 128-token budget); record it so
+        # the artifact states the wire constraint this number rides on
+        # (a real v5e host feeds over PCIe and would be device-bound)
+        import jax.numpy as jnp
+        blob = np.zeros((8 << 20,), np.uint8)
+        x = jnp.asarray(blob); jax.device_get(x[:1])
+        t0 = time.perf_counter()
+        x = jnp.asarray(blob); jax.device_get(x[:1])
+        up_mbps = 8.0 / (time.perf_counter() - t0)
+
         server = SessionServer(params, cfg, tok, max_len=4096,
                                use_pallas=True, encoder_int8=True,
-                               ingest_chunk_frames=32)
+                               ingest_chunk_frames=16)
         server.create("warm")
         server.ingest("warm", path, start=0.0, end=128.0, fps=1.0)
         server.create("run")
@@ -838,7 +851,8 @@ def bench_e2e_ingest_7b(ctx):
         return {"ingest_e2e_fps_7b": round(r["frames"] / dt, 1),
                 "ingest_e2e_7b_backend": r["decode_backend"],
                 "ingest_e2e_7b_buffered_max":
-                    int(r["decode_buffered_max"])}
+                    int(r["decode_buffered_max"]),
+                "tunnel_upload_mbps": round(up_mbps, 1)}
 
 
 def bench_pool_demo(ctx, n_rows: int = 4):
@@ -1123,10 +1137,15 @@ SECTIONS = [
     ("session_7b_int8", 300, bench_session_7b_quant, "int8"),
     ("quant8", 120, bench_7b_quantized, "int8"),
     ("longctx_7b", 300, bench_longctx_7b),
-    ("e2e_ingest_7b", 300, bench_e2e_ingest_7b),
     ("pool_7b_int8", 240, bench_pool_7b, "int8"),
     ("lookahead8", 150, bench_lookahead_7b, "int8"),
     ("session_7b_w8a8", 180, bench_session_7b_w8a8),
+    # e2e ingest AFTER the reliable int8 sections: the chunked-ingest
+    # path intermittently crashes the TPU worker ('kernel fault',
+    # ~half of observed runs) and each crash-relaunch costs ~3 min of
+    # budget — the orchestrator recovers, but the cheap reliable
+    # fields must not queue behind it
+    ("e2e_ingest_7b", 300, bench_e2e_ingest_7b),
     ("session_7b_int4", 300, bench_session_7b_quant, "int4u", True),
     ("quant4u", 120, bench_7b_quantized, "int4u"),
     ("quant4u_w4a8", 60, bench_7b_quantized, "int4u", True),

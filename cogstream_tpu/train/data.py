@@ -214,8 +214,13 @@ def selector_batches(
     max_len: int,
     seed: int = 0,
     shuffle_copies: int = 2,
+    include_demo: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Shuffled, augmented, padded batch stream for stage 1."""
+    """Shuffled, augmented, padded batch stream for stage 1.
+
+    ``include_demo`` mirrors Selector.select's flag (the few-shot demo
+    block is part of the serialized prompt interface; train and serve
+    must agree on it)."""
     rng = random.Random(seed)
     expanded: List[SelectorSample] = []
     for s in samples:
@@ -224,7 +229,8 @@ def selector_batches(
 
     buf: List[Dict[str, np.ndarray]] = []
     for s in expanded:
-        enc = encode_selector_sample(tokenizer, s, max_len)
+        enc = encode_selector_sample(tokenizer, s, max_len,
+                                     include_demo=include_demo)
         if enc is None:
             continue
         buf.append(enc)

@@ -62,6 +62,9 @@ class Stage1Config:
     # bubble without shrinking microbatch GEMMs more than needed; a
     # fixed default would crash batch sizes it doesn't divide)
     pipeline_microbatches: int = 0
+    # few-shot demo block in the serialized selector prompt — must
+    # match the flag used at serving (Selector.select include_demo)
+    include_demo: bool = True
     seed: int = 0
 
 
@@ -151,7 +154,8 @@ def train_stage1(
             for batch in selector_batches(
                     tokenizer, samples, tcfg.batch_size, tcfg.max_len,
                     seed=tcfg.seed + epoch,
-                    shuffle_copies=tcfg.shuffle_copies):
+                    shuffle_copies=tcfg.shuffle_copies,
+                    include_demo=tcfg.include_demo):
                 batch = shard_batch(batch, mesh)
                 state, loss = step_fn(params_text, state, batch)
                 s = int(np.asarray(state.step))
