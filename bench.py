@@ -1278,6 +1278,9 @@ def run_sections() -> int:
         finally:
             if profile_dir and name == "encoder":
                 jax.profiler.stop_trace()
+        if fields:
+            # a retry that succeeds clears the earlier attempt's error
+            art.pop(f"{name}_error", None)
         art.update(fields)
         done.add(name)
         art["_done"] = sorted(done)
