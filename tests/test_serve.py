@@ -247,3 +247,50 @@ def test_pool_row_lifecycle_no_leaks():
     assert len(server.pool.sessions) == 2
     r = server.ask("a", "still alive?", mode="AC", max_new_tokens=4)
     assert isinstance(r["text"], str)
+
+
+def test_ingest_preprocess_worker_error_propagates(tmp_path, monkeypatch):
+    """A failure inside the preprocess-ahead worker thread (resize,
+    device_put, mask) must surface as the ingest call's exception —
+    not hang the chunk queue or silently truncate the stream."""
+    cv2 = pytest.importorskip("cv2")
+    from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor import image_processor
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.serve import SessionServer
+
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+    server = SessionServer(params, cfg, tok, max_len=2048,
+                           use_pallas=False, ingest_chunk_frames=2)
+    server.create("x")
+
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(60):   # 6 s → 3 chunks at 2 frames/chunk, 1 fps
+        w.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    w.release()
+
+    calls = {"n": 0}
+    orig = image_processor.ImageProcessor.__call__
+
+    def boom(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:      # fail on the SECOND chunk, mid-stream
+            raise RuntimeError("preprocess exploded")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(image_processor.ImageProcessor, "__call__", boom)
+    with pytest.raises(RuntimeError, match="preprocess exploded"):
+        server.ingest("x", path, start=0.0, end=6.0, fps=1.0)
+    # the server stays usable afterwards (no wedged queue/lock)
+    monkeypatch.setattr(image_processor.ImageProcessor, "__call__", orig)
+    r = server.ingest("x", path, start=0.0, end=2.0, fps=1.0)
+    assert r["frames"] >= 2
