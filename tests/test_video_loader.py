@@ -229,3 +229,36 @@ def test_duplicate_wanted_indices_with_seek(long_clip):
     assert [p for p, _ in got] == list(range(6))
     assert np.array_equal(got[0][1], got[1][1])
     assert np.array_equal(got[2][1], got[3][1])
+
+
+def test_seek_path_skips_failed_reads(long_clip):
+    """A wanted frame whose post-seek read fails must be SKIPPED (its
+    entries dropped) — the same corrupt-frame semantics the sequential
+    walk has — and later wanted frames must still arrive."""
+    real = cv2.VideoCapture(long_clip)
+
+    class FailAt:
+        def __init__(self, cap, fail_target):
+            self._c = cap
+            self._fail = fail_target
+            self._last_seek = None
+
+        def set(self, prop, val):
+            self._last_seek = int(val)
+            return self._c.set(prop, val)
+
+        def read(self):
+            if self._last_seek == self._fail:
+                return False, None
+            return self._c.read()
+
+        def __getattr__(self, k):
+            return getattr(self._c, k)
+
+    src_idx = np.arange(0, 400, 40)       # seek path (stride 40)
+    cap = FailAt(real, 120)
+    got = list(video_loader.cv2_iter_wanted(cap, src_idx))
+    real.release()
+    want_positions = [p for p in range(len(src_idx))
+                      if src_idx[p] != 120]
+    assert [p for p, _ in got] == want_positions
