@@ -63,6 +63,7 @@ QUICK_MODULES = {
     "test_kmeans", "test_utils_io", "test_quant_utils",
     "test_datagen_eval", "test_nlp_meteor", "test_judge_http",
     "test_eval_querychain", "test_selector_cap", "test_docs_sync",
+    "test_bench_artifact",
 }
 
 
