@@ -158,9 +158,10 @@ def _porter_stemmer():
 
 
 # Bundled common-synonym table for the METEOR synonym stage on hosts
-# without the WordNet corpus (this image). A deliberate SUBSET of
-# WordNet synonymy — high-frequency conversational pairs that LLM-judge
-# answers actually vary over; symmetric closure is applied at load.
+# without the WordNet corpus (this image). The MAIN table now lives in
+# synonyms_data.SYNONYM_GROUPS (~560 curated groups, VERDICT r3 next
+# #7); the short legacy list below is merged in for continuity and to
+# keep this module self-contained if the data module is stripped.
 _BUNDLED_SYNONYM_GROUPS = [
     ("big", "large", "huge"), ("small", "little", "tiny"),
     ("quick", "fast", "rapid", "speedy"), ("slow", "sluggish"),
@@ -201,8 +202,12 @@ _BUNDLED_SYNONYM_GROUPS = [
 
 
 def _bundled_synonyms() -> Dict[str, frozenset]:
+    try:
+        from .synonyms_data import SYNONYM_GROUPS
+    except ImportError:
+        SYNONYM_GROUPS = []
     table: Dict[str, set] = defaultdict(set)
-    for group in _BUNDLED_SYNONYM_GROUPS:
+    for group in list(_BUNDLED_SYNONYM_GROUPS) + list(SYNONYM_GROUPS):
         for w in group:
             table[w].update(group)
     return {w: frozenset(s) for w, s in table.items()}

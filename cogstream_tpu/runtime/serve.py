@@ -18,13 +18,28 @@ One TPU process serves many sessions; requests are serialized through a
 lock (the model is one jitted program — concurrency comes from batching,
 a later milestone). The reference has no serving story at all (its
 "serving" is the torchrun eval script, answer_generate.py).
+
+Crash recovery (``--supervise``): a TPU-worker crash (axon
+``UNAVAILABLE: kernel fault`` — observed intermittently on the chunked
+ingest path) WEDGES the in-process JAX client; no in-process retry can
+recover. The serving process therefore runs under a supervisor: a fatal
+backend error turns into a 503 ``{"backend_fatal": true}`` response,
+the child exits (rc 17), the supervisor relaunches it, and the fresh
+process restores every session from its auto-snapshot
+(``--auto-snapshot-dir``: each successful /ingest and /ask snapshots
+the session; boot restores all ``*.snap.npz`` found). Clients retry
+503s after the restart window and keep their streams.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
@@ -33,6 +48,22 @@ import numpy as np
 
 class UnknownSession(Exception):
     pass
+
+
+def _backend_fatal(e: BaseException) -> bool:
+    """True for errors that wedge the JAX client for good (TPU worker
+    crash / lost tunnel): the process must be replaced, not retried."""
+    msg = repr(e)
+    return ("UNAVAILABLE" in msg or "INTERNAL" in msg
+            or "DEADLINE_EXCEEDED" in msg)
+
+
+# Fault injection for recovery tests: when set to N, the N-th solo
+# ingest chunk dispatch raises a synthetic backend-fatal error —
+# the CPU-simulated analogue of the axon worker's mid-ingest
+# 'kernel fault' (tests/test_serve_recovery.py).
+_FAULT_ENV = "COGSTREAM_FAULT_INGEST_DISPATCH"
+_dispatch_counter = 0
 
 
 class BatchingFrontend:
@@ -165,7 +196,10 @@ class SessionServer:
                  max_len: int = 16384, use_pallas: bool = True,
                  pool_rows: int = 0, ingest_chunk_frames: int = 16,
                  mesh=None, lookahead_k: int = 0,
-                 extra_eos_ids: tuple = (), encoder_int8: bool = False):
+                 extra_eos_ids: tuple = (), encoder_int8: bool = False,
+                 upload_ahead: bool = True,
+                 preprocess_ahead: bool = True,
+                 auto_snapshot_dir: Optional[str] = None):
         from ..utils.profiling import StageTimer
         from .session import StreamingSession
 
@@ -198,6 +232,29 @@ class SessionServer:
         # frames per chunked-ingest dispatch; the decoder streams ahead
         # of the TPU encode between dispatches
         self.ingest_chunk_frames = ingest_chunk_frames
+        # Pipeline-stage switches (both default ON — the measured-fast
+        # serving shape). upload_ahead: the preprocess worker starts
+        # the chunk's host->device pixel upload while the previous
+        # chunk's device work is in flight. preprocess_ahead: run
+        # decode->preprocess in a worker thread at all (OFF = strictly
+        # serial single-thread ingest). Separable for fault isolation:
+        # tools/ingest_crash_repro.py measures each stage's
+        # contribution to the chunked-ingest TPU-worker 'kernel fault'.
+        self.upload_ahead = upload_ahead
+        self.preprocess_ahead = preprocess_ahead
+        # Crash-recovery state (module docstring): when
+        # auto_snapshot_dir is set, every successful /ingest and /ask
+        # snapshots the session there (atomic npz; cost = one cache
+        # fetch — ~0.2 s/GB over PCIe, tens of seconds over the dev
+        # tunnel, so it is OPT-IN). A supervised child (env
+        # COGSTREAM_SERVE_SUPERVISED=1, set by run_supervised) exits
+        # on backend-fatal errors so the supervisor can replace it.
+        self.auto_snapshot_dir = auto_snapshot_dir
+        if auto_snapshot_dir:
+            os.makedirs(auto_snapshot_dir, exist_ok=True)
+        self.supervised = \
+            os.environ.get("COGSTREAM_SERVE_SUPERVISED") == "1"
+        self._exit_code = 0
         self.pool = None
         self.frontend = None
         self._row_of: Dict[str, int] = {}
@@ -257,6 +314,14 @@ class SessionServer:
         ingest thread hands these over directly, optionally with the
         pixel rows already device_put and the keep mask precomputed —
         both overlap the previous chunk's device work)."""
+        fault_n = os.environ.get(_FAULT_ENV)
+        if fault_n is not None:
+            global _dispatch_counter
+            _dispatch_counter += 1
+            if _dispatch_counter >= int(fault_n):
+                raise RuntimeError(
+                    "UNAVAILABLE: kernel fault (injected by "
+                    f"{_FAULT_ENV})")
         t, gh, gw = batch.grid_sizes[0]
         grid = (int(t), int(gh), int(gw))
         ms = int(batch.merge_sizes[0])
@@ -318,39 +383,44 @@ class SessionServer:
                 pq: "_queue.Queue" = _queue.Queue(maxsize=2)
                 perr: list = []
 
+                solo = self.frontend is None and self.pool is None
+                state = {"target": None}
+
+                def _prep(chunk):
+                    if state["target"] is None:
+                        pc = self.cfg.processor
+                        total = max(stream.total_frames_hint,
+                                    len(chunk))
+                        state["target"] = smart_resize_single_factor(
+                            [chunk[0]],
+                            pc.patch_size * pc.video_merge_size,
+                            pc.min_tokens, pc.max_tokens,
+                            num_frames_override=total)
+                    batch = proc([chunk], modals=["video"],
+                                 raw_uint8=True,
+                                 target_sizes=state["target"])
+                    pv_dev = keep = None
+                    if solo and self.upload_ahead:
+                        # start the host->device pixel upload NOW
+                        # (async; ~0.5 s of wire time per 16-frame
+                        # chunk over the tunnel) and compute the
+                        # pixel-diff mask — both overlap the previous
+                        # chunk's ingest
+                        import jax as _jax
+
+                        t, gh, gw = batch.grid_sizes[0]
+                        pv_dev = _jax.device_put(
+                            batch.pixel_values)
+                        keep = sess.ingest_keep_mask(
+                            batch.pixel_values,
+                            (int(t), int(gh), int(gw)),
+                            int(batch.merge_sizes[0]))
+                    return batch, pv_dev, keep
+
                 def _preprocess_worker():
-                    target = None
-                    solo = self.frontend is None and self.pool is None
                     try:
                         for chunk, ts in stream:
-                            if target is None:
-                                pc = self.cfg.processor
-                                total = max(stream.total_frames_hint,
-                                            len(chunk))
-                                target = smart_resize_single_factor(
-                                    [chunk[0]],
-                                    pc.patch_size * pc.video_merge_size,
-                                    pc.min_tokens, pc.max_tokens,
-                                    num_frames_override=total)
-                            batch = proc([chunk], modals=["video"],
-                                         raw_uint8=True,
-                                         target_sizes=target)
-                            pv_dev = keep = None
-                            if solo:
-                                # start the host->device pixel upload
-                                # NOW (async; ~0.5 s of wire time per
-                                # 16-frame chunk over the tunnel) and
-                                # compute the pixel-diff mask — both
-                                # overlap the previous chunk's ingest
-                                import jax as _jax
-
-                                t, gh, gw = batch.grid_sizes[0]
-                                pv_dev = _jax.device_put(
-                                    batch.pixel_values)
-                                keep = sess.ingest_keep_mask(
-                                    batch.pixel_values,
-                                    (int(t), int(gh), int(gw)),
-                                    int(batch.merge_sizes[0]))
+                            batch, pv_dev, keep = _prep(chunk)
                             pq.put((batch, ts, pv_dev, keep))
                     except Exception as e:  # noqa: BLE001
                         perr.append(e)
@@ -360,20 +430,31 @@ class SessionServer:
                 import threading as _threading
 
                 with stream:
-                    th = _threading.Thread(target=_preprocess_worker,
-                                           daemon=True)
-                    th.start()
-                    while True:
-                        item = pq.get()
-                        if item is None:
-                            break
-                        batch, ts, pv_dev, keep = item
-                        self._dispatch_batch(session_id, sess, batch,
-                                             ts, pv_device=pv_dev,
-                                             keep_mask=keep)
-                    th.join(timeout=5.0)
-                    if perr:
-                        raise perr[0]
+                    if self.preprocess_ahead:
+                        th = _threading.Thread(
+                            target=_preprocess_worker, daemon=True)
+                        th.start()
+                        while True:
+                            item = pq.get()
+                            if item is None:
+                                break
+                            batch, ts, pv_dev, keep = item
+                            self._dispatch_batch(session_id, sess,
+                                                 batch, ts,
+                                                 pv_device=pv_dev,
+                                                 keep_mask=keep)
+                        th.join(timeout=5.0)
+                        if perr:
+                            raise perr[0]
+                    else:
+                        # strictly serial single-thread ingest (fault
+                        # isolation / conservative deployments)
+                        for chunk, ts in stream:
+                            batch, pv_dev, keep = _prep(chunk)
+                            self._dispatch_batch(session_id, sess,
+                                                 batch, ts,
+                                                 pv_device=pv_dev,
+                                                 keep_mask=keep)
                 decode_stats = {
                     "backend": stream.backend,
                     "buffered_max": stream.buffered_max,
@@ -391,6 +472,7 @@ class SessionServer:
                 decode_stats = {"backend": "buffered",
                                 "buffered_max": 0}
                 n_frames = len(frames)
+        self._auto_snapshot(session_id)
         # request-local (NOT server state): concurrent ingests for
         # different sessions must not cross-contaminate response stats
         return {"frames": n_frames, "cache_tokens": sess.write_index,
@@ -409,8 +491,10 @@ class SessionServer:
             # (batched decode has no speculative path — lookahead_k is
             # a solo-session lever)
             with self.timer.stage("ask"):
-                return self.frontend.ask(row, question, mode=mode,
-                                         max_new_tokens=max_new_tokens)
+                out = self.frontend.ask(row, question, mode=mode,
+                                        max_new_tokens=max_new_tokens)
+            self._auto_snapshot(session_id)
+            return out
         k = self.lookahead_k if lookahead_k is None else lookahead_k
         with self.lock:
             sess = self._get(session_id)
@@ -419,6 +503,7 @@ class SessionServer:
                                max_new_tokens=max_new_tokens,
                                lookahead_k=k,
                                extra_eos_ids=self.extra_eos_ids)
+        self._auto_snapshot(session_id)
         return out
 
     def ask_stream(self, session_id: str, question: str,
@@ -469,6 +554,65 @@ class SessionServer:
 
     def stats(self) -> Dict:
         return self.timer.summary()
+
+    # ---- crash recovery (module docstring) ---------------------------
+
+    def _snap_path(self, session_id: str) -> str:
+        return os.path.join(self.auto_snapshot_dir,
+                            f"{session_id}.snap.npz")
+
+    def _auto_snapshot(self, session_id: str) -> None:
+        """Post-request snapshot so a supervisor restart can restore
+        the stream. Best-effort: a snapshot failure must not fail the
+        request that produced good output (it is logged to stderr)."""
+        if not self.auto_snapshot_dir:
+            return
+        try:
+            with self.lock:
+                sess = self.sessions.get(session_id)
+                if sess is not None:
+                    with self.timer.stage("snapshot"):
+                        sess.save(self._snap_path(session_id))
+        except Exception as e:  # noqa: BLE001
+            print(f"auto-snapshot of {session_id!r} failed: {e!r}",
+                  file=sys.stderr)
+
+    def restore_all(self) -> List[str]:
+        """Boot-time recovery: restore every ``*.snap.npz`` in the
+        auto-snapshot dir (a fresh supervised child inherits the
+        crashed one's streams). Per-session best-effort — one corrupt
+        snapshot must not block the rest."""
+        if not self.auto_snapshot_dir:
+            return []
+        restored = []
+        for fn in sorted(os.listdir(self.auto_snapshot_dir)):
+            if not fn.endswith(".snap.npz"):
+                continue
+            sid = fn[: -len(".snap.npz")]
+            try:
+                self.restore_session(
+                    sid, os.path.join(self.auto_snapshot_dir, fn))
+                restored.append(sid)
+            except Exception as e:  # noqa: BLE001
+                print(f"restore of {sid!r} failed: {e!r}",
+                      file=sys.stderr)
+        return restored
+
+    def request_shutdown(self, code: int = 17) -> None:
+        """Fatal-backend escape hatch: in a supervised child, exit
+        shortly (letting the in-flight 503 flush) so the supervisor
+        replaces the process — the wedged JAX client cannot be fixed
+        in-process. Outside supervision this only records the code
+        (tests and embedded servers must not be killed)."""
+        self._exit_code = code
+        if not self.supervised:
+            return
+
+        def _die():
+            time.sleep(0.5)
+            os._exit(code)
+
+        threading.Thread(target=_die, daemon=True).start()
 
 
 def make_handler(server: SessionServer):
@@ -558,6 +702,16 @@ def make_handler(server: SessionServer):
             except KeyError as e:
                 return self._json(400, {"error": f"missing field {e}"})
             except Exception as e:
+                if _backend_fatal(e):
+                    # TPU worker crash: tell the client to retry after
+                    # the restart window, then (under supervision) exit
+                    # so the supervisor replaces the wedged process
+                    self._json(503, {
+                        "error": f"{type(e).__name__}: {e}",
+                        "backend_fatal": True,
+                        "recovering": server.supervised})
+                    server.request_shutdown(17)
+                    return None
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, *a):   # quiet
@@ -567,8 +721,37 @@ def make_handler(server: SessionServer):
 
 
 def serve(server: SessionServer, port: int = 8787):
+    restored = server.restore_all()
+    if restored:
+        print(f"restored {len(restored)} session(s) from "
+              f"{server.auto_snapshot_dir}: {restored}", flush=True)
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(server))
     httpd.serve_forever()
+
+
+def run_supervised(child_argv: List[str], max_restarts: int = 20,
+                   cooldown_s: float = 1.0) -> int:
+    """Supervisor loop: run the serving child, replace it when it dies
+    (rc != 0 — rc 17 is the deliberate backend-fatal exit). The child
+    sees COGSTREAM_SERVE_SUPERVISED=1, which arms request_shutdown and
+    boot restore. ``cooldown_s``: a crashed axon TPU worker takes ~a
+    minute to come back — pass ~90 there; CPU tests use ~0."""
+    env = dict(os.environ)
+    env["COGSTREAM_SERVE_SUPERVISED"] = "1"
+    restarts = 0
+    while True:
+        rc = subprocess.run(child_argv, env=env).returncode
+        if rc == 0:
+            return 0
+        restarts += 1
+        if restarts > max_restarts:
+            print(f"serve child died rc={rc}; restart budget "
+                  f"({max_restarts}) exhausted", file=sys.stderr)
+            return rc
+        print(f"serve child died rc={rc}; restarting "
+              f"({restarts}/{max_restarts}) after {cooldown_s:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(cooldown_s)
 
 
 def main():
@@ -595,7 +778,27 @@ def main():
                          "weights (requires --quantize-weights int4): "
                          "161 tok/s 7B decode vs 142 weight-only "
                          "int4 and 98 int8 on one v5e")
+    ap.add_argument("--supervise", action="store_true",
+                    help="run under a supervisor: TPU-worker crashes "
+                         "(UNAVAILABLE) exit+relaunch the serving "
+                         "process; sessions restore from "
+                         "--auto-snapshot-dir")
+    ap.add_argument("--auto-snapshot-dir",
+                    help="snapshot each session after every successful "
+                         "/ingest and /ask; boot restores all snapshots "
+                         "(required for --supervise recovery to keep "
+                         "streams)")
+    ap.add_argument("--restart-cooldown", type=float, default=90.0,
+                    help="seconds between supervisor relaunches (a "
+                         "crashed TPU worker takes ~a minute to return)")
     args = ap.parse_args()
+
+    if args.supervise:
+        child_argv = [sys.executable, "-m",
+                      "cogstream_tpu.runtime.serve"] + [
+            a for a in sys.argv[1:] if a != "--supervise"]
+        raise SystemExit(run_supervised(
+            child_argv, cooldown_s=args.restart_cooldown))
 
     from ..config import load_generation_config, load_hf_config
     from ..models.checkpoint import load_cogreasoner_from_hf
@@ -629,7 +832,8 @@ def main():
     serve(SessionServer(params, cfg, tok, max_len=args.max_len,
                         pool_rows=args.pool_rows,
                         extra_eos_ids=tuple(eos or ()),
-                        encoder_int8=args.encoder_int8),
+                        encoder_int8=args.encoder_int8,
+                        auto_snapshot_dir=args.auto_snapshot_dir),
           args.port)
 
 

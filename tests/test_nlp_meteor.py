@@ -98,3 +98,29 @@ def test_compute_all_reports_real_meteor():
         ["the capital of france is paris"])
     assert 0.0 < out["METEOR"] <= 1.0
     assert set(out) == {"BLEU-4", "METEOR", "ROUGE-L", "CIDEr"}
+
+
+def test_expanded_synonym_table_scale_and_quality():
+    """Round-4 table (synonyms_data.SYNONYM_GROUPS): ~10x round 3's
+    coverage, symmetric, sane (no self-only groups, lowercase ascii,
+    no phrase entries — METEOR matches single tokens)."""
+    from cogstream_tpu.evaluate.synonyms_data import SYNONYM_GROUPS
+    from cogstream_tpu.evaluate.nlp_metrics import _bundled_synonyms
+
+    assert len(SYNONYM_GROUPS) >= 500
+    words = {w for g in SYNONYM_GROUPS for w in g}
+    assert len(words) >= 1500
+    for g in SYNONYM_GROUPS:
+        assert len(g) >= 2, g
+        for w in g:
+            assert w == w.lower() and " " not in w, w
+    table = _bundled_synonyms()
+    # symmetry via the shared-group closure
+    for a in ("vehicle", "rapidly", "gorgeous", "inquire"):
+        for b in table[a]:
+            assert a in table[b], (a, b)
+    # spot semantic checks across parts of speech
+    assert "automobile" in table["car"]
+    assert "hurl" in table["throw"]
+    assert "approximately" in table["about"]
+    assert "gorgeous" in table["beautiful"]

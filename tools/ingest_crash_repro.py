@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Minimal repro harness for the chunked-ingest TPU-worker crash.
+
+Round-3 observation (CLAUDE.md, VERDICT r3 weak #2): the camera-to-
+cache chunked ingest (``bench_e2e_ingest_7b`` / ``SessionServer
+.ingest``) kills the axon TPU worker with ``UNAVAILABLE: ... kernel
+fault`` on ~half of attempts at chunk 16 (deterministically at chunk
+32), while the single-thread segment ingest (``bench_session_7b_*``)
+has never crashed. The deltas between the two paths are exactly the
+pipeline stages this harness isolates:
+
+- a cv2 decode-ahead thread (frame_stream),
+- a preprocess-ahead worker thread,
+- the worker thread starting each chunk's host->device pixel upload
+  (``jax.device_put``) WHILE the main thread's previous-chunk device
+  dispatch + scalar fetch are in flight.
+
+Matrix (``--mode``):
+- ``overlap``   — production shape: worker thread + overlapped put
+- ``noput``     — worker thread, but uploads ride the dispatch
+                  (``upload_ahead=False``)
+- ``serial``    — no preprocess thread (``preprocess_ahead=False``;
+                  the cv2 decode-ahead thread inside FrameChunkStream
+                  remains)
+- ``nothread``  — ZERO threads: all frames decoded up front on the
+                  main thread, then the same 16-frame chunked
+                  dispatches — isolates the pure device cadence
+
+Orchestrator/child split like bench.py: a crashed worker wedges the
+in-process client, so each ATTEMPT (warm-up ingest + N measured
+ingests) runs in a child process; the parent tallies exit codes
+(0 clean / 17 worker crash) and prints a JSON summary line.
+
+Usage (serialize with everything else — one TPU process at a time):
+    python tools/ingest_crash_repro.py --mode overlap --attempts 6
+    python tools/ingest_crash_repro.py --child --mode serial ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VIDEO_PATH = os.environ.get("COGSTREAM_REPRO_VIDEO",
+                            "/tmp/cogstream_repro_clip.mp4")
+
+
+def make_video(path: str) -> None:
+    """Deterministic 128 s / 24 fps clip, identical content to
+    bench_e2e_ingest_7b's (static base + moving blocks)."""
+    import cv2
+
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24,
+                        (640, 360))
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (360, 640, 3), np.uint8)
+    for i in range(24 * 128):
+        frame = base.copy()
+        frame[:40, :40] = (i * 5) % 255
+        frame[80:120, (i // 24 * 8) % 600:(i // 24 * 8) % 600 + 40] \
+            = 255 - (i % 255)
+        w.write(frame)
+    w.release()
+
+
+def _nothread_ingest(server, sid: str, chunk: int, frames, ts) -> int:
+    """Chunked dispatches identical to serve.ingest's, but from
+    already-decoded frames on the calling thread — no cv2 reader, no
+    preprocess worker."""
+    from cogstream_tpu.processor.image_processor import (
+        ImageProcessor, smart_resize_single_factor)
+
+    sess = server.sessions[sid]
+    proc = ImageProcessor(server.cfg.processor)
+    pc = server.cfg.processor
+    target = smart_resize_single_factor(
+        [frames[0]], pc.patch_size * pc.video_merge_size,
+        pc.min_tokens, pc.max_tokens, num_frames_override=len(frames))
+    n = 0
+    for s in range(0, len(frames), chunk):
+        blk = frames[s:s + chunk]
+        batch = proc([blk], modals=["video"], raw_uint8=True,
+                     target_sizes=target)
+        server._dispatch_batch(sid, sess, batch,
+                               list(ts[s:s + len(blk)]))
+        n += len(blk)
+    return n
+
+
+def child(mode: str, chunk: int, ingests: int) -> int:
+    sys.path.insert(0, REPO)
+    import bench
+    from cogstream_tpu.runtime.serve import SessionServer
+    from cogstream_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = bench._session_cfg_7b(w8a8_prefill=True)
+    ctx = bench.Ctx()
+    params = ctx.cogreasoner_7b_params("int8", cfg)
+    tok, _ = bench._tokenizer_for(cfg)
+    server = SessionServer(
+        params, cfg, tok, max_len=4096, use_pallas=True,
+        encoder_int8=True, ingest_chunk_frames=chunk,
+        upload_ahead=(mode == "overlap"),
+        preprocess_ahead=(mode not in ("serial", "nothread")))
+    pre = None
+    if mode == "nothread":
+        # decode ONCE up front on this thread (cv2 sequential read);
+        # every ingest below then replays the same chunk cadence with
+        # zero live threads
+        import cv2 as _cv2
+
+        cap = _cv2.VideoCapture(VIDEO_PATH)
+        fps_v = cap.get(_cv2.CAP_PROP_FPS) or 24.0
+        frames, ts = [], []
+        want = 0.0
+        i = 0
+        while len(frames) < 128:
+            ok, f = cap.read()
+            if not ok:
+                break
+            if i >= want:
+                frames.append(
+                    _cv2.cvtColor(f, _cv2.COLOR_BGR2RGB))
+                ts.append(i / fps_v)
+                want += fps_v          # 1 fps sampling
+            i += 1
+        cap.release()
+        pre = (frames, ts)
+        print(f"  decoded {len(frames)} frames up front", flush=True)
+    try:
+        def one_ingest(sid):
+            server.create(sid)
+            t0 = time.perf_counter()
+            if pre is not None:
+                n = _nothread_ingest(server, sid, chunk, *pre)
+                backend = "nothread"
+            else:
+                r = server.ingest(sid, VIDEO_PATH, start=0.0,
+                                  end=128.0, fps=1.0)
+                n, backend = r["frames"], r["decode_backend"]
+            dt = time.perf_counter() - t0
+            return n / dt, backend
+
+        one_ingest("warm")
+        for i in range(ingests):
+            sid = f"run{i}"
+            fps, backend = one_ingest(sid)
+            print(f"  ingest {i}: {fps:.1f} fps ({backend})",
+                  flush=True)
+            # free the session's cache footprint before the next one
+            del server.sessions[sid]
+    except Exception as e:  # noqa: BLE001
+        msg = repr(e)[:400]
+        print(f"  CHILD EXCEPTION: {msg}", flush=True)
+        if "UNAVAILABLE" in msg or "INTERNAL" in msg or \
+                "DEADLINE" in msg:
+            return 17
+        return 1
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--mode", default="overlap",
+                    choices=["overlap", "noput", "serial", "nothread"])
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--attempts", type=int, default=6)
+    ap.add_argument("--ingests", type=int, default=3,
+                    help="measured ingests per attempt (after warm-up)")
+    args = ap.parse_args()
+
+    if args.child:
+        return child(args.mode, args.chunk, args.ingests)
+
+    if not os.path.exists(VIDEO_PATH):
+        make_video(VIDEO_PATH)
+    results = []
+    for a in range(args.attempts):
+        t0 = time.perf_counter()
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--mode", args.mode, "--chunk", str(args.chunk),
+             "--ingests", str(args.ingests)]).returncode
+        dt = time.perf_counter() - t0
+        results.append(rc)
+        print(f"attempt {a}: rc={rc} ({dt:.0f}s)", flush=True)
+        if rc == 17 and a + 1 < args.attempts:
+            time.sleep(90)      # crashed worker takes ~min to return
+    crashes = sum(1 for r in results if r == 17)
+    print(json.dumps({"mode": args.mode, "chunk": args.chunk,
+                      "attempts": args.attempts,
+                      "ingests_per_attempt": args.ingests,
+                      "crashes": crashes, "rcs": results}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
