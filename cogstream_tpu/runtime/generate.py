@@ -339,7 +339,7 @@ class LookaheadResult(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_id", "lookahead_k",
                      "lora_scale", "stop_ids", "kv_window",
-                     "extra_eos_ids"),
+                     "extra_eos_ids", "fixed_accept"),
     donate_argnums=(4,),
 )
 def generate_tokens_lookahead(
@@ -360,6 +360,8 @@ def generate_tokens_lookahead(
     kv_window: Optional[int] = None,   # static read/write window (solo)
     corpus_last: Optional[jax.Array] = None,  # [1] last real corpus idx
     extra_eos_ids: Optional[tuple] = None,    # secondary terminators
+    fixed_draft: Optional[jax.Array] = None,  # [>= max_new+k] teacher ids
+    fixed_accept: Optional[int] = None,       # exact draft hits/step
 ) -> LookaheadResult:
     """Greedy decode with PROMPT-LOOKUP speculative drafting, fully
     under jit.
@@ -490,6 +492,20 @@ def generate_tokens_lookahead(
         j = jnp.max(jnp.where(m, idx, -1))
         gidx = jnp.clip(j + 2 + jnp.arange(k), 0, L - 1)
         draft = jnp.where(j >= 0, jnp.maximum(seq[gidx], 0), c.cur)
+
+        if fixed_draft is not None:
+            # DETERMINISTIC draft-hit schedule (bench reproducibility,
+            # VERDICT r3 next #5): ``fixed_draft`` is the model's OWN
+            # greedy continuation (teacher), so positions
+            # j < fixed_accept match the verify argmax exactly and the
+            # bit-flipped token at j == fixed_accept halts acceptance
+            # there — every iteration accepts exactly ``fixed_accept``
+            # drafts (+1 verify emission), independent of run-to-run
+            # luck. The lookup draft still feeds in (0*) so its gather
+            # cost stays in-program; ^1 keeps ids in-vocab (even V).
+            tj = jax.lax.dynamic_slice(fixed_draft, (c.out_idx,), (k,))
+            sched = jnp.arange(k) < int(fixed_accept)
+            draft = jnp.where(sched, tj, (tj ^ 1) + 0 * draft)
 
         fed = jnp.concatenate([c.cur[None], draft])            # [k+1]
         fed_pos = c.pos + jnp.arange(k + 1, dtype=jnp.int32)

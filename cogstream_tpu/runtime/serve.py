@@ -199,7 +199,8 @@ class SessionServer:
                  extra_eos_ids: tuple = (), encoder_int8: bool = False,
                  upload_ahead: bool = True,
                  preprocess_ahead: bool = True,
-                 auto_snapshot_dir: Optional[str] = None):
+                 auto_snapshot_dir: Optional[str] = None,
+                 dispatch_pace_ms: float = 0.0):
         from ..utils.profiling import StageTimer
         from .session import StreamingSession
 
@@ -255,6 +256,15 @@ class SessionServer:
         self.supervised = \
             os.environ.get("COGSTREAM_SERVE_SUPERVISED") == "1"
         self._exit_code = 0
+        # Minimum gap between chunked-ingest device dispatches. The
+        # axon worker intermittently dies ('kernel fault') under the
+        # UNPACED chunk cadence with every host-side stage removed
+        # (tools/ingest_crash_repro.py: crashes with no threads, no
+        # async upload, no Pallas) — pacing the dispatches is the
+        # measured mitigation; see STATUS.md round-4 notes for rates.
+        # 0 disables (no cost on stable backends).
+        self.dispatch_pace_ms = float(dispatch_pace_ms)
+        self._last_dispatch = 0.0
         self.pool = None
         self.frontend = None
         self._row_of: Dict[str, int] = {}
@@ -322,6 +332,12 @@ class SessionServer:
                 raise RuntimeError(
                     "UNAVAILABLE: kernel fault (injected by "
                     f"{_FAULT_ENV})")
+        if self.dispatch_pace_ms > 0:
+            gap = time.monotonic() - self._last_dispatch
+            wait = self.dispatch_pace_ms / 1e3 - gap
+            if wait > 0:
+                time.sleep(wait)
+            self._last_dispatch = time.monotonic()
         t, gh, gw = batch.grid_sizes[0]
         grid = (int(t), int(gh), int(gw))
         ms = int(batch.merge_sizes[0])
@@ -791,6 +807,11 @@ def main():
     ap.add_argument("--restart-cooldown", type=float, default=90.0,
                     help="seconds between supervisor relaunches (a "
                          "crashed TPU worker takes ~a minute to return)")
+    ap.add_argument("--dispatch-pace-ms", type=float, default=0.0,
+                    help="minimum gap between chunked-ingest device "
+                         "dispatches — the measured mitigation for the "
+                         "axon worker's intermittent kernel fault "
+                         "under rapid ingest cadence (STATUS.md)")
     args = ap.parse_args()
 
     if args.supervise:
@@ -833,7 +854,8 @@ def main():
                         pool_rows=args.pool_rows,
                         extra_eos_ids=tuple(eos or ()),
                         encoder_int8=args.encoder_int8,
-                        auto_snapshot_dir=args.auto_snapshot_dir),
+                        auto_snapshot_dir=args.auto_snapshot_dir,
+                        dispatch_pace_ms=args.dispatch_pace_ms),
           args.port)
 
 

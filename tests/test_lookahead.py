@@ -270,3 +270,37 @@ def test_lookahead_cache_reusable_for_next_turn(tiny_config):
             jax.random.PRNGKey(0), cfg, 12, eos_id=2, temperature=0.0)
         outs.append(np.asarray(r2.tokens))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("accept", [0, 2, 4])
+def test_lookahead_fixed_schedule_deterministic(tiny_config, accept):
+    """fixed_draft/fixed_accept (the reproducible-bench mode): with the
+    teacher = the model's own greedy continuation, every verify step
+    accepts EXACTLY ``accept`` drafts, the step count is closed-form,
+    and the emitted stream still equals vanilla greedy byte-for-byte —
+    on every run."""
+    cfg, params, ids, emb, pos, last = _setup(tiny_config, 7)
+    S, NEW, K = ids.shape[1], 24, 4
+
+    base = generate_tokens(
+        params, emb, pos, last, init_kv_cache(cfg, 1, S + NEW + K),
+        jax.random.PRNGKey(0), cfg, NEW + K, eos_id=-1, temperature=0.0)
+    teacher = jnp.asarray(np.asarray(base.tokens)[0], jnp.int32)
+
+    def run():
+        return generate_tokens_lookahead(
+            params, emb, pos, last,
+            init_kv_cache(cfg, 1, S + NEW + K + 1), jnp.asarray(ids),
+            cfg, NEW, eos_id=-1, lookahead_k=K,
+            fixed_draft=teacher, fixed_accept=accept)
+
+    la = run()
+    np.testing.assert_array_equal(np.asarray(base.tokens)[:, :NEW],
+                                  np.asarray(la.tokens))
+    steps = int(np.asarray(la.steps))
+    assert steps == -(-(NEW - 1) // (accept + 1))
+    # determinism across runs: identical steps AND tokens
+    la2 = run()
+    assert int(np.asarray(la2.steps)) == steps
+    np.testing.assert_array_equal(np.asarray(la.tokens),
+                                  np.asarray(la2.tokens))

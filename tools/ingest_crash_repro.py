@@ -95,22 +95,55 @@ def _nothread_ingest(server, sid: str, chunk: int, frames, ts) -> int:
     return n
 
 
-def child(mode: str, chunk: int, ingests: int) -> int:
+def child(mode: str, chunk: int, ingests: int,
+          encoder_int8: bool = True, use_pallas: bool = True,
+          pace_ms: float = 0.0, sync_chunks: bool = False,
+          scheme: str = "int8") -> int:
     sys.path.insert(0, REPO)
     import bench
     from cogstream_tpu.runtime.serve import SessionServer
     from cogstream_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = bench._session_cfg_7b(w8a8_prefill=True)
+    # scheme int4u: same shapes/cadence with ~3.7 GB more HBM headroom
+    # (4.8 GB weights vs 8.5) — discriminates memory pressure from a
+    # size-dependent program fault
+    if scheme == "int8":
+        cfg = bench._session_cfg_7b(w8a8_prefill=True)
+    else:
+        cfg = bench._session_cfg_7b(w4a8_decode=True)
     ctx = bench.Ctx()
-    params = ctx.cogreasoner_7b_params("int8", cfg)
+    params = ctx.cogreasoner_7b_params(scheme, cfg)
     tok, _ = bench._tokenizer_for(cfg)
+    # dispatch_pace_ms: a minimum gap between dispatches discriminates
+    # a worker-side dispatch-cadence race (paced = clean) from a
+    # shape-dependent kernel bug (paced = crashes) — and is the
+    # production mitigation knob when it holds
     server = SessionServer(
-        params, cfg, tok, max_len=4096, use_pallas=True,
-        encoder_int8=True, ingest_chunk_frames=chunk,
+        params, cfg, tok, max_len=4096, use_pallas=use_pallas,
+        encoder_int8=encoder_int8, ingest_chunk_frames=chunk,
         upload_ahead=(mode == "overlap"),
-        preprocess_ahead=(mode not in ("serial", "nothread")))
+        preprocess_ahead=(mode not in ("serial", "nothread")),
+        dispatch_pace_ms=pace_ms)
+    if sync_chunks:
+        # drain the device after every chunk dispatch: the ingest path
+        # leaves the event-summary forward RUNNING async (its result
+        # is only fetched lazily at ask time), so chunk N's summary
+        # overlaps chunk N+1's encode on device. A trailing trivial
+        # program + fetch proves the queue drained (single execution
+        # stream) — if this is clean, concurrent-program pressure is
+        # the trigger and drain-per-chunk is the fix.
+        import jax
+        import jax.numpy as jnp
+
+        orig_db = server._dispatch_batch
+
+        def synced(*a, **kw):
+            r = orig_db(*a, **kw)
+            jax.device_get(jnp.zeros((), jnp.float32) + 1.0)
+            return r
+
+        server._dispatch_batch = synced
     pre = None
     if mode == "nothread":
         # decode ONCE up front on this thread (cv2 sequential read);
@@ -177,20 +210,46 @@ def main() -> int:
     ap.add_argument("--attempts", type=int, default=6)
     ap.add_argument("--ingests", type=int, default=3,
                     help="measured ingests per attempt (after warm-up)")
+    ap.add_argument("--no-encoder-int8", action="store_true",
+                    help="bf16 vision tower (isolate the W8A8 kernels)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="XLA attention everywhere (isolate Pallas)")
+    ap.add_argument("--pace-ms", type=float, default=0.0,
+                    help="sleep between chunk dispatches (cadence test)")
+    ap.add_argument("--sync-chunks", action="store_true",
+                    help="drain the device after each chunk dispatch")
+    ap.add_argument("--scheme", default="int8",
+                    choices=["int8", "int4u"],
+                    help="decoder base (int4u = memory-headroom probe)")
     args = ap.parse_args()
 
     if args.child:
-        return child(args.mode, args.chunk, args.ingests)
+        return child(args.mode, args.chunk, args.ingests,
+                     encoder_int8=not args.no_encoder_int8,
+                     use_pallas=not args.no_pallas,
+                     pace_ms=args.pace_ms, sync_chunks=args.sync_chunks,
+                     scheme=args.scheme)
 
     if not os.path.exists(VIDEO_PATH):
         make_video(VIDEO_PATH)
+    extra = []
+    if args.no_encoder_int8:
+        extra.append("--no-encoder-int8")
+    if args.no_pallas:
+        extra.append("--no-pallas")
+    if args.pace_ms:
+        extra += ["--pace-ms", str(args.pace_ms)]
+    if args.sync_chunks:
+        extra.append("--sync-chunks")
+    if args.scheme != "int8":
+        extra += ["--scheme", args.scheme]
     results = []
     for a in range(args.attempts):
         t0 = time.perf_counter()
         rc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
              "--mode", args.mode, "--chunk", str(args.chunk),
-             "--ingests", str(args.ingests)]).returncode
+             "--ingests", str(args.ingests)] + extra).returncode
         dt = time.perf_counter() - t0
         results.append(rc)
         print(f"attempt {a}: rc={rc} ({dt:.0f}s)", flush=True)
@@ -200,6 +259,11 @@ def main() -> int:
     print(json.dumps({"mode": args.mode, "chunk": args.chunk,
                       "attempts": args.attempts,
                       "ingests_per_attempt": args.ingests,
+                      "encoder_int8": not args.no_encoder_int8,
+                      "use_pallas": not args.no_pallas,
+                      "pace_ms": args.pace_ms,
+                      "sync_chunks": args.sync_chunks,
+                      "scheme": args.scheme,
                       "crashes": crashes, "rcs": results}), flush=True)
     return 0
 
