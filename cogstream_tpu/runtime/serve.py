@@ -200,7 +200,8 @@ class SessionServer:
                  upload_ahead: bool = True,
                  preprocess_ahead: bool = True,
                  auto_snapshot_dir: Optional[str] = None,
-                 dispatch_pace_ms: float = 0.0):
+                 dispatch_pace_ms: float = 0.0,
+                 ingest_rows_cap: int = 4096):
         from ..utils.profiling import StageTimer
         from .session import StreamingSession
 
@@ -265,6 +266,12 @@ class SessionServer:
         # 0 disables (no cost on stable backends).
         self.dispatch_pace_ms = float(dispatch_pace_ms)
         self._last_dispatch = 0.0
+        # Patch-row cap per ingest encode dispatch (_dispatch_batch
+        # docstring: large encode programs fault the axon worker
+        # probabilistically; 4096 rows = the measured-stable bucket,
+        # ~10x lower crash rate than 8192 at equal-or-better fps).
+        # 0 disables the split (stable backends).
+        self.ingest_rows_cap = int(ingest_rows_cap)
         self.pool = None
         self.frontend = None
         self._row_of: Dict[str, int] = {}
@@ -323,7 +330,43 @@ class SessionServer:
         """Dispatch an already-preprocessed batch (the preprocess-ahead
         ingest thread hands these over directly, optionally with the
         pixel rows already device_put and the keep mask precomputed —
-        both overlap the previous chunk's device work)."""
+        both overlap the previous chunk's device work).
+
+        Oversized chunks split into sub-dispatches of at most
+        ``ingest_rows_cap`` patch rows each: the axon worker faults
+        intermittently on LARGE encode programs (measured per-dispatch
+        crash rates — 16384-row bucket deterministic, 8192 ~2%,
+        4096 ~0.3%; tools/ingest_crash_repro.py, STATUS.md round 4)
+        with every other variable (threads, uploads, Pallas, pacing,
+        queue depth, resident-weight footprint) exonerated. Sliced
+        keep masks stay semantically exact: a frame's mask references
+        its predecessor, which the previous sub-dispatch has already
+        written to the cache."""
+        t, gh, gw = batch.grid_sizes[0]
+        grid = (int(t), int(gh), int(gw))
+        ms = int(batch.merge_sizes[0])
+        rows_pf = grid[1] * grid[2]
+        max_t = (max(1, self.ingest_rows_cap // rows_pf)
+                 if self.ingest_rows_cap else grid[0])
+        merged_pf = (grid[1] // ms) * (grid[2] // ms)
+        for s in range(0, grid[0], max_t):
+            tt = min(max_t, grid[0] - s)
+            if tt == grid[0]:       # common case: no split
+                pv, pvd, km, ts = (batch.pixel_values, pv_device,
+                                   keep_mask, timestamps)
+            else:
+                pv = batch.pixel_values[s * rows_pf:(s + tt) * rows_pf]
+                pvd = (None if pv_device is None else
+                       pv_device[s * rows_pf:(s + tt) * rows_pf])
+                km = (None if keep_mask is None else
+                      keep_mask.reshape(grid[0], merged_pf)[s:s + tt])
+                ts = list(timestamps[s:s + tt])
+            self._dispatch_one(session_id, sess, pv, (tt,) + grid[1:],
+                               ms, ts, pvd, km)
+
+    def _dispatch_one(self, session_id: str, sess, pixel_values, grid,
+                      ms: int, timestamps: List[float], pv_device,
+                      keep_mask) -> None:
         fault_n = os.environ.get(_FAULT_ENV)
         if fault_n is not None:
             global _dispatch_counter
@@ -338,24 +381,19 @@ class SessionServer:
             if wait > 0:
                 time.sleep(wait)
             self._last_dispatch = time.monotonic()
-        t, gh, gw = batch.grid_sizes[0]
-        grid = (int(t), int(gh), int(gw))
-        ms = int(batch.merge_sizes[0])
         if self.frontend is not None:
             # concurrent streams' segments coalesce into ONE fused
             # batched ingest dispatch
             self.frontend.ingest(self._row_of[session_id],
-                                 batch.pixel_values, grid, ms,
-                                 timestamps)
+                                 pixel_values, grid, ms, timestamps)
         elif self.pool is not None:
             with self.lock:
                 self.pool.ingest(self._row_of[session_id],
-                                 batch.pixel_values, grid, ms,
-                                 timestamps)
+                                 pixel_values, grid, ms, timestamps)
         else:
             with self.lock:
                 sess.append_stream_segment(
-                    batch.pixel_values, grid, ms, timestamps,
+                    pixel_values, grid, ms, timestamps,
                     pixel_values_device=pv_device, keep_mask=keep_mask)
 
     def ingest(self, session_id: str, video_path: str,

@@ -294,3 +294,59 @@ def test_ingest_preprocess_worker_error_propagates(tmp_path, monkeypatch):
     monkeypatch.setattr(image_processor.ImageProcessor, "__call__", orig)
     r = server.ingest("x", path, start=0.0, end=2.0, fps=1.0)
     assert r["frames"] >= 2
+
+
+def test_ingest_rows_cap_splits_dispatches_same_stream():
+    """ingest_rows_cap sub-chunking (the axon large-program fault
+    mitigation): a capped server ingests the same video through MORE,
+    smaller encode dispatches but lands the same stream — same frame
+    count, events still seal, asks still answer. (Exact cache_tokens
+    may differ: each append pads to its own bucket.)"""
+    import dataclasses
+    import os
+    import tempfile
+
+    import cv2
+
+    from cogstream_tpu.config import CogReasonerConfig, CompressionConfig
+    from cogstream_tpu.models.cogreasoner import init_cogreasoner_params
+    from cogstream_tpu.processor.tokenizer import ByteTokenizer
+    from cogstream_tpu.runtime.serve import SessionServer
+
+    cfg = dataclasses.replace(
+        CogReasonerConfig.tiny(),
+        compression=CompressionConfig(frames_per_event=2,
+                                      keyframes_per_event=1))
+    params = init_cogreasoner_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(image_token_id=cfg.image_token_index)
+
+    with tempfile.TemporaryDirectory() as td:
+        video = os.path.join(td, "clip.mp4")
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 8,
+                            (64, 64))
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        for i in range(8 * 8):
+            f = base.copy()
+            f[:16, :16] = (i * 7) % 255
+            w.write(f)
+        w.release()
+
+        results = {}
+        for name, cap in (("raw", 0), ("capped", 1)):
+            # cap=1 row → max_t clamps to 1 frame per dispatch (the
+            # most aggressive split possible)
+            srv = SessionServer(params, cfg, tok, max_len=2048,
+                                use_pallas=False,
+                                ingest_chunk_frames=4,
+                                ingest_rows_cap=cap)
+            srv.create("s")
+            r = srv.ingest("s", video, 0.0, 8.0, 1.0)
+            sess = srv.sessions["s"]
+            a = srv.ask("s", "what happened?", "AC", 4)
+            results[name] = (r["frames"], sess.total_frames,
+                             len(sess.events), a["turn"])
+        assert results["raw"][0] == results["capped"][0] == 8
+        assert results["raw"][1] == results["capped"][1]
+        assert results["raw"][2] == results["capped"][2]
+        assert results["capped"][3] == 0

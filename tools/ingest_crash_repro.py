@@ -98,7 +98,7 @@ def _nothread_ingest(server, sid: str, chunk: int, frames, ts) -> int:
 def child(mode: str, chunk: int, ingests: int,
           encoder_int8: bool = True, use_pallas: bool = True,
           pace_ms: float = 0.0, sync_chunks: bool = False,
-          scheme: str = "int8") -> int:
+          scheme: str = "int8", rows_cap: int = 0) -> int:
     sys.path.insert(0, REPO)
     import bench
     from cogstream_tpu.runtime.serve import SessionServer
@@ -124,7 +124,11 @@ def child(mode: str, chunk: int, ingests: int,
         encoder_int8=encoder_int8, ingest_chunk_frames=chunk,
         upload_ahead=(mode == "overlap"),
         preprocess_ahead=(mode not in ("serial", "nothread")),
-        dispatch_pace_ms=pace_ms)
+        dispatch_pace_ms=pace_ms,
+        # default 0 = RAW chunk shapes (the experiment must reproduce
+        # the uncapped program sizes); pass --rows-cap 4096 to measure
+        # the production mitigation
+        ingest_rows_cap=rows_cap)
     if sync_chunks:
         # drain the device after every chunk dispatch: the ingest path
         # leaves the event-summary forward RUNNING async (its result
@@ -221,6 +225,8 @@ def main() -> int:
     ap.add_argument("--scheme", default="int8",
                     choices=["int8", "int4u"],
                     help="decoder base (int4u = memory-headroom probe)")
+    ap.add_argument("--rows-cap", type=int, default=0,
+                    help="ingest_rows_cap (0 = raw chunk shapes)")
     args = ap.parse_args()
 
     if args.child:
@@ -228,7 +234,7 @@ def main() -> int:
                      encoder_int8=not args.no_encoder_int8,
                      use_pallas=not args.no_pallas,
                      pace_ms=args.pace_ms, sync_chunks=args.sync_chunks,
-                     scheme=args.scheme)
+                     scheme=args.scheme, rows_cap=args.rows_cap)
 
     if not os.path.exists(VIDEO_PATH):
         make_video(VIDEO_PATH)
@@ -243,19 +249,29 @@ def main() -> int:
         extra.append("--sync-chunks")
     if args.scheme != "int8":
         extra += ["--scheme", args.scheme]
+    if args.rows_cap:
+        extra += ["--rows-cap", str(args.rows_cap)]
     results = []
     for a in range(args.attempts):
         t0 = time.perf_counter()
-        rc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "--mode", args.mode, "--chunk", str(args.chunk),
-             "--ingests", str(args.ingests)] + extra).returncode
+        try:
+            # per-child timeout: besides crashing outright, a wedged
+            # worker can STALL the child indefinitely (observed: child
+            # blocked at ~0% CPU for 12+ min after a prior crash) —
+            # count that as rc 99
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 "--mode", args.mode, "--chunk", str(args.chunk),
+                 "--ingests", str(args.ingests)] + extra,
+                timeout=900).returncode
+        except subprocess.TimeoutExpired:
+            rc = 99
         dt = time.perf_counter() - t0
         results.append(rc)
         print(f"attempt {a}: rc={rc} ({dt:.0f}s)", flush=True)
-        if rc == 17 and a + 1 < args.attempts:
+        if rc in (17, 99) and a + 1 < args.attempts:
             time.sleep(90)      # crashed worker takes ~min to return
-    crashes = sum(1 for r in results if r == 17)
+    crashes = sum(1 for r in results if r in (17, 99))
     print(json.dumps({"mode": args.mode, "chunk": args.chunk,
                       "attempts": args.attempts,
                       "ingests_per_attempt": args.ingests,
@@ -264,6 +280,7 @@ def main() -> int:
                       "pace_ms": args.pace_ms,
                       "sync_chunks": args.sync_chunks,
                       "scheme": args.scheme,
+                      "rows_cap": args.rows_cap,
                       "crashes": crashes, "rcs": results}), flush=True)
     return 0
 
