@@ -960,14 +960,25 @@ def bench_train_7b(ctx):
     tok, _ = _tokenizer_for(cfg)
     processor = CogStreamProcessor(tok, cfg.processor)
 
+    # long answers + a 24-frame second segment push the largest packed
+    # turn into the 2048 bucket — the reference's stage-2 curriculum
+    # length (second_stage_training.py:149) — rather than a 512-token
+    # short turn
+    long_a = ("the camera pans across a textured surface while a "
+              "bright square block drifts steadily to the right, "
+              "passing over several darker regions; near the end of "
+              "the segment the block dims, pauses briefly above the "
+              "center stripe, then continues moving until it leaves "
+              "the visible area on the right edge of the frame.")
     segments = [
         {"timestamp": [0.0, 8.0], "QAs": [
             {"QA_pairs": [{"Q": "what is shown in the scene?",
-                           "A": "a textured moving pattern."}],
+                           "A": long_a}],
              "relevance": [], "is_visual": True}]},
-        {"timestamp": [8.0, 16.0], "QAs": [
-            {"QA_pairs": [{"Q": "did anything change since before?",
-                           "A": "the block moved to the right."}],
+        {"timestamp": [8.0, 32.0], "QAs": [
+            {"QA_pairs": [{"Q": "did anything change since before, "
+                                "and how did the motion evolve?",
+                           "A": long_a}],
              "relevance": [1], "is_visual": True}]},
     ]
     with tempfile.TemporaryDirectory() as td:
@@ -976,13 +987,13 @@ def bench_train_7b(ctx):
                             (256, 192))
         rng = np.random.default_rng(3)
         base = rng.integers(0, 255, (192, 256, 3), np.uint8)
-        for i in range(64):
+        for i in range(128):
             f = base.copy()
             f[40:80, (i * 12) % 200:(i * 12) % 200 + 40] = 255 - i
             w.write(f)
         w.release()
 
-        tcfg = Stage2Config(max_seq_len=2048, max_frames=8,
+        tcfg = Stage2Config(max_seq_len=2048, max_frames=24,
                             grad_accum=1, save_every=10**9, fps=1)
         trainer = Stage2Trainer(params, cfg, tok, tcfg,
                                 os.path.join(td, "s2"),

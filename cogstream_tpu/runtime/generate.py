@@ -211,27 +211,34 @@ def generate_tokens(
     if active is not None:
         done0 = done0 | ~active
     pooled = write_slots is not None
+    # EVERY decode loop (solo included, round 4) accumulates generated
+    # K/V in a small lockstep SIDE buffer and merges once after the
+    # loop. The solo loop previously carried the FULL cache through the
+    # scan as xs→ys, and XLA rewrites every [B,T,Hkv,D] layer slice per
+    # step — measured 263 KB/slot/step against a 57 KB read-only
+    # theory, i.e. 63 tok/s at a 16k-deep int8-7B cache where the
+    # side-buffer route runs 81 tok/s (tools/decode16k_probe.py;
+    # VERDICT r3 weak #3). The main cache stays a read-only scan input
+    # (reads fuse), fresh K/V ride ys at side size, and the merge is
+    # one NEW-sized region write per turn.
     if pooled:
-        # generated tokens extend each row right after its prompt; during
-        # decode they accumulate in a small lockstep SIDE buffer (plain
-        # slice writes — per-step scatters into the big pooled cache cost
-        # ~2 ms/step) and merge back into the rows afterwards
+        # generated tokens extend each row right after its prompt
         next_slot0 = jnp.max(
             jnp.where(positions >= 0, write_slots, -1), axis=1) + 1
-        side0 = qwen2.KVCache(
-            k=jnp.zeros((cache.k.shape[0], B, max_new_tokens)
-                        + cache.k.shape[3:], cache.k.dtype),
-            v=jnp.zeros((cache.v.shape[0], B, max_new_tokens)
-                        + cache.v.shape[3:], cache.v.dtype),
-            pos=jnp.full((B, max_new_tokens), -1, jnp.int32),
-            write_index=jnp.zeros((), jnp.int32),
-        )
     else:
         next_slot0 = jnp.zeros((B,), jnp.int32)  # unused
-        side0 = None
+    side0 = qwen2.KVCache(
+        k=jnp.zeros((cache.k.shape[0], B, max_new_tokens)
+                    + cache.k.shape[3:], cache.k.dtype),
+        v=jnp.zeros((cache.v.shape[0], B, max_new_tokens)
+                    + cache.v.shape[3:], cache.v.dtype),
+        pos=jnp.full((B, max_new_tokens), -1, jnp.int32),
+        write_index=jnp.zeros((), jnp.int32),
+    )
 
     # bounded decode reads: slice the read-only main cache (and its
-    # visibility mask) to the static window
+    # visibility mask) to the static window (solo's window was already
+    # sliced into ``cache`` up front via full_cache)
     if pooled and kv_window is not None and kv_window < max_len:
         read_cache = KVCache(
             jax.lax.slice_in_dim(cache.k, 0, kv_window, axis=2),
@@ -259,18 +266,12 @@ def generate_tokens(
     def body(c: Carry):
         emb = qwen2.embed(params, c.cur[:, None])
         step_pos = jnp.where(c.done, -1, c.pos)[:, None]
-        if pooled:
-            hidden, cache2 = qwen2.qwen2_forward(
-                params, emb, step_pos, cfg,
-                cache=read_cache,  # main: read-only, window-sliced
-                adapters=adapters, lora_scale=lora_scale,
-                kv_allowed=kv_allowed_dec, side_cache=c.cache,
-                cache_rows=cache_rows)
-        else:
-            hidden, cache2 = qwen2.qwen2_forward(
-                params, emb, step_pos, cfg, cache=c.cache,
-                adapters=adapters, lora_scale=lora_scale,
-                kv_allowed=kv_allowed)
+        hidden, cache2 = qwen2.qwen2_forward(
+            params, emb, step_pos, cfg,
+            cache=read_cache,      # main: read-only (scan xs — fuses)
+            adapters=adapters, lora_scale=lora_scale,
+            kv_allowed=kv_allowed_dec, side_cache=c.cache,
+            cache_rows=cache_rows if pooled else None)
         logits = _logits(hidden)[:, 0]
         key, sk = jax.random.split(c.key)
         if use_pen:
@@ -287,7 +288,7 @@ def generate_tokens(
         return Carry(c.i + 1, cache2, tokens, nxt, c.pos + 1, done, key,
                      seen)
 
-    init = Carry(jnp.asarray(1, jnp.int32), side0 if pooled else cache,
+    init = Carry(jnp.asarray(1, jnp.int32), side0,
                  tokens0, first_tok, first_pos.astype(jnp.int32),
                  done0, key, seen0)
     final = jax.lax.while_loop(cond, body, init)
@@ -313,19 +314,43 @@ def generate_tokens(
         )
         return GenerateResult(final.tokens, num.astype(jnp.int32), merged)
 
-    if full_cache is not None:   # write the solo window back
-        fc = final.cache
-        restored = KVCache(
-            jax.lax.dynamic_update_slice(full_cache.k, fc.k,
-                                         (0, 0, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(full_cache.v, fc.v,
-                                         (0, 0, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(full_cache.pos, fc.pos, (0, 0)),
-            fc.write_index)
-        return GenerateResult(final.tokens, num.astype(jnp.int32),
-                              restored)
+    # Solo merge — BYTE-EXACT parity with the old carried-cache loop:
+    # that loop wrote exactly the slots of its executed steps
+    # (final.i - 1 of them, contiguous from the post-prefill
+    # write_index) and left everything beyond untouched, so blend the
+    # executed side prefix over the original region and put it back
+    # with one NEW-sized contiguous write.
+    side = final.cache
+    wi_pf = cache.write_index        # post-prefill (prompt included)
+    steps = final.i - 1              # executed decode steps
+    exec_mask = jnp.arange(max_new_tokens) < steps          # [NEW]
 
-    return GenerateResult(final.tokens, num.astype(jnp.int32), final.cache)
+    def _blend(full, sidearr, starts, slot_axis_from_end):
+        orig = jax.lax.dynamic_slice(
+            full, starts, sidearr.shape)
+        m = exec_mask.reshape(
+            (1,) * (sidearr.ndim - slot_axis_from_end - 1)
+            + (max_new_tokens,) + (1,) * slot_axis_from_end)
+        return jax.lax.dynamic_update_slice(
+            full, jnp.where(m, sidearr, orig), starts)
+
+    z = jnp.zeros((), jnp.int32)
+    merged = KVCache(
+        _blend(cache.k, side.k, (z, z, wi_pf, z, z), 2),
+        _blend(cache.v, side.v, (z, z, wi_pf, z, z), 2),
+        _blend(cache.pos, side.pos, (z, wi_pf), 0),
+        wi_pf + steps)
+
+    if full_cache is not None:   # write the solo window back
+        merged = KVCache(
+            jax.lax.dynamic_update_slice(full_cache.k, merged.k,
+                                         (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(full_cache.v, merged.v,
+                                         (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(full_cache.pos, merged.pos,
+                                         (0, 0)),
+            merged.write_index)
+    return GenerateResult(final.tokens, num.astype(jnp.int32), merged)
 
 
 class LookaheadResult(NamedTuple):
