@@ -1463,12 +1463,36 @@ def run_sections() -> int:
     budget-skipped sections), nonzero on an unrecoverable crash (the
     orchestrator relaunches; completed sections are skipped via the
     artifact file)."""
+    import threading
+
     import jax
 
     from cogstream_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     deadline = float(os.environ["COGSTREAM_BENCH_DEADLINE"])
+    # STALL watchdog: besides crashing, the axon worker can silently
+    # stop executing for ~10+ min (observed live: a fresh child sat
+    # blocked on its first dispatch for 12 min, burning half the run
+    # budget, then resumed). A section making no progress for
+    # WATCHDOG_S exits 17 — the orchestrator relaunches into a fresh
+    # client/worker connection and resumes from the artifact. 780 s
+    # clears every observed warm section AND the ~300 s cold encoder
+    # compile with margin.
+    watchdog_s = float(os.environ.get("COGSTREAM_BENCH_WATCHDOG_S",
+                                      "780"))
+    progress = {"t": time.monotonic()}
+
+    def _watchdog():
+        while True:
+            time.sleep(20)
+            if time.monotonic() - progress["t"] > watchdog_s:
+                print(f"WATCHDOG: no section progress in "
+                      f"{watchdog_s:.0f}s — exiting for relaunch",
+                      flush=True)
+                os._exit(17)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     art = _load_art()
     platform = jax.devices()[0].platform
     art["_platform"] = platform
@@ -1483,6 +1507,7 @@ def run_sections() -> int:
     done = set(art.get("_done", []))
     attempts = dict(art.get("_attempts", {}))
     for name, est, fn, *args in SECTIONS:
+        progress["t"] = time.monotonic()
         if only and name not in only:
             continue
         if name in done:
