@@ -588,6 +588,87 @@ def bench_longctx_7b(ctx):
     return out
 
 
+def bench_longctx32_7b(ctx):
+    """32k context — the model's full configured window (config.json
+    max_position_embeddings; the reference caps at 32k on one A100,
+    SURVEY §5). bf16 KV at this depth is ~3.8 GB of cache; the fp8
+    option halves that — 32k is where its CAPACITY value shows.
+
+    Backend constraint (measured 2026-08-21): a SINGLE program over a
+    32768-token sequence fails axon's remote compile outright
+    ('tpu_compile_helper subprocess exit code 1', deterministic across
+    relaunches), while every 16k program compiles fine. So the 32k
+    window builds the production way: TWO 16k chunked prefill programs
+    (the second attends back to the first through the position-tagged
+    cache) and only the decode-width program is 32k-wide. The prefill
+    rate reported is that honest 2x16k chain.
+
+    NOT in the driver SECTIONS list: on the night it was added the
+    axon worker alternated between the compile failure above (its raw
+    form) and multi-ten-minute execution stalls (its chunked form
+    never got to run) — two failed attempts would eat the driver's
+    whole tail budget. Run manually via
+    COGSTREAM_BENCH_ONLY=longctx32_7b when the backend cooperates."""
+    import jax
+    import jax.numpy as jnp
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.models.qwen2 import init_kv_cache
+    from cogstream_tpu.runtime.generate import generate_tokens
+
+    cfg = presets.cogreasoner_7b().text
+    params = ctx.text7b("int8")
+    LS, HALF, NEW = 32768, 16384, 32
+    emb_h = qwen2.embed(params, jnp.zeros((1, HALF), jnp.int32))
+    pos_a = jnp.asarray(np.arange(HALF, dtype=np.int32)[None])
+    pos_b = jnp.asarray(np.arange(HALF, LS, dtype=np.int32)[None])
+    out = {}
+
+    @jax.jit
+    def pf_chunk(params, cache, emb, positions):
+        _, cache = qwen2.qwen2_forward(params, emb, positions, cfg,
+                                       cache=cache)
+        return cache
+
+    def build_cache(kv_dtype):
+        cache = init_kv_cache(cfg, 1, LS + NEW, dtype=kv_dtype)
+        cache = pf_chunk(params, cache, emb_h, pos_a)
+        return pf_chunk(params, cache, emb_h, pos_b)
+
+    def full_prefill():
+        return build_cache(None).k
+
+    dt = _median_time(lambda: full_prefill(), iters=2, warmup=1)
+    out["int8_7b_prefill_32k_tok_s"] = round(LS / dt, 1)
+
+    emb1 = qwen2.embed(params, jnp.zeros((1, 1), jnp.int32))
+    pos1 = jnp.asarray([[LS - 1]], jnp.int32)
+    last1 = jnp.asarray([0], jnp.int32)
+
+    for name, dt_kv in (("bf16", None), ("fp8", jnp.float8_e4m3fn)):
+
+        def run(new):
+            # rebuild per call: generate_tokens DONATES its cache, and
+            # keeping a reusable copy would put two 3.8 GB caches next
+            # to the 8 GB weights. The rebuild (2x16k prefills) is
+            # identical across run lengths, so it cancels in the
+            # marginal differencing; rewind one slot so the 1-token
+            # "prompt" re-feeds the last position and decode extends
+            # a full-depth history.
+            c0 = build_cache(dt_kv)
+            c = qwen2.KVCache(c0.k, c0.v, c0.pos, c0.write_index - 1)
+            return generate_tokens(params, emb1, pos1, last1, c,
+                                   jax.random.PRNGKey(0), cfg, new,
+                                   eos_id=-1, temperature=0.0)
+
+        dt_s = _median_time(lambda: run(NEW // 4), iters=2, warmup=1)
+        dt_l = _median_time(lambda: run(NEW), iters=2, warmup=1)
+        tok_s = (NEW - NEW // 4) / max(dt_l - dt_s, 1e-9)
+        out[f"int8_7b_decode_32k_tok_s_{name}kv"] = round(tok_s, 2)
+    return out
+
+
 def bench_lookahead_7b(ctx, scheme: str, K: int = 4, w4a8: bool = False):
     """Prompt-lookup speculative decode at 7B. Two honest rows:
 
@@ -1358,7 +1439,8 @@ POST_CRASH_SIBLINGS = {
 TPU_ONLY = {"session_7b_int8", "quant8", "longctx_7b", "e2e_ingest_7b",
             "pool_7b_int8", "lookahead8", "session_7b_w8a8",
             "session_7b_int4", "quant4u", "quant4u_w4a8", "pool_7b_int4",
-            "lookahead4", "quant4", "encoder_int8", "train_7b"}
+            "lookahead4", "quant4", "encoder_int8", "train_7b",
+            "longctx32_7b"}
 
 
 def _load_art() -> dict:
@@ -1409,6 +1491,8 @@ COMPACT_FIELDS = [
     "int8_7b_decode_tok_s", "int8_7b_prefill_tok_s",
     "int8_7b_prefill_w8a8_tok_s", "int8_7b_prefill_16k_tok_s",
     "int8_7b_decode_16k_tok_s_bf16kv", "int8_7b_decode_16k_tok_s_fp8kv",
+    "int8_7b_prefill_32k_tok_s", "int8_7b_decode_32k_tok_s_bf16kv",
+    "int8_7b_decode_32k_tok_s_fp8kv",
     "ingest_e2e_fps_7b", "ingest_e2e_7b_backend", "tunnel_upload_mbps",
     "session_ingest_fps_7b_w8a8", "turn_p50_fcc_7b_w8a8_typical_s",
     "turn_p50_fcc_7b_int4_s", "turn_p50_fcc_7b_int4_typical_s",

@@ -43,6 +43,9 @@ ALL_KNOWN_FIELDS = {
     "int8_7b_decode_16k_tok_s_fp8kv": 64.9112,
     "int8_7b_decode_tok_s": 99.6312,
     "int8_7b_prefill_16k_tok_s": 2880.612,
+    "int8_7b_prefill_32k_tok_s": 2412.312,
+    "int8_7b_decode_32k_tok_s_bf16kv": 68.1212,
+    "int8_7b_decode_32k_tok_s_fp8kv": 74.3412,
     "int8_7b_prefill_16k_w8a8_tok_s": 3227.312,
     "int8_7b_prefill_tok_s": 8121.412,
     "int8_7b_prefill_w8a8_tok_s": 10886.612,
