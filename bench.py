@@ -1560,11 +1560,15 @@ def run_sections() -> int:
     # blocked on its first dispatch for 12 min, burning half the run
     # budget, then resumed). A section making no progress for
     # WATCHDOG_S exits 17 — the orchestrator relaunches into a fresh
-    # client/worker connection and resumes from the artifact. 780 s
-    # clears every observed warm section AND the ~300 s cold encoder
-    # compile with margin.
+    # client/worker connection and resumes from the artifact. 960 s
+    # clears every observed warm section, the ~300 s cold encoder
+    # compile, AND the documented ~840 s worst-case cold remote compile
+    # of the rolled decoder scan (CLAUDE.md) — a fully cold persistent
+    # cache must not get its legitimately long first compile killed
+    # (ADVICE r4: a killed compile writes no cache entry, so two
+    # attempts burn the budget and the section is abandoned).
     watchdog_s = float(os.environ.get("COGSTREAM_BENCH_WATCHDOG_S",
-                                      "780"))
+                                      "960"))
     progress = {"t": time.monotonic()}
 
     def _watchdog():
@@ -1648,9 +1652,20 @@ def run_sections() -> int:
                 except Exception:  # noqa: BLE001
                     again = {}
                 for k, v in again.items():
+                    # keep-the-better-run merge: HIGHER wins only for
+                    # throughput-style fields; latency fields
+                    # (turn_p50_*, *_s) take the LOWER run — a retry
+                    # must never overwrite a good latency with the
+                    # worse run's value (ADVICE r4)
+                    prev = fields.get(k)
                     if not isinstance(v, (int, float)) \
-                            or v > fields.get(k, 0):
+                            or not isinstance(prev, (int, float)):
                         fields[k] = v
+                    elif (k.endswith("_s") and not k.endswith("tok_s")) \
+                            or "_p50" in k or "_p90" in k:
+                        fields[k] = min(prev, v)
+                    else:
+                        fields[k] = max(prev, v)
                 low = [k for k, sib in POST_CRASH_SIBLINGS.items()
                        if k in fields and art.get(sib)
                        and fields[k] < 0.6 * art[sib]]

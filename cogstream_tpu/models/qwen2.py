@@ -332,6 +332,7 @@ def qwen2_forward(
 
     if cache is not None:
         pos_out = None
+        kv_allowed_main = kv_allowed
         if side_cache is not None:
             side_pos = jax.lax.dynamic_update_slice(
                 side_cache.pos, positions, (0, side_cache.write_index))
@@ -360,6 +361,34 @@ def qwen2_forward(
                     [kv_allowed,
                      jnp.ones(side_pos.shape, jnp.bool_)], axis=1)
             kv_valid = kv_valid & kv_allowed
+
+        # Pallas attention routing (ops/lm_attention; SURVEY N1 decoder
+        # half). Static trace-time decisions; the XLA paths below stay
+        # the reference/off-TPU/mesh implementation. Effective-position
+        # arrays (all validity folded into one int32 compare) are built
+        # ONCE here — they are layer-invariant, so nothing
+        # position-related recomputes inside the scan.
+        from ..ops import lm_attention as lma
+
+        use_dec_kernel = use_pf_kernel = False
+        if attn_override is None and lma.route_ok():
+            if side_cache is not None:
+                use_dec_kernel = lma.decode_viable(
+                    B, S, cache.k.shape[2], side_cache.k.shape[2],
+                    Hq, Hkv, D)
+                if use_dec_kernel:
+                    eff_main_rep = jnp.repeat(
+                        lma.effective_kv_positions(main_pos,
+                                                   kv_allowed_main),
+                        Hkv, axis=1)
+                    eff_side_rep = jnp.repeat(
+                        lma.effective_kv_positions(side_cache.pos),
+                        Hkv, axis=1)
+            else:
+                use_pf_kernel = lma.prefill_viable(
+                    B, S, kv_pos.shape[1], Hq, Hkv, D)
+                if use_pf_kernel:
+                    eff_pf = jnp.where(kv_valid, kv_pos, lma.SENTINEL)
 
     def _site_drop(dkey, site: int):
         """(rate, per-site key) for dense()'s lora_dropout, or None."""
@@ -442,6 +471,36 @@ def qwen2_forward(
         jax.tree.leaves(params["layers"])[0].shape[0], dtype=jnp.int32)
 
     if side_cache is not None:
+        if use_dec_kernel:
+            # splash kernel: the main cache and side buffer stay
+            # STACKED operands selected by the scanned layer index (a
+            # scan-sliced pallas operand would be copied first — the
+            # quant_gemv lesson); the fresh K/V enter as their own
+            # block, so the per-layer xs carry only the side write.
+            def body(x, xs):
+                layer, ad, sk, sv, li = xs
+                layer = _restore_gemv(layer, gemv_heavy, li)
+                x, h, q, k, v = block(x, layer, ad)
+                attn = lma.decode_splash_attention(
+                    q, k, v, cache.k, cache.v,
+                    side_cache.k, side_cache.v, li, positions,
+                    eff_main_rep, eff_side_rep, rows=cache_rows)
+                sk = jax.lax.dynamic_update_slice(
+                    sk, k.astype(sk.dtype),
+                    (0, side_cache.write_index, 0, 0))
+                sv = jax.lax.dynamic_update_slice(
+                    sv, v.astype(sv.dtype),
+                    (0, side_cache.write_index, 0, 0))
+                return finish_block(x, attn, layer, ad), (sk, sv)
+
+            x, (new_sk, new_sv) = jax.lax.scan(
+                body, x, (layers_xs, ad_trees,
+                          side_cache.k, side_cache.v, layer_idx))
+            x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+            new_side = KVCache(k=new_sk, v=new_sv, pos=side_pos,
+                               write_index=side_cache.write_index + S)
+            return x, new_side
+
         def body(x, xs):
             layer, ad, ck, cv, sk, sv, li = xs
             layer = _restore_gemv(layer, gemv_heavy, li)
@@ -487,9 +546,19 @@ def qwen2_forward(
                 cv, v.astype(cv.dtype), (0, cache.write_index, 0, 0))
         ck_r = ck if cache_rows is None else ck[cache_rows]
         cv_r = cv if cache_rows is None else cv[cache_rows]
-        attn = causal_gqa_attention(
-            q, ck_r.astype(q.dtype), cv_r.astype(q.dtype),
-            q_positions=positions, kv_valid=kv_valid, kv_positions=kv_pos)
+        if use_pf_kernel:
+            # flash kernel on the updated per-layer cache slice: the
+            # operand copy that forces is ~2% of prefill attention
+            # time at depth, and the online-softmax stats stay in
+            # VMEM (the XLA chunked path round-trips them through HBM
+            # every KV chunk — the 16k-prefill cliff, VERDICT r4 #1)
+            attn = lma.prefill_flash_attention(
+                q, ck_r, cv_r, positions, eff_pf)
+        else:
+            attn = causal_gqa_attention(
+                q, ck_r.astype(q.dtype), cv_r.astype(q.dtype),
+                q_positions=positions, kv_valid=kv_valid,
+                kv_positions=kv_pos)
         return finish_block(x, attn, layer, ad), (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(

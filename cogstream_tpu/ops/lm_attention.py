@@ -70,6 +70,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def route_ok() -> bool:
+    """Platform gate, mirroring ops.quant._gemv_route_ok: a pallas_call
+    inside the decoder does not partition under GSPMD, so TP-mesh
+    serving keeps the XLA attention path — single-chip TPU only.
+    ``COGSTREAM_LM_ATTN``: ``off`` disables the kernels everywhere,
+    ``interpret`` forces them (interpreter mode off-TPU) so CPU tests
+    can exercise the integrated route."""
+    import os
+
+    mode = os.environ.get("COGSTREAM_LM_ATTN", "auto")
+    if mode == "off":
+        return False
+    if mode == "interpret":
+        return True
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 def _largest_div(n: int, cap: int, step: int = 128) -> Optional[int]:
     d = (min(cap, n) // step) * step
     while d >= step:

@@ -227,12 +227,22 @@ def generate_tokens(
             jnp.where(positions >= 0, write_slots, -1), axis=1) + 1
     else:
         next_slot0 = jnp.zeros((B,), jnp.int32)  # unused
+    # side slot count padded so slots*Hkv is lane-aligned (the splash
+    # decode kernel reads the side as flat (token, kv-head) rows —
+    # ops/lm_attention). Pad slots are never written (write_index
+    # advances one per executed step, ≤ max_new_tokens) and carry pos
+    # -1, so both merges below ignore them.
+    import math as _math
+
+    Hkv_ = cache.k.shape[3]
+    side_slots = -(-max_new_tokens // (128 // _math.gcd(128, Hkv_))) \
+        * (128 // _math.gcd(128, Hkv_))
     side0 = qwen2.KVCache(
-        k=jnp.zeros((cache.k.shape[0], B, max_new_tokens)
+        k=jnp.zeros((cache.k.shape[0], B, side_slots)
                     + cache.k.shape[3:], cache.k.dtype),
-        v=jnp.zeros((cache.v.shape[0], B, max_new_tokens)
+        v=jnp.zeros((cache.v.shape[0], B, side_slots)
                     + cache.v.shape[3:], cache.v.dtype),
-        pos=jnp.full((B, max_new_tokens), -1, jnp.int32),
+        pos=jnp.full((B, side_slots), -1, jnp.int32),
         write_index=jnp.zeros((), jnp.int32),
     )
 
@@ -302,7 +312,7 @@ def generate_tokens(
         # merge the side buffer into each row once: side slot i → main
         # slot next_slot0[b]+i where the side holds a real token
         side = final.cache
-        tgt = next_slot0[:, None] + jnp.arange(max_new_tokens)[None]
+        tgt = next_slot0[:, None] + jnp.arange(side.pos.shape[1])[None]
         tgt = jnp.where(side.pos >= 0, tgt, max_len)       # drop pads
         rows = (cache_rows if cache_rows is not None
                 else jnp.arange(B))[:, None]
@@ -319,8 +329,19 @@ def generate_tokens(
     # (final.i - 1 of them, contiguous from the post-prefill
     # write_index) and left everything beyond untouched, so blend the
     # executed side prefix over the original region and put it back
-    # with one NEW-sized contiguous write.
+    # with one NEW-sized contiguous write. The side's lane-alignment
+    # pad slots are sliced off first so the blended region stays
+    # exactly max_new_tokens wide — the caller's sizing contract is
+    # ``write_index + prompt + max_new_tokens <= window`` (an
+    # under-sized cache would make dynamic_slice clamp the start and
+    # silently shift the blend over good history; session.kv_window_for
+    # guarantees the headroom).
     side = final.cache
+    if side.k.shape[2] > max_new_tokens:
+        side = qwen2.KVCache(
+            jax.lax.slice_in_dim(side.k, 0, max_new_tokens, axis=2),
+            jax.lax.slice_in_dim(side.v, 0, max_new_tokens, axis=2),
+            side.pos[:, :max_new_tokens], side.write_index)
     wi_pf = cache.write_index        # post-prefill (prompt included)
     steps = final.i - 1              # executed decode steps
     exec_mask = jnp.arange(max_new_tokens) < steps          # [NEW]

@@ -52,7 +52,18 @@ class UnknownSession(Exception):
 
 def _backend_fatal(e: BaseException) -> bool:
     """True for errors that wedge the JAX client for good (TPU worker
-    crash / lost tunnel): the process must be replaced, not retried."""
+    crash / lost tunnel): the process must be replaced, not retried.
+
+    Both the TYPE and the status substring must match: a non-backend
+    error whose message merely contains e.g. "UNAVAILABLE" (an upstream
+    HTTP error string surfaced through ingest) must NOT take down the
+    whole serving process and its in-flight sessions."""
+    try:
+        from jax.errors import JaxRuntimeError
+    except ImportError:     # older jax
+        from jaxlib.xla_extension import XlaRuntimeError as JaxRuntimeError
+    if not isinstance(e, JaxRuntimeError):
+        return False
     msg = repr(e)
     return ("UNAVAILABLE" in msg or "INTERNAL" in msg
             or "DEADLINE_EXCEEDED" in msg)
@@ -338,10 +349,16 @@ class SessionServer:
         crash rates — 16384-row bucket deterministic, 8192 ~2%,
         4096 ~0.3%; tools/ingest_crash_repro.py, STATUS.md round 4)
         with every other variable (threads, uploads, Pallas, pacing,
-        queue depth, resident-weight footprint) exonerated. Sliced
-        keep masks stay semantically exact: a frame's mask references
-        its predecessor, which the previous sub-dispatch has already
-        written to the cache."""
+        queue depth, resident-weight footprint) exonerated. In the
+        SOLO precomputed-mask path the sliced keep masks stay
+        semantically exact: a frame's mask references its predecessor,
+        which the previous sub-dispatch has already written to the
+        cache. In pool/frontend mode (and solo without a precomputed
+        mask) each sub-dispatch recomputes its mask from its own first
+        frame, so a split keeps the first frame of every sub-chunk
+        fully — token usage can grow slightly with the split, never
+        shrink, and correctness is unaffected (kept tokens are a
+        superset)."""
         t, gh, gw = batch.grid_sizes[0]
         grid = (int(t), int(gh), int(gw))
         ms = int(batch.merge_sizes[0])
@@ -372,7 +389,10 @@ class SessionServer:
             global _dispatch_counter
             _dispatch_counter += 1
             if _dispatch_counter >= int(fault_n):
-                raise RuntimeError(
+                from jax.errors import JaxRuntimeError
+
+                # the real backend type — _backend_fatal now requires it
+                raise JaxRuntimeError(
                     "UNAVAILABLE: kernel fault (injected by "
                     f"{_FAULT_ENV})")
         if self.dispatch_pace_ms > 0:

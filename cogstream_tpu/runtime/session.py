@@ -439,12 +439,30 @@ class StreamingSession:
         """Static decode-read window (generate_tokens kv_window): every
         decode step otherwise streams the full [max_len] K/V through
         HBM even when the cache is nearly empty. Bucketed to 1024 so
-        windows hit the jit cache; only applied when it halves reads."""
-        W = StreamingSession._bucket(needed, 1024)
-        return W if 2 * W <= max_len else None
+        windows hit the jit cache; at ≤16k caches only applied when it
+        halves reads (unchanged behavior). Deep caches (32k sessions)
+        additionally use coarser 4096-step windows past 16k depth —
+        there even a non-halving window saves GBs of cache read per
+        step, and the coarse step bounds the compile count as the
+        stream grows."""
+        step = 1024 if needed <= 16384 else 4096
+        W = StreamingSession._bucket(needed, step)
+        if 2 * W <= max_len:
+            return W
+        if max_len > 16384 and W < max_len:
+            return W
+        return None
 
     def _kv_window(self, needed: int) -> Optional[int]:
         return self.kv_window_for(needed, self.max_len)
+
+    # No single jitted program carries a sequence longer than this: the
+    # axon backend deterministically fails to compile a 32768-token
+    # program (STATUS.md round 4), and the position-tagged cache makes
+    # chunked prefill EXACT — chunk N+1 attends back to chunk N through
+    # the cache (the 2x16k composition bench_longctx32_7b measured).
+    # 32k-window sessions ride this automatically.
+    max_prefill_chunk: int = 16384
 
     def _prefill_embeds(self, embeds: jax.Array, kind: str,
                         turn: int = -1,
@@ -453,10 +471,35 @@ class StreamingSession:
         multiples of 32 so repeated ingests/asks hit the jit cache;
         padding slots carry position -1 (invisible) and are skipped by
         the recorded SlotRange. Pass ``real_len`` when ``embeds`` is
-        already bucket-padded."""
+        already bucket-padded. Sequences longer than
+        ``max_prefill_chunk`` split into full chunk programs plus one
+        bucketed tail (full chunks are bucket multiples, so the real
+        tokens stay slot-contiguous and ONE SlotRange covers them)."""
         S = real_len if real_len is not None else embeds.shape[0]
-        Sp = self._bucket(embeds.shape[0]) if real_len is None \
-            else embeds.shape[0]
+        if S > self.max_prefill_chunk:
+            if real_len is not None:
+                raise ValueError(
+                    "pre-padded prefill exceeds max_prefill_chunk")
+            start = self.write_index
+            off = 0
+            while off < S:
+                n = min(self.max_prefill_chunk, S - off)
+                self._prefill_one(embeds[off:off + n], n)
+                off += n
+            r = SlotRange(kind, start, start + S, turn)
+            self.ranges.append(r)
+            return r
+        start = self.write_index
+        self._prefill_one(embeds, S, real_len is not None)
+        r = SlotRange(kind, start, start + S, turn)
+        self.ranges.append(r)
+        return r
+
+    def _prefill_one(self, embeds: jax.Array, S: int,
+                     pre_padded: bool = False) -> None:
+        """One prefill program: bucket, pad, forward, advance mirrors."""
+        Sp = embeds.shape[0] if pre_padded else self._bucket(
+            embeds.shape[0])
         start = self.write_index
         if start + Sp > self.max_len:
             raise RuntimeError(
@@ -478,9 +521,6 @@ class StreamingSession:
         # solo keeps the bucketed stride so the device write_index slice
         # path stays aligned
         self._wi = start + (S if self._pool is not None else Sp)
-        r = SlotRange(kind, start, start + S, turn)
-        self.ranges.append(r)
-        return r
 
     def _prefill_text(self, ids: np.ndarray, kind: str,
                       turn: int = -1) -> SlotRange:

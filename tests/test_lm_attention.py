@@ -265,3 +265,86 @@ def test_viability_gates():
     assert lma.decode_viable(1, 1, 16384, 64, 28, 4, 128)
     assert not lma.decode_viable(1, 1, 512, 64, 28, 4, 128)   # shallow
     assert not lma.decode_viable(1, 1, 16384, 50, 28, 4, 128)  # side rows
+
+
+# ---------------------------------------------------------------------------
+# integrated route (qwen2_forward / generate_tokens with kernels forced)
+# ---------------------------------------------------------------------------
+
+def _tiny_cfg():
+    from cogstream_tpu.config import Qwen2Config
+
+    return Qwen2Config(vocab_size=512, hidden_size=512,
+                       intermediate_size=768, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=2,
+                       dtype="float32")
+
+
+def _run_routes(fn, monkeypatch):
+    """Run ``fn()`` with the Pallas route off, then forced (interpret),
+    clearing jit caches in between (the route is a trace-time
+    decision)."""
+    monkeypatch.setenv("COGSTREAM_LM_ATTN", "off")
+    jax.clear_caches()
+    ref = fn()
+    monkeypatch.setenv("COGSTREAM_LM_ATTN", "interpret")
+    jax.clear_caches()
+    out = fn()
+    monkeypatch.delenv("COGSTREAM_LM_ATTN")
+    jax.clear_caches()
+    return ref, out
+
+
+def test_qwen2_forward_prefill_route(monkeypatch):
+    from cogstream_tpu.models import qwen2
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(7)
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    B, S, T = 1, 128, 2048
+    emb = jnp.asarray(rng.standard_normal((B, S, cfg.hidden_size)),
+                      jnp.float32)
+    pos = jnp.asarray(np.arange(S, dtype=np.int32))[None]
+
+    def run():
+        cache = qwen2.init_kv_cache(cfg, B, T)
+        h, c = qwen2.qwen2_forward(params, emb, pos, cfg, cache=cache)
+        return np.asarray(h), np.asarray(c.pos)
+
+    (h0, p0), (h1, p1) = _run_routes(run, monkeypatch)
+    np.testing.assert_allclose(h1, h0, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(p1, p0)
+
+
+def test_generate_tokens_route_parity(monkeypatch):
+    """Full prefill+decode program: identical greedy tokens and an
+    identical final cache through the kernel route."""
+    from cogstream_tpu.models import qwen2
+    from cogstream_tpu.runtime.generate import generate_tokens
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(8)
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(1), cfg)
+    B, S, T = 1, 128, 2048
+    emb = jnp.asarray(rng.standard_normal((B, S, cfg.hidden_size)) * 0.3,
+                      jnp.float32)
+    pos = np.full((B, S), -1, np.int32)
+    pos[:, :100] = np.arange(100)
+    pos = jnp.asarray(pos)
+    last = jnp.asarray([99], jnp.int32)
+
+    def run():
+        cache = qwen2.init_kv_cache(cfg, B, T)
+        r = generate_tokens(
+            params, emb, pos, last, cache, jax.random.PRNGKey(2), cfg,
+            max_new_tokens=8, eos_id=0, temperature=0.0)
+        return (np.asarray(r.tokens), np.asarray(r.num_tokens),
+                np.asarray(r.cache.k), np.asarray(r.cache.pos),
+                int(r.cache.write_index))
+
+    ref, out = _run_routes(run, monkeypatch)
+    np.testing.assert_array_equal(out[0], ref[0])
+    np.testing.assert_array_equal(out[1], ref[1])
+    np.testing.assert_allclose(out[2], ref[2], rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(out[3], ref[3])
+    assert out[4] == ref[4]
