@@ -207,10 +207,16 @@ void vio_close(void* handle) {
   vs->stop.store(true);
   vs->ring.cv_space.notify_all();
   vs->ring.cv_data.notify_all();
-  if (vs->pipe_fd >= 0) close(vs->pipe_fd);
+  // Kill the child BEFORE joining the reader: a stalled decoder (child
+  // alive but writing nothing) leaves the reader blocked in read(2),
+  // where neither the stop flag nor closing the fd from this thread
+  // reliably wakes it — killing the child closes the pipe's write end,
+  // so the blocked read returns 0 and the reader exits. (Found by the
+  // stub-decoder runtime test, tests/test_native_video_runtime.py.)
+  if (vs->child > 0) kill(vs->child, SIGKILL);
   if (vs->reader.joinable()) vs->reader.join();
+  if (vs->pipe_fd >= 0) close(vs->pipe_fd);
   if (vs->child > 0) {
-    kill(vs->child, SIGKILL);
     int status;
     waitpid(vs->child, &status, 0);
   }
