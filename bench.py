@@ -309,6 +309,117 @@ def bench_encoder_int8(ctx):
     return {"encoder_int8_fps": round(T / dt, 2)}
 
 
+def bench_quant_quality(ctx):
+    """END-TO-END quality deltas of the serving quantization ladder
+    (VERDICT r4 missing #3): what do the headline quantized modes cost
+    in output fidelity through all 28 layers? Weights are generated on
+    device from one seed and re-quantized per scheme, so every row
+    compares quantizations of the SAME float model
+    (evaluate/quant_quality.py — rationale + caveats there). bf16
+    truth exists only at demo width (a bf16 7B does not fit one v5e);
+    7B rows ladder against int8, the least-lossy resident scheme.
+    Metrics: teacher-forced logit MAE + KL(nats) + top-1 agreement
+    over a 128-token probe, and greedy-prefix agreement for the
+    decode-path modes (w4a8, fp8-KV) whose flags only engage there."""
+    import dataclasses
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from cogstream_tpu import presets
+    from cogstream_tpu.evaluate import quant_quality as qq
+
+    out = {}
+    cfg7 = presets.cogreasoner_7b().text
+    ids = qq.probe_ids(cfg7, 128)
+    ctx.free()          # quality params replace the synthetic residency
+
+    p8 = qq.build_text_params(cfg7, "int8", seed=11)
+    l8 = qq.tf_logits(p8, ids, cfg7)
+    lw = qq.tf_logits(p8, ids,
+                      dataclasses.replace(cfg7, w8a8_prefill=True))
+    out.update(qq.compare_logits(l8, lw, "qq7_w8a8_vs_int8"))
+    del lw
+    lc = qq.cached_logits(p8, ids, cfg7, 512)
+    lf = qq.cached_logits(p8, ids, cfg7, 512,
+                          kv_dtype=jnp.float8_e4m3fn)
+    out.update(qq.compare_logits(lc, lf, "qq7_fp8kv_vs_bf16kv"))
+    del lc, lf
+    g8 = qq.greedy_continuation(p8, cfg7, ids, n=32)
+    gf = qq.greedy_continuation(p8, cfg7, ids, n=32,
+                                kv_dtype=jnp.float8_e4m3fn)
+    out["qq7_fp8kv_greedy_prefix"] = qq.prefix_agreement(g8, gf)
+    del p8
+    gc.collect()
+
+    p4 = qq.build_text_params(cfg7, "int4u", seed=11)
+    l4 = qq.tf_logits(p4, ids, cfg7)
+    out.update(qq.compare_logits(l8, l4, "qq7_int4u_vs_int8"))
+    del l4
+    g4 = qq.greedy_continuation(p4, cfg7, ids, n=32)
+    g4w = qq.greedy_continuation(
+        p4, dataclasses.replace(cfg7, w4a8_decode=True), ids, n=32)
+    out["qq7_w4a8_greedy_prefix"] = qq.prefix_agreement(g4, g4w)
+    del p4
+    gc.collect()
+
+    pn = qq.build_text_params(cfg7, "nf4", seed=11)   # training base
+    ln = qq.tf_logits(pn, ids, cfg7)
+    out.update(qq.compare_logits(l8, ln, "qq7_nf4_vs_int8"))
+    del pn, ln, l8
+    gc.collect()
+
+    # demo width: real bf16 truth for the int8 / W8A8 ladder
+    dcfg = presets.demo().text
+    dids = qq.probe_ids(dcfg, 128)
+    db = qq.build_text_params(dcfg, "bf16", seed=11)
+    lb = qq.tf_logits(db, dids, dcfg)
+    del db
+    d8 = qq.build_text_params(dcfg, "int8", seed=11)
+    l8d = qq.tf_logits(d8, dids, dcfg)
+    out.update(qq.compare_logits(lb, l8d, "qq_demo_int8_vs_bf16"))
+    lwd = qq.tf_logits(d8, dids,
+                       dataclasses.replace(dcfg, w8a8_prefill=True))
+    out.update(qq.compare_logits(lb, lwd, "qq_demo_w8a8_vs_bf16"))
+    del d8, lb, l8d, lwd
+    gc.collect()
+
+    # encoder W8A8: feature-space fidelity at reference tower scale
+    from cogstream_tpu.config import VisionEncoderConfig
+    from cogstream_tpu.models.vision_encoder import (
+        init_vision_params, quantize_vision_w8a8, vision_encoder_forward)
+
+    vcfg = VisionEncoderConfig()
+    T, gh, gw = 8, 32, 32
+    rng = np.random.default_rng(0)
+    pv = jnp.asarray(
+        rng.normal(size=(T * gh * gw, 3 * vcfg.patch_size ** 2)),
+        jnp.bfloat16)
+    gs = np.array([[T, gh, gw]])
+    msz = np.array([2])
+    vp = init_vision_params(jax.random.PRNGKey(0), vcfg)
+    fb = vision_encoder_forward(vp, pv, gs, msz, vcfg, use_pallas=True)
+    fq = vision_encoder_forward(quantize_vision_w8a8(vp), pv, gs, msz,
+                                vcfg, use_pallas=True)
+
+    @jax.jit
+    def _cos(a, b):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        c = jnp.sum(a * b, -1) / jnp.maximum(
+            jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1),
+            1e-9)
+        return jnp.mean(c), jnp.min(c)
+
+    cm, cmin = _cos(fb, fq)
+    out["qq_encoder_w8a8_cos_mean"] = round(float(cm), 5)
+    out["qq_encoder_w8a8_cos_min"] = round(float(cmin), 5)
+    del vp, fb, fq
+    gc.collect()
+    return out
+
+
 def bench_decoder(ctx):
     import jax
     import jax.numpy as jnp
@@ -488,13 +599,25 @@ def bench_7b_quantized(ctx, scheme: str, w4a8: bool = False):
                                eos_id=-1, temperature=0.0)
 
     # marginal decode rate (see bench_decoder): difference two run
-    # lengths so the prefill doesn't get charged to decode
+    # lengths so the prefill doesn't get charged to decode. The
+    # headline decode fields are 3-run MEDIANS with a recorded spread
+    # (VERDICT r4 weak #7): tunnel noise swings single marginal
+    # samples enough to fake round-over-round regressions.
     short = NEW // 4
-    dt_s = _median_time(lambda: run(short), iters=2, warmup=1)
-    dt_l = _median_time(lambda: run(NEW), iters=2, warmup=1)
-    decode_tok_s = (NEW - short) / max(dt_l - dt_s, 1e-9)
+    _sync(run(short))
+    _sync(run(NEW))
+
+    def marginal():
+        dt_s = _median_time(lambda: run(short), iters=2, warmup=0)
+        dt_l = _median_time(lambda: run(NEW), iters=2, warmup=0)
+        return (NEW - short) / max(dt_l - dt_s, 1e-9)
+
+    samples = sorted(marginal() for _ in range(3))
+    decode_tok_s = samples[1]
+    spread = round((samples[2] - samples[0]) / max(samples[1], 1e-9), 3)
     if w4a8:
-        return {"int4_w4a8_7b_decode_tok_s": round(decode_tok_s, 2)}
+        return {"int4_w4a8_7b_decode_tok_s": round(decode_tok_s, 2),
+                "int4_w4a8_7b_decode_spread": spread}
 
     def make_pf(c):
         @jax.jit
@@ -510,6 +633,7 @@ def bench_7b_quantized(ctx, scheme: str, w4a8: bool = False):
                         iters=2, warmup=1)
     tag = {"int8": "int8", "int4c": "int4", "int4u": "int4u"}[scheme]
     out = {f"{tag}_7b_decode_tok_s": round(decode_tok_s, 2),
+           f"{tag}_7b_decode_spread": spread,
            f"{tag}_7b_prefill_tok_s": round(S / dt_p, 1)}
     if scheme in ("int8", "int4u"):
         # W8A8/W4A8 serving prefill (config.w8a8_prefill): the
@@ -603,12 +727,11 @@ def bench_longctx32_7b(ctx):
     cache) and only the decode-width program is 32k-wide. The prefill
     rate reported is that honest 2x16k chain.
 
-    NOT in the driver SECTIONS list: on the night it was added the
-    axon worker alternated between the compile failure above (its raw
-    form) and multi-ten-minute execution stalls (its chunked form
-    never got to run) — two failed attempts would eat the driver's
-    whole tail budget. Run manually via
-    COGSTREAM_BENCH_ONLY=longctx32_7b when the backend cooperates."""
+    In the driver SECTIONS list since r5 (VERDICT r4 #3) with two
+    guards: a compile refusal returns a ``longctx32_skipped`` marker
+    instead of burning a crash-relaunch, and the per-section stall
+    watchdog (COGSTREAM_BENCH_WATCHDOG_S) covers the backend's silent
+    multi-ten-minute hang mode."""
     import jax
     import jax.numpy as jnp
 
@@ -639,7 +762,13 @@ def bench_longctx32_7b(ctx):
     def full_prefill():
         return build_cache(None).k
 
-    dt = _median_time(lambda: full_prefill(), iters=2, warmup=1)
+    try:
+        dt = _median_time(lambda: full_prefill(), iters=2, warmup=1)
+    except Exception as e:  # noqa: BLE001 — compile refusal, not a crash
+        msg = repr(e)
+        if "compile" in msg.lower() or "RESOURCE_EXHAUSTED" in msg:
+            return {"longctx32_skipped": msg[:160]}
+        raise
     out["int8_7b_prefill_32k_tok_s"] = round(LS / dt, 1)
 
     emb1 = qwen2.embed(params, jnp.zeros((1, 1), jnp.int32))
@@ -1216,6 +1345,13 @@ def bench_pool_7b(ctx, scheme: str, n_rows_list=(4, 8),
         d_s, d_l = float(np.median(dts_s)), float(np.median(dts_l))
         out[f"pooled_7b_{tag}_decode_tok_s_b{n_rows}"] = round(
             n_rows * (NEW - SHORT) / max(d_l - d_s, 1e-9), 1)
+        # paired-sample spread so round-over-round deltas on this
+        # headline field are distinguishable from tunnel noise
+        # (VERDICT r4 weak #7)
+        pairs = sorted(n_rows * (NEW - SHORT) / max(l - s, 1e-9)
+                       for s, l in zip(dts_s, dts_l))
+        out[f"pooled_7b_{tag}_decode_spread_b{n_rows}"] = round(
+            (pairs[2] - pairs[0]) / max(abs(pairs[1]), 1e-9), 3)
         out[f"pooled_7b_{tag}_ask_tok_s_b{n_rows}"] = round(
             n_rows * NEW / d_l, 1)
         del pool, rows, reqs                   # free the [B, max_len] cache
@@ -1396,9 +1532,17 @@ SECTIONS = [
     # budget — the orchestrator recovers, but the cheap reliable
     # fields must not queue behind it
     ("e2e_ingest_7b", 300, bench_e2e_ingest_7b),
+    # 32k rows (promoted r5): same int8 residency as the sections
+    # above; auto-skips with a marker field if the backend refuses the
+    # compile, and the per-section stall watchdog covers its hangs
+    ("longctx32_7b", 240, bench_longctx32_7b),
     ("session_7b_int4", 300, bench_session_7b_quant, "int4u", True),
     ("quant4u", 120, bench_7b_quantized, "int4u"),
     ("quant4u_w4a8", 60, bench_7b_quantized, "int4u", True),
+    # quality ladder: frees the synthetic residency (its own seeded
+    # builds), so it sits between the int4 serving sections and the
+    # int4 pool section (which cheaply rebuilds the synthetic tree)
+    ("quant_quality", 300, bench_quant_quality),
     ("pool_7b_int4", 300, bench_pool_7b, "int4u", (4, 8, 16), True),
     ("lookahead4", 150, bench_lookahead_7b, "int4u", 4, True),
     ("quant4", 120, bench_7b_quantized, "int4c"),
@@ -1440,7 +1584,7 @@ TPU_ONLY = {"session_7b_int8", "quant8", "longctx_7b", "e2e_ingest_7b",
             "pool_7b_int8", "lookahead8", "session_7b_w8a8",
             "session_7b_int4", "quant4u", "quant4u_w4a8", "pool_7b_int4",
             "lookahead4", "quant4", "encoder_int8", "train_7b",
-            "longctx32_7b"}
+            "longctx32_7b", "quant_quality"}
 
 
 def _load_art() -> dict:
@@ -1505,6 +1649,9 @@ COMPACT_FIELDS = [
     "la_7b_int8_fixed_decode_tok_s", "la_7b_int4_fixed_decode_tok_s",
     "stage2_7b_train_step_s", "stage2_7b_train_tok_s",
     "selector_cap_7b", "encoder_int8_fps",
+    "qq7_int4u_vs_int8_top1_agree", "qq7_w8a8_vs_int8_top1_agree",
+    "qq7_fp8kv_vs_bf16kv_top1_agree", "qq_demo_int8_vs_bf16_top1_agree",
+    "qq_demo_w8a8_vs_bf16_top1_agree", "qq_encoder_w8a8_cos_mean",
     "budget_skipped",
 ]
 COMPACT_BUDGET = 1900
