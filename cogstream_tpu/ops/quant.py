@@ -465,6 +465,43 @@ def int8_act_matmul(xq: jax.Array, sx: jax.Array,
     return (y.astype(jnp.float32) * sx * scale[None, :]).astype(out_dtype)
 
 
+@jax.custom_vjp
+def _w8a8_matmul_ste(x: jax.Array, q: jax.Array,
+                     scale: jax.Array) -> jax.Array:
+    """W8A8 matmul with a STRAIGHT-THROUGH activation-quant gradient.
+
+    Primal: the int8xint8 MXU path (quantize_int8_act + int8_act_matmul
+    — bit-identical to the serving W8A8 prefill). Backward: the
+    activation round/clip is treated as identity (STE), so
+    ``dL/dx = g @ W_deq^T`` exactly as the weight-only path computes it.
+    This makes W8A8 forward GEMMs usable under LoRA training (stage-2
+    ``--w8a8-forward``): base weights are frozen (no dL/dW needed) and
+    activation gradients flow to the adapters below instead of being
+    zeroed by the round. ``x`` must be 2D [rows, din]."""
+    xq, sx = quantize_int8_act(x)
+    return int8_act_matmul(xq, sx, q, scale, x.dtype)
+
+
+def _w8a8_ste_fwd(x, q, scale):
+    # residuals must be JAX types: a 0-sized array carries x's dtype
+    return (_w8a8_matmul_ste(x, q, scale),
+            (jnp.zeros((0,), x.dtype), q, scale))
+
+
+def _w8a8_ste_bwd(res, g):
+    import numpy as _np
+
+    x_proto, q, scale = res
+    w = (q.astype(jnp.float32) * scale[..., None, :]).astype(g.dtype)
+    dx = (g @ w.T).astype(x_proto.dtype)
+    # frozen int8 weights carry float0 cotangents (integer primals)
+    dq = _np.zeros(q.shape, jax.dtypes.float0)
+    return dx, dq, jnp.zeros_like(scale)
+
+
+_w8a8_matmul_ste.defvjp(_w8a8_ste_fwd, _w8a8_ste_bwd)
+
+
 def is_quantized(p: Any) -> bool:
     return isinstance(p, dict) and ("q" in p or "q4" in p) and "scale" in p
 
@@ -519,18 +556,21 @@ def quantized_matmul(x: jax.Array, qp: Dict[str, jax.Array],
     ~133 TFLOP/s bf16, both measured in-program) — the serving prefill
     mode. On int4 kernels the flag reaches the Pallas GEMV route only
     (uniform rank-1, decode-sized M → the W4A8 kernel variant; the XLA
-    forms stay weight-only). SERVING ONLY: the round/clip in the
-    activation quant has zero gradient, so x receives no gradient
-    through the base GEMM — training paths must keep the weight-only
-    dequant form.
+    forms stay weight-only). Under differentiation the int8 branch
+    applies a STRAIGHT-THROUGH estimator (``_w8a8_matmul_ste``): the
+    primal is the serving int8 path bit-for-bit, the activation
+    gradient is the weight-only path's — so stage-2 LoRA training can
+    run W8A8 forward GEMMs (``--w8a8-forward``; the frozen base needs
+    no weight gradient).
     """
     dtype = out_dtype or x.dtype
     if "q4" in qp:
         return int4_matmul(x, qp, dtype, act_int8=w8a8)
     if w8a8:
         lead = x.shape[:-1]
-        xq, sx = quantize_int8_act(x.reshape(-1, x.shape[-1]))
-        y = int8_act_matmul(xq, sx, qp["q"], qp["scale"], dtype)
+        y = _w8a8_matmul_ste(
+            x.reshape(-1, x.shape[-1]).astype(dtype),
+            qp["q"], qp["scale"])
         return y.reshape(*lead, y.shape[-1])
     w = (qp["q"].astype(jnp.float32)
          * qp["scale"][..., None, :]).astype(dtype)

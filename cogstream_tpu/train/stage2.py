@@ -458,7 +458,16 @@ def main():
                          "activation memory splits across chips "
                          "(power of two; weights replicate, pair with "
                          "--quantize-base)")
+    ap.add_argument("--w8a8-forward", action="store_true",
+                    help="run the frozen int8 base's forward GEMMs "
+                         "W8A8 on the MXU int8 path (requires "
+                         "--quantize-base int8). Activation gradients "
+                         "flow straight-through (ops/quant "
+                         "_w8a8_matmul_ste) — exact for the frozen "
+                         "base, STE-approximate through the round")
     args = ap.parse_args()
+    if args.w8a8_forward and args.quantize_base != "int8":
+        ap.error("--w8a8-forward requires --quantize-base int8")
 
     from ..config import load_hf_config
     from ..models.checkpoint import load_cogreasoner_from_hf
@@ -466,6 +475,11 @@ def main():
     from ..processor.tokenizer import load_tokenizer
 
     cfg = load_hf_config(os.path.join(args.model_dir, "config.json"))
+    if args.w8a8_forward:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, text=_dc.replace(cfg.text, w8a8_prefill=True))
     params = load_cogreasoner_from_hf(args.model_dir, cfg)
     if args.quantize_base != "none":
         from ..ops.quant import quantize_tree
