@@ -226,7 +226,7 @@ def prefill_flash_attention(
     q_positions: jax.Array,  # [B, S] int32, -1 = padding
     eff_kv_pos: jax.Array,   # [B, T] int32 (effective_kv_positions)
     scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -245,7 +245,10 @@ def prefill_flash_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_k is None:
-        block_k = _largest_div(T, 1024)
+        # big tiles amortize the per-grid-step overhead (the vision
+        # kernel's lesson): 1024x2048 runs ~4x fewer steps than the
+        # 512x1024 first cut at ~2.5 MB of double-buffered VMEM
+        block_k = _largest_div(T, 2048)
 
     cd = _compute_dtype(q.dtype)
     # head-major K/V; GQA group folded into query rows (exact MACs)
@@ -424,11 +427,17 @@ def _decode_call(layer, rows, qpos0, qr, mk, mv, sk, sv, fk, fv,
 
 
 def decode_viable(B: int, S: int, T: int, Ts: int, Hq: int, Hkv: int,
-                  D: int, min_t: int = 2048) -> bool:
+                  D: int, min_t: Optional[int] = None) -> bool:
     """Static dispatch decision for the splash decode kernel. Below
     ``min_t`` cache slots the concatenate the kernel avoids is cheap
     and XLA wins on dispatch simplicity; side row count must be
-    lane-aligned (generate pads the side buffer allocation)."""
+    lane-aligned (generate pads the side buffer allocation).
+    ``COGSTREAM_LM_ATTN_MIN_T`` overrides the depth threshold (A/B
+    probing — tools/lm_attn_probe.py)."""
+    if min_t is None:
+        import os
+
+        min_t = int(os.environ.get("COGSTREAM_LM_ATTN_MIN_T", "2048"))
     return (D == 128 and Hq % Hkv == 0 and S <= 8 and T >= min_t
             and (Ts * Hkv) % 128 == 0 and (S * Hkv) <= 64
             and _largest_div(T * Hkv, 4096) is not None)
