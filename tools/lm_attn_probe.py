@@ -47,10 +47,14 @@ def run(section: str, env: str):
 
 
 def main():
-    section = sys.argv[1] if len(sys.argv) > 1 else "longctx"
-    if len(sys.argv) > 2:
-        os.environ["COGSTREAM_LM_ATTN_MIN_T"] = sys.argv[2]
-    for env in ("off", "auto"):
+    args = sys.argv[1:]
+    section = args[0] if args else "longctx"
+    routes = [a for a in args[1:] if a in ("off", "auto")] or \
+        ["off", "auto"]
+    for a in args[1:]:
+        if a.isdigit():
+            os.environ["COGSTREAM_LM_ATTN_MIN_T"] = a
+    for env in routes:
         run(section, env)
 
 
