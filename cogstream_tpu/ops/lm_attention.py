@@ -120,10 +120,16 @@ def effective_kv_positions(pos: jax.Array,
 
 def _prefill_kernel(cnt_ref, q_ref, k_ref, v_ref, qp_ref, kp_ref,
                     o_ref, m_ref, l_ref, acc_ref, *, scale: float,
-                    nk: int):
-    b = pl.program_id(0)
-    i = pl.program_id(2)
-    j = pl.program_id(3)
+                    nk: int, Hkv: int):
+    # 3D grid over (batch*kv-head, q block, kv block) with 3D operands
+    # and (1, rows, D) blocks — the exact shape pattern of the PROVEN
+    # kernels (ops/flash_attention, ops/quant_gemv). The first cut used
+    # a 4D grid with interior-singleton 4D blocks and reproducibly
+    # corrupted the axon worker after ~8 interleaved program
+    # executions (round-5 probe; XLA-only control clean).
+    b = pl.program_id(0) // Hkv
+    i = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
@@ -133,8 +139,8 @@ def _prefill_kernel(cnt_ref, q_ref, k_ref, v_ref, qp_ref, kp_ref,
 
     @pl.when(j < cnt_ref[b, i])
     def _step():
-        q = q_ref[0, 0]                                   # [BQR, D]
-        k = k_ref[0, 0].astype(q.dtype)                   # [BK, D]
+        q = q_ref[0]                                      # [BQR, D]
+        k = k_ref[0].astype(q.dtype)                      # [BK, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [BQR, BK]
@@ -148,7 +154,7 @@ def _prefill_kernel(cnt_ref, q_ref, k_ref, v_ref, qp_ref, kp_ref,
         alpha = jnp.exp(
             jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev - m_new))
         l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0].astype(q.dtype)
+        v = v_ref[0].astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # [BQR, D]
@@ -159,53 +165,57 @@ def _prefill_kernel(cnt_ref, q_ref, k_ref, v_ref, qp_ref, kp_ref,
     @pl.when(j == nk - 1)
     def _finalize():
         l = l_ref[:, :1]
-        o_ref[0, 0] = (acc_ref[...] / jnp.where(l > 0.0, l, 1.0)
-                       ).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] / jnp.where(l > 0.0, l, 1.0)
+                    ).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k", "scale", "interpret"))
-def _prefill_call(qr, kT, vT, qpos, kpos, counts, *, block_q: int,
-                  block_k: int, scale: float, interpret: bool):
-    B, Hkv, Rp, D = qr.shape
-    T = kT.shape[2]
+    static_argnames=("Hkv", "block_q", "block_k", "scale", "interpret"))
+def _prefill_call(qr, kT, vT, qpos, kpos, counts, *, Hkv: int,
+                  block_q: int, block_k: int, scale: float,
+                  interpret: bool):
+    BH, Rp, D = qr.shape            # BH = B * Hkv (head-major fold)
+    T = kT.shape[1]
     nR, nk = Rp // block_q, T // block_k
 
-    def q_map(b, h, i, j, c):
-        return (b, h, i, 0)
+    def q_map(g, i, j, c):
+        return (g, i, 0)
 
-    def kv_map(b, h, i, j, c):
-        return (b, h, jnp.minimum(j, jnp.maximum(c[b, i] - 1, 0)), 0)
+    def kv_map(g, i, j, c):
+        b = g // Hkv
+        return (g, jnp.minimum(j, jnp.maximum(c[b, i] - 1, 0)), 0)
 
-    def qp_map(b, h, i, j, c):
-        return (b, i)
+    def qp_map(g, i, j, c):
+        return (g // Hkv, i)
 
-    def kp_map(b, h, i, j, c):
+    def kp_map(g, i, j, c):
+        b = g // Hkv
         return (b, jnp.minimum(j, jnp.maximum(c[b, i] - 1, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv, nR, nk),
+        grid=(BH, nR, nk),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), q_map),
-            pl.BlockSpec((1, 1, block_k, D), kv_map),
-            pl.BlockSpec((1, 1, block_k, D), kv_map),
+            pl.BlockSpec((1, block_q, D), q_map),
+            pl.BlockSpec((1, block_k, D), kv_map),
+            pl.BlockSpec((1, block_k, D), kv_map),
             pl.BlockSpec((1, block_q), qp_map),
             pl.BlockSpec((1, block_k), kp_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D), q_map),
+        out_specs=pl.BlockSpec((1, block_q, D), q_map),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
     )
-    kernel = functools.partial(_prefill_kernel, scale=scale, nk=nk)
+    kernel = functools.partial(_prefill_kernel, scale=scale, nk=nk,
+                               Hkv=Hkv)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, Rp, D), qr.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Rp, D), qr.dtype),
         interpret=interpret,
     )(counts, qr, kT, vT, qpos, kpos)
 
@@ -251,16 +261,18 @@ def prefill_flash_attention(
         block_k = _largest_div(T, 2048)
 
     cd = _compute_dtype(q.dtype)
-    # head-major K/V; GQA group folded into query rows (exact MACs)
-    kT = k.transpose(0, 2, 1, 3)
-    vT = v.transpose(0, 2, 1, 3)
+    # head-major K/V; GQA group folded into query rows (exact MACs);
+    # (B, Hkv) folded into one leading axis — 3D operands with
+    # (1, rows, D) blocks, the proven kernel shape pattern
+    kT = k.transpose(0, 2, 1, 3).reshape(B * Hkv, T, D)
+    vT = v.transpose(0, 2, 1, 3).reshape(B * Hkv, T, D)
     qr = q.astype(cd).reshape(B, S, Hkv, G, D).transpose(0, 2, 1, 3, 4) \
-        .reshape(B, Hkv, S * G, D)
+        .reshape(B * Hkv, S * G, D)
     R = S * G
     Rp = _round_up(R, block_q)
     qpos = jnp.repeat(q_positions, G, axis=1).astype(jnp.int32)  # [B, R]
     if Rp > R:
-        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, Rp - R), (0, 0)))
+        qr = jnp.pad(qr, ((0, 0), (0, Rp - R), (0, 0)))
         qpos = jnp.pad(qpos, ((0, 0), (0, Rp - R)), constant_values=-1)
 
     # per-(b, q-block) valid KV block count, in-jit (positions are
@@ -270,18 +282,25 @@ def prefill_flash_attention(
     # included — only the tail is skipped, which is where the causal
     # and empty-cache savings live).
     nk = T // block_k
-    blk_min = eff_kv_pos.reshape(B, nk, block_k).min(axis=2)   # [B, nk]
-    qmax = qpos.reshape(B, Rp // block_q, block_q).max(axis=2)  # [B, nR]
-    part = blk_min[:, None, :] <= qmax[:, :, None]       # [B, nR, nk]
-    counts = jnp.max(
-        jnp.where(part, jnp.arange(1, nk + 1, dtype=jnp.int32), 0),
-        axis=2).astype(jnp.int32)                        # [B, nR]
+    import os as _os
+
+    if _os.environ.get("COGSTREAM_LM_ATTN_NOSKIP"):
+        # A/B diagnostics: static full-sweep index maps (no dynamic
+        # clamp, no repeated tail blocks)
+        counts = jnp.full((B, Rp // block_q), nk, jnp.int32)
+    else:
+        blk_min = eff_kv_pos.reshape(B, nk, block_k).min(axis=2)
+        qmax = qpos.reshape(B, Rp // block_q, block_q).max(axis=2)
+        part = blk_min[:, None, :] <= qmax[:, :, None]   # [B, nR, nk]
+        counts = jnp.max(
+            jnp.where(part, jnp.arange(1, nk + 1, dtype=jnp.int32), 0),
+            axis=2).astype(jnp.int32)                    # [B, nR]
 
     out = _prefill_call(
         qr, kT, vT, qpos, eff_kv_pos.astype(jnp.int32), counts,
-        block_q=block_q, block_k=block_k, scale=float(scale),
+        Hkv=Hkv, block_q=block_q, block_k=block_k, scale=float(scale),
         interpret=bool(interpret))
-    out = out[:, :, :R].reshape(B, Hkv, S, G, D) \
+    out = out[:, :R].reshape(B, Hkv, S, G, D) \
         .transpose(0, 2, 1, 3, 4).reshape(B, S, Hq, D)
     return out.astype(q.dtype)
 
@@ -292,8 +311,8 @@ def prefill_flash_attention(
 
 def _decode_kernel(l_ref, rows_ref, qpos_ref,
                    q_ref,                      # [1, Rq, D]
-                   mk_ref, mv_ref,             # [1, 1, BKR, D] main
-                   sk_ref, sv_ref,             # [1, 1, THs, D] side
+                   mk_ref, mv_ref,             # [1, BKR, D] main
+                   sk_ref, sv_ref,             # [1, THs, D] side
                    fk_ref, fv_ref,             # [1, THf, D] fresh
                    mp_ref,                     # [1, BKR] main eff pos
                    sp_ref,                     # [1, THs] side eff pos
@@ -349,11 +368,11 @@ def _decode_kernel(l_ref, rows_ref, qpos_ref,
 
     @pl.when(j < nk_main)
     def _main():
-        fold(mk_ref[0, 0], mv_ref[0, 0], mp_ref[0])
+        fold(mk_ref[0], mv_ref[0], mp_ref[0])
 
     @pl.when(j == nk_main)
     def _side():
-        fold(sk_ref[0, 0], sv_ref[0, 0], sp_ref[0])
+        fold(sk_ref[0], sv_ref[0], sp_ref[0])
 
     @pl.when(j == nk_main + 1)
     def _fresh():
@@ -365,13 +384,15 @@ def _decode_kernel(l_ref, rows_ref, qpos_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_kr", "scale", "interpret", "S", "G", "Gp",
-                     "Hkv"))
+    static_argnames=("Bp", "block_kr", "scale", "interpret", "S", "G",
+                     "Gp", "Hkv"))
 def _decode_call(layer, rows, qpos0, qr, mk, mv, sk, sv, fk, fv,
-                 mpos, spos, fpos, *, block_kr: int, scale: float,
-                 interpret: bool, S: int, G: int, Gp: int, Hkv: int):
+                 mpos, spos, fpos, *, Bp: int, block_kr: int,
+                 scale: float, interpret: bool, S: int, G: int,
+                 Gp: int, Hkv: int):
     B, Rq, D = qr.shape
-    THm, THs, THf = mk.shape[2], sk.shape[2], fk.shape[1]
+    # mk/sk arrive (layer, row)-folded: [L*Bp, THm, D] / [L*B, THs, D]
+    THm, THs, THf = mk.shape[1], sk.shape[1], fk.shape[1]
     nk_main = THm // block_kr
     nj = nk_main + 2
 
@@ -379,10 +400,10 @@ def _decode_call(layer, rows, qpos0, qr, mk, mv, sk, sv, fk, fv,
         return (b, 0, 0)
 
     def mkv_map(b, j, lr, rr, qp):
-        return (lr[0], rr[b], jnp.minimum(j, nk_main - 1), 0)
+        return (lr[0] * Bp + rr[b], jnp.minimum(j, nk_main - 1), 0)
 
     def skv_map(b, j, lr, rr, qp):
-        return (lr[0], b, 0, 0)
+        return (lr[0] * B + b, 0, 0)
 
     def fkv_map(b, j, lr, rr, qp):
         return (b, 0, 0)
@@ -398,10 +419,10 @@ def _decode_call(layer, rows, qpos0, qr, mk, mv, sk, sv, fk, fv,
         grid=(B, nj),
         in_specs=[
             pl.BlockSpec((1, Rq, D), q_map),
-            pl.BlockSpec((1, 1, block_kr, D), mkv_map),
-            pl.BlockSpec((1, 1, block_kr, D), mkv_map),
-            pl.BlockSpec((1, 1, THs, D), skv_map),
-            pl.BlockSpec((1, 1, THs, D), skv_map),
+            pl.BlockSpec((1, block_kr, D), mkv_map),
+            pl.BlockSpec((1, block_kr, D), mkv_map),
+            pl.BlockSpec((1, THs, D), skv_map),
+            pl.BlockSpec((1, THs, D), skv_map),
             pl.BlockSpec((1, THf, D), fkv_map),
             pl.BlockSpec((1, THf, D), fkv_map),
             pl.BlockSpec((1, block_kr), mp_map),
@@ -498,12 +519,15 @@ def decode_splash_attention(
     qpos0 = jnp.where(step_pos[:, 0] >= 0, step_pos[:, 0],
                       -SENTINEL).astype(jnp.int32)
 
-    # flat (token, kv-head) row views — adjacent-dim reshapes, no copy
+    # flat (token, kv-head) row views with (layer, row) folded into one
+    # leading axis — adjacent-dim reshapes, no copy; 3D operands with
+    # (1, rows, D) blocks are the proven-stable kernel shape pattern
+    # (the 4D interior-singleton form corrupted the axon worker)
     L, Bp = main_k.shape[0], main_k.shape[1]
-    mk = main_k.reshape(L, Bp, T * Hkv, D)
-    mv = main_v.reshape(L, Bp, T * Hkv, D)
-    sk = side_k.reshape(L, B, Ts * Hkv, D)
-    sv = side_v.reshape(L, B, Ts * Hkv, D)
+    mk = main_k.reshape(L * Bp, T * Hkv, D)
+    mv = main_v.reshape(L * Bp, T * Hkv, D)
+    sk = side_k.reshape(L * B, Ts * Hkv, D)
+    sv = side_v.reshape(L * B, Ts * Hkv, D)
     THf = _round_up(S * Hkv, 8)
     fk = jnp.pad(k_new.reshape(B, S * Hkv, D),
                  ((0, 0), (0, THf - S * Hkv), (0, 0)))
@@ -521,7 +545,7 @@ def decode_splash_attention(
         qr, mk, mv, sk, sv, fk, fv,
         eff_main_rep.astype(jnp.int32), eff_side_rep.astype(jnp.int32),
         fpos,
-        block_kr=int(block_kr), scale=float(scale),
+        Bp=Bp, block_kr=int(block_kr), scale=float(scale),
         interpret=bool(interpret), S=S, G=G, Gp=Gp, Hkv=Hkv)
     out = out.reshape(B, Hkv, S, Gp, D)[:, :, :, :G] \
         .transpose(0, 2, 1, 3, 4).reshape(B, S, Hq, D)
