@@ -455,9 +455,11 @@ def decode_viable(B: int, S: int, T: int, Ts: int, Hq: int, Hkv: int,
     lane-aligned (generate pads the side buffer allocation).
     ``COGSTREAM_LM_ATTN_MIN_T`` overrides the depth threshold (A/B
     probing — tools/lm_attn_probe.py)."""
-    if min_t is None:
-        import os
+    import os
 
+    if os.environ.get("COGSTREAM_LM_ATTN_NO_DECODE"):
+        return False
+    if min_t is None:
         min_t = int(os.environ.get("COGSTREAM_LM_ATTN_MIN_T", "2048"))
     return (D == 128 and Hq % Hkv == 0 and S <= 8 and T >= min_t
             and (Ts * Hkv) % 128 == 0 and (S * Hkv) <= 64
@@ -528,7 +530,11 @@ def decode_splash_attention(
     mv = main_v.reshape(L * Bp, T * Hkv, D)
     sk = side_k.reshape(L * B, Ts * Hkv, D)
     sv = side_v.reshape(L * B, Ts * Hkv, D)
-    THf = _round_up(S * Hkv, 8)
+    # fresh rows pad to a FULL sublane tile for every dtype (32 covers
+    # int8/fp8's (32, 128) min tile; an 8-row bf16 block is below the
+    # (16, 128) tile and is a worker-corruption suspect on this
+    # backend)
+    THf = _round_up(S * Hkv, 32)
     fk = jnp.pad(k_new.reshape(B, S * Hkv, D),
                  ((0, 0), (0, THf - S * Hkv), (0, 0)))
     fv = jnp.pad(v_new.reshape(B, S * Hkv, D),
