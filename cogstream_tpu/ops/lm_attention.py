@@ -457,7 +457,18 @@ def decode_viable(B: int, S: int, T: int, Ts: int, Hq: int, Hkv: int,
     probing — tools/lm_attn_probe.py)."""
     import os
 
-    if os.environ.get("COGSTREAM_LM_ATTN_NO_DECODE"):
+    # OPT-IN ONLY (COGSTREAM_LM_ATTN_DECODE=1) on this backend: the
+    # splash kernel passes CPU-interpret parity and runs correct
+    # single executions on the chip, but REPEATED executions of its
+    # program interleaved with other large kernel programs reproducibly
+    # panic the axon client ('client.rs:2008 index out of bounds: len
+    # 31 index 31') / corrupt the worker — the round-5 stability matrix
+    # (STATUS.md) isolated the trigger to this program class after
+    # exonerating the XLA-only mix, the prefill kernel (stable after
+    # the 3D-operand refactor), dynamic index maps, and sub-tile
+    # blocks. Sessions re-execute the decode program every turn, so
+    # default-on would corrupt production serving.
+    if not os.environ.get("COGSTREAM_LM_ATTN_DECODE"):
         return False
     if min_t is None:
         min_t = int(os.environ.get("COGSTREAM_LM_ATTN_MIN_T", "2048"))

@@ -288,9 +288,14 @@ def _run_routes(fn, monkeypatch):
     jax.clear_caches()
     ref = fn()
     monkeypatch.setenv("COGSTREAM_LM_ATTN", "interpret")
+    # the splash decode kernel is opt-in on the real backend (axon
+    # stability, see ops/lm_attention.decode_viable) — force it here
+    # so the integrated route stays covered
+    monkeypatch.setenv("COGSTREAM_LM_ATTN_DECODE", "1")
     jax.clear_caches()
     out = fn()
     monkeypatch.delenv("COGSTREAM_LM_ATTN")
+    monkeypatch.delenv("COGSTREAM_LM_ATTN_DECODE")
     jax.clear_caches()
     return ref, out
 
