@@ -144,7 +144,7 @@ def _prefill_kernel(cnt_ref, q_ref, k_ref, v_ref, qp_ref, kp_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [BQR, BK]
-        mask = qp_ref[0][:, None] >= kp_ref[0][None, :]
+        mask = qp_ref[0, 0][:, None] >= kp_ref[0, 0][None, :]
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -187,11 +187,11 @@ def _prefill_call(qr, kT, vT, qpos, kpos, counts, *, Hkv: int,
         return (g, jnp.minimum(j, jnp.maximum(c[b, i] - 1, 0)), 0)
 
     def qp_map(g, i, j, c):
-        return (g // Hkv, i)
+        return (g // Hkv, 0, i)
 
     def kp_map(g, i, j, c):
         b = g // Hkv
-        return (b, jnp.minimum(j, jnp.maximum(c[b, i] - 1, 0)))
+        return (b, 0, jnp.minimum(j, jnp.maximum(c[b, i] - 1, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -200,8 +200,12 @@ def _prefill_call(qr, kT, vT, qpos, kpos, counts, *, Hkv: int,
             pl.BlockSpec((1, block_q, D), q_map),
             pl.BlockSpec((1, block_k, D), kv_map),
             pl.BlockSpec((1, block_k, D), kv_map),
-            pl.BlockSpec((1, block_q), qp_map),
-            pl.BlockSpec((1, block_k), kp_map),
+            # position rows ride as [B, 1, T] so the block's last two
+            # dims (1, X) EQUAL the array dims (Mosaic requires blocks
+            # divisible by (8, 128) or equal to the array — a (1, X)
+            # block over a [B>1, T] array fails to lower)
+            pl.BlockSpec((1, 1, block_q), qp_map),
+            pl.BlockSpec((1, 1, block_k), kp_map),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), q_map),
         scratch_shapes=[
@@ -217,7 +221,7 @@ def _prefill_call(qr, kT, vT, qpos, kpos, counts, *, Hkv: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, Rp, D), qr.dtype),
         interpret=interpret,
-    )(counts, qr, kT, vT, qpos, kpos)
+    )(counts, qr, kT, vT, qpos[:, None], kpos[:, None])
 
 
 def prefill_viable(B: int, S: int, T: int, Hq: int, Hkv: int, D: int,
@@ -368,15 +372,15 @@ def _decode_kernel(l_ref, rows_ref, qpos_ref,
 
     @pl.when(j < nk_main)
     def _main():
-        fold(mk_ref[0], mv_ref[0], mp_ref[0])
+        fold(mk_ref[0], mv_ref[0], mp_ref[0, 0])
 
     @pl.when(j == nk_main)
     def _side():
-        fold(sk_ref[0], sv_ref[0], sp_ref[0])
+        fold(sk_ref[0], sv_ref[0], sp_ref[0, 0])
 
     @pl.when(j == nk_main + 1)
     def _fresh():
-        fold(fk_ref[0], fv_ref[0], fp_ref[0][:THf])
+        fold(fk_ref[0], fv_ref[0], fp_ref[0, 0][:THf])
         l = l2_ref[:, :1]
         o_ref[0] = (acc_ref[...] / jnp.where(l > 0.0, l, 1.0)
                     ).astype(o_ref.dtype)
@@ -409,10 +413,10 @@ def _decode_call(layer, rows, qpos0, qr, mk, mv, sk, sv, fk, fv,
         return (b, 0, 0)
 
     def mp_map(b, j, lr, rr, qp):
-        return (b, jnp.minimum(j, nk_main - 1))
+        return (b, 0, jnp.minimum(j, nk_main - 1))
 
     def sp_map(b, j, lr, rr, qp):
-        return (b, 0)
+        return (b, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -425,9 +429,10 @@ def _decode_call(layer, rows, qpos0, qr, mk, mv, sk, sv, fk, fv,
             pl.BlockSpec((1, THs, D), skv_map),
             pl.BlockSpec((1, THf, D), fkv_map),
             pl.BlockSpec((1, THf, D), fkv_map),
-            pl.BlockSpec((1, block_kr), mp_map),
-            pl.BlockSpec((1, THs), sp_map),
-            pl.BlockSpec((1, 128), sp_map),
+            # [B, 1, T]-shaped position rows (see _prefill_call note)
+            pl.BlockSpec((1, 1, block_kr), mp_map),
+            pl.BlockSpec((1, 1, THs), sp_map),
+            pl.BlockSpec((1, 1, 128), sp_map),
         ],
         out_specs=pl.BlockSpec((1, Rq, D), q_map),
         scratch_shapes=[
@@ -444,7 +449,8 @@ def _decode_call(layer, rows, qpos0, qr, mk, mv, sk, sv, fk, fv,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Rq, D), qr.dtype),
         interpret=interpret,
-    )(layer, rows, qpos0, qr, mk, mv, sk, sv, fk, fv, mpos, spos, fpos)
+    )(layer, rows, qpos0, qr, mk, mv, sk, sv, fk, fv,
+      mpos[:, None], spos[:, None], fpos[:, None])
 
 
 def decode_viable(B: int, S: int, T: int, Ts: int, Hq: int, Hkv: int,

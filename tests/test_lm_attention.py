@@ -8,6 +8,7 @@ second_stage_training.py:277, answer_generate.py:177).
 """
 
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -262,9 +263,16 @@ def test_viability_gates():
     assert lma.prefill_viable(1, 2048, 16384, 28, 4, 128)
     assert not lma.prefill_viable(1, 32, 16384, 28, 4, 128)   # tiny S
     assert not lma.prefill_viable(1, 2048, 16384, 28, 4, 64)  # head dim
-    assert lma.decode_viable(1, 1, 16384, 64, 28, 4, 128)
-    assert not lma.decode_viable(1, 1, 512, 64, 28, 4, 128)   # shallow
-    assert not lma.decode_viable(1, 1, 16384, 50, 28, 4, 128)  # side rows
+    # the splash kernel is OPT-IN on the real backend (axon stability,
+    # see decode_viable's docstring)
+    assert not lma.decode_viable(1, 1, 16384, 64, 28, 4, 128)
+    os.environ["COGSTREAM_LM_ATTN_DECODE"] = "1"
+    try:
+        assert lma.decode_viable(1, 1, 16384, 64, 28, 4, 128)
+        assert not lma.decode_viable(1, 1, 512, 64, 28, 4, 128)
+        assert not lma.decode_viable(1, 1, 16384, 50, 28, 4, 128)
+    finally:
+        del os.environ["COGSTREAM_LM_ATTN_DECODE"]
 
 
 # ---------------------------------------------------------------------------
