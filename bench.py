@@ -764,7 +764,11 @@ def bench_longctx32_7b(ctx):
         return cache
 
     def build_cache(kv_dtype):
-        cache = init_kv_cache(cfg, 1, LS + NEW, dtype=kv_dtype)
+        # cache sized to a 1024-multiple (LS + 1024 covers NEW): the
+        # flash prefill kernel blocks the KV axis in 128-multiples, so
+        # a 32800-slot cache would silently fall back to the XLA
+        # chunked path (measured 1731 vs ~5k+ tok/s kernel)
+        cache = init_kv_cache(cfg, 1, LS + 1024, dtype=kv_dtype)
         cache = pf_chunk(params, cache, emb_h, pos_a)
         return pf_chunk(params, cache, emb_h, pos_b)
 
@@ -1848,9 +1852,16 @@ def run_sections() -> int:
         except Exception as e:  # noqa: BLE001
             msg = repr(e)[:300]
             if "UNAVAILABLE" in msg or "INTERNAL" in msg or \
-                    "DEADLINE" in msg:
-                # TPU worker crash: this process's client is wedged —
-                # exit; the orchestrator relaunches after a cool-down
+                    "DEADLINE" in msg or \
+                    ("JaxRuntimeError" in msg and
+                     "INVALID_ARGUMENT" in msg):
+                # TPU worker crash OR wedged-worker error state: this
+                # process's client is done for — exit; the orchestrator
+                # relaunches after a cool-down. INVALID_ARGUMENT
+                # counts: once the axon worker degrades it returns it
+                # for EVERY subsequent program in the process (round-5
+                # run: one bad section poisoned the remaining 13
+                # in-process; a fresh client cleared it).
                 art[f"{name}_error"] = msg
                 art["_crash_pending"] = True
                 _save_art(art)
