@@ -42,7 +42,8 @@ def main():
     rng = np.random.default_rng(0)
 
     def sync(x):
-        float(jnp.sum(jax.tree.leaves(x)[0][..., :1].astype(jnp.float32)))
+        leaf = jnp.reshape(jax.tree.leaves(x)[0], (-1,))[:1]
+        float(jnp.sum(leaf.astype(jnp.float32)))
 
     def timed(fn, *args, iters=3):
         sync(fn(*args))
@@ -65,14 +66,17 @@ def main():
         # the L matmuls so the dispatch overhead amortizes
         w = {"q": jnp.asarray(
                  rng.integers(-127, 127, (L, din, dout)), jnp.int8),
-             "scale": jnp.full((L, 1, dout), 1e-2, jnp.float32)}
+             "scale": jnp.full((L, dout), 1e-2, jnp.float32)}
         xx = jnp.asarray(rng.normal(size=(S, din)) * 0.1, jnp.bfloat16)
 
         def run(w, xx, w8a8):
             def body(c, wl):
                 y = quant.quantized_matmul(
                     xx * (1.0 + 0 * c), wl, jnp.bfloat16, w8a8=w8a8)
-                return c + jnp.float32(y[0, 0]), None
+                # full-output dependency: a y[0,0]-only carry let XLA
+                # DCE most matmul columns (gate_up "measured" 299
+                # TFLOP/s, above the 197 bf16 peak)
+                return c + jnp.float32(jnp.sum(y)), None
             c, _ = jax.lax.scan(body, jnp.float32(0.0),
                                 jax.tree.map(lambda a: a, w))
             return c
